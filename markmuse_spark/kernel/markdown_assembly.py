@@ -1,0 +1,188 @@
+"""Production assembly kernel: the deterministic MarkMuse tail, batch-first.
+
+Byte-identical to :mod:`markmuse_spark.golden.oracle` (the fixture mint) and
+therefore to the reference semantics at ``/root/reference/markmuse.py:307-383``
+(image map), ``:385-460`` (image normalization), ``:528-685`` (page concat +
+link rewrite), ``:477-479`` (plain text) — verified by
+``tests/test_assembly_parity.py``.
+
+Written for Arrow-batch execution inside pandas UDFs: the entry point is
+:func:`assemble_batch`, which takes columnar inputs for a batch of documents
+and returns columnar outputs.  All regexes are compiled once at module load;
+per-document work is a single scan over the joined markdown plus one pass
+over the image list — no quadratic re-probing, no per-character Python.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from typing import Any, Iterable, Optional
+
+_EXT7 = re.compile(r"\.(?:jpg|jpeg|png|gif|webp|bmp|tiff)$", re.IGNORECASE)
+_EXT5 = re.compile(r"\.(?:jpg|jpeg|png|gif|webp)$", re.IGNORECASE)
+_SANITIZE = re.compile(r"[\\/*?:'\"<>|]")
+_IMG_LINK = re.compile(r"!\[([^\]]*)\]\(([^)]+)\)")
+_PROBE_EXTS = (".png", ".jpg", ".jpeg", ".gif", ".webp")
+_IMG_STRIP = re.compile(r"!\[.*?\]\(.*?\)")
+# equivalent to re.sub(r'[#*_`~]', '') but a single C-level pass
+_FMT_TABLE = {ord(c): None for c in "#*_`~"}
+
+_B64 = base64.b64decode
+
+
+def _decode_image(b64: str) -> Optional[tuple[str, bytes]]:
+    """Data-URI split, whitespace cleanup, decode with padding repair,
+    <100-byte rejection.  Returns ``(content_type, data)`` or ``None``."""
+    if "," in b64 and ";base64," in b64:
+        # content type: text between the first ':' and the next ':' or ';',
+        # whichever the reference's split(';')[0].split(':')[1] yields
+        # (markmuse.py:407); a header without ':' before the first ';'
+        # raises there -> swallowed by the outer handler -> image dropped
+        head_parts = b64.split(";", 1)[0].split(":")
+        if len(head_parts) < 2:
+            return None
+        content_type = head_parts[1]
+        payload = b64.split(",", 1)[1]
+    else:
+        content_type = "image/png"
+        payload = b64
+    cleaned = "".join(payload.split())
+    try:
+        data = _B64(cleaned)
+    except Exception:
+        rem = len(cleaned) % 4
+        if not rem:
+            return None
+        try:
+            data = _B64(cleaned + "=" * (4 - rem))
+        except Exception:
+            return None
+    if len(data) < 100:
+        return None
+    return content_type, data
+
+
+def build_image_index(
+    pages: Iterable[dict[str, Any]], stem: str
+) -> tuple[dict[str, str], list[dict]]:
+    """Build the link-target index for one document.
+
+    Unlike the oracle (which stores safe filenames and renders paths at
+    rewrite time), the index maps image id -> *final rendered relative path*
+    ``{stem}_images/{safe_filename}`` so the rewrite loop is a dict lookup
+    plus string concat.  Dual-keys extension-less ids with ``+'.png'``.
+    """
+    prefix = stem + "_images/"
+    index: dict[str, str] = {}
+    manifest: list[dict] = []
+    for page in pages:
+        images = page.get("images")
+        if not images:
+            continue
+        page_no = page["page_idx"] + 1
+        for img_idx, img in enumerate(images):
+            img_id = img.get("id")
+            if img_id is None:
+                img_id = f"img-p{page_no}-{img_idx + 1}.png"
+            b64 = img.get("image_base64")
+            if not b64:
+                continue
+            try:
+                decoded = _decode_image(b64)
+            except Exception:
+                decoded = None
+            if decoded is None:
+                continue
+            content_type, data = decoded
+            safe = _SANITIZE.sub("_", img_id)
+            if not _EXT7.search(safe):
+                safe += ".png"
+            target = prefix + safe
+            index[img_id] = target
+            if not _EXT7.search(img_id):
+                index[img_id + ".png"] = target
+            manifest.append(
+                {
+                    "img_id": img_id,
+                    "safe_filename": safe,
+                    "content_type": content_type,
+                    "n_bytes": len(data),
+                }
+            )
+    return index, manifest
+
+
+def rewrite_document(markdown: str, index: dict[str, str]) -> str:
+    """Single-pass link rewrite; unmatched refs survive verbatim."""
+    if not index and "![" not in markdown:
+        return markdown
+    get = index.get
+
+    def _sub(m: "re.Match[str]") -> str:
+        url = m.group(2)
+        img_id = url.rsplit("/", 1)[-1] if "/" in url else url
+        target = get(img_id)
+        if target is None and not _EXT5.search(img_id):
+            for ext in _PROBE_EXTS:
+                target = get(img_id + ext)
+                if target is not None:
+                    break
+        if target is None:
+            return m.group(0)
+        return f"![{m.group(1)}]({target})"
+
+    return _IMG_LINK.sub(_sub, markdown)
+
+
+def to_plain_text(markdown: str) -> str:
+    """Image links stripped, markdown format chars removed."""
+    return _IMG_STRIP.sub("", markdown).translate(_FMT_TABLE)
+
+
+def derive_stem(url: str) -> str:
+    """Output stem per url (markmuse.py:704-720 semantics; see oracle)."""
+    seg = url.rsplit("/", 1)[-1]
+    if not seg:
+        return "pdf_from_url"
+    if seg.lower().endswith(".pdf"):
+        return seg.replace(".pdf", "")
+    return seg
+
+
+def assemble_one(url: str, pages: list[dict[str, Any]]) -> dict[str, Any]:
+    """Assemble one document: returns markdown, extracted_text, manifest."""
+    ordered = sorted(pages, key=lambda p: p["page_idx"])
+    stem = derive_stem(url)
+    index, manifest = build_image_index(ordered, stem)
+    joined = "\n\n".join(
+        p["markdown"] for p in ordered if p.get("markdown") is not None
+    )
+    markdown = rewrite_document(joined, index)
+    return {
+        "url": url,
+        "markdown": markdown,
+        "extracted_text": to_plain_text(markdown),
+        "image_manifest": manifest,
+    }
+
+
+def assemble_batch(
+    urls: Iterable[str], pages_col: Iterable[list[dict[str, Any]]]
+) -> tuple[list[str], list[str], list[list[dict]], list[int]]:
+    """Columnar batch entry point for the Arrow/pandas UDF layer.
+
+    Returns parallel lists ``(markdown, extracted_text, manifests,
+    n_images)`` for the batch.
+    """
+    out_md: list[str] = []
+    out_text: list[str] = []
+    out_manifest: list[list[dict]] = []
+    out_n: list[int] = []
+    for url, pages in zip(urls, pages_col):
+        doc = assemble_one(url, pages or [])
+        out_md.append(doc["markdown"])
+        out_text.append(doc["extracted_text"])
+        out_manifest.append(doc["image_manifest"])
+        out_n.append(len(doc["image_manifest"]))
+    return out_md, out_text, out_manifest, out_n
