@@ -1,0 +1,171 @@
+"""PDF layout-extraction kernel: raw PDF bytes -> per-page Markdown.
+
+From-scratch replacement for the reference's OCR stage over PDF payloads
+(``/root/reference/markmuse.py:266-299``): a byte-stream tokenizer over
+uncompressed content streams collects absolutely-positioned text runs
+``(font_size, x, y, text)``, then box-geometry heuristics reconstruct
+reading order and structure:
+
+* **column detection** — x-coordinates clustered; clusters separated by
+  >60pt are separate columns, read left to right
+* **line/block grouping** — within a column, runs sorted by descending y;
+  a vertical gap >20pt or a font-size change starts a new block
+* **heading inference** — per-page font-size histogram; the modal size is
+  body text, larger sizes map to heading levels by size ratio
+  (>=2.2x -> h1, >=1.7x -> h2, >=1.35x -> h3)
+* **list detection** — blocks whose lines all carry ``- `` / ``1. ``
+  markers are kept line-per-item; other blocks re-join wrapped lines
+
+Dialect constraints (matching :mod:`markmuse_spark.sources.pdf_writer`,
+SURVEY.md §7 risk 2): uncompressed streams, ``Tf``/``Tm``/``Tj`` text ops,
+UTF-8 bytes inside literal strings, content streams in page order.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Any
+
+_STREAM = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
+_OP = re.compile(
+    r"/F\d+\s+(\d+(?:\.\d+)?)\s+Tf"
+    r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
+    r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+)
+_UNESCAPE = re.compile(r"\\([\\()])")
+_LIST_LINE = re.compile(r"^(?:- |\d+\. )")
+
+_COLUMN_GAP = 60.0
+_LINE_GAP = 20.0
+
+
+def _decode_pdf_string(raw: str) -> str:
+    """Literal-string unescape, then recover UTF-8 from the latin-1 view."""
+    s = _UNESCAPE.sub(r"\1", raw)
+    try:
+        return s.encode("latin-1").decode("utf-8")
+    except (UnicodeDecodeError, UnicodeEncodeError):
+        return s
+
+
+def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
+    runs: list[tuple[float, float, float, str]] = []
+    size = 10.0
+    x = y = 0.0
+    for m in _OP.finditer(stream):
+        if m.group(1) is not None:
+            size = float(m.group(1))
+        elif m.group(2) is not None:
+            x, y = float(m.group(2)), float(m.group(3))
+        else:
+            text = _decode_pdf_string(m.group(4))
+            if text:
+                runs.append((size, x, y, text))
+    return runs
+
+
+def _cluster_columns(runs: list[tuple[float, float, float, str]]) -> list[list[tuple[float, float, float, str]]]:
+    xs = sorted({r[1] for r in runs})
+    col_starts: list[float] = []
+    for v in xs:
+        if not col_starts or v - col_starts[-1] > _COLUMN_GAP:
+            col_starts.append(v)
+    cols: list[list[tuple[float, float, float, str]]] = [[] for _ in col_starts]
+    for r in runs:
+        # assign to the rightmost column start <= x
+        idx = 0
+        for i, cs in enumerate(col_starts):
+            if r[1] >= cs - 1e-6:
+                idx = i
+        cols[idx].append(r)
+    return cols
+
+
+def _heading_level(size: float, body: float) -> int:
+    r = size / body if body else 1.0
+    if r >= 2.2:
+        return 1
+    if r >= 1.7:
+        return 2
+    if r >= 1.35:
+        return 3
+    return 0
+
+
+def _column_blocks(
+    col: list[tuple[float, float, float, str]], body_size: float
+) -> list[str]:
+    """Lines (sorted top-down; same-y runs merged left-to-right) -> blocks."""
+    by_y: dict[float, list[tuple[float, str]]] = {}
+    sizes: dict[float, float] = {}
+    for size, x, y, text in col:
+        by_y.setdefault(y, []).append((x, text))
+        sizes[y] = max(sizes.get(y, 0.0), size)
+    lines = []
+    for y in sorted(by_y, reverse=True):
+        text = " ".join(t for _, t in sorted(by_y[y]))
+        lines.append((y, sizes[y], text))
+
+    blocks: list[str] = []
+    cur: list[str] = []
+    cur_size = None
+    prev_y = None
+
+    def _flush() -> None:
+        nonlocal cur, cur_size
+        if not cur:
+            return
+        level = _heading_level(cur_size, body_size) if cur_size else 0
+        if level:
+            blocks.append("#" * level + " " + " ".join(cur))
+        elif all(_LIST_LINE.match(ln) for ln in cur):
+            blocks.append("\n".join(cur))
+        else:
+            blocks.append(" ".join(cur))
+        cur = []
+        cur_size = None
+
+    for y, size, text in lines:
+        new_block = (
+            prev_y is not None and (prev_y - y) > _LINE_GAP
+        ) or (cur_size is not None and size != cur_size)
+        if new_block or _heading_level(size, body_size):
+            _flush()
+        cur.append(text)
+        cur_size = size
+        prev_y = y
+        if _heading_level(size, body_size):
+            _flush()
+            prev_y = None  # heading gap shouldn't merge next block
+    _flush()
+    return blocks
+
+
+def extract_pages(payload: bytes) -> list[dict[str, Any]]:
+    """Extract the page list (ocr_pages shape) from one PDF payload."""
+    if not payload:
+        raise ValueError("empty payload")
+    if not payload.startswith(b"%PDF"):
+        raise ValueError("not a PDF payload")
+    doc = payload.decode("latin-1")
+    pages: list[dict[str, Any]] = []
+    streams = _STREAM.findall(doc)
+    if not streams:
+        raise ValueError("no content streams")
+    for page_idx, stream in enumerate(streams):
+        runs = _parse_runs(stream)
+        if not runs:
+            pages.append({"page_idx": page_idx, "markdown": "", "images": []})
+            continue
+        counts = Counter(r[0] for r in runs)
+        top = max(counts.values())
+        body_size = min(s for s, c in counts.items() if c == top)
+        blocks: list[str] = []
+        for col in _cluster_columns(runs):
+            if col:
+                blocks.extend(_column_blocks(col, body_size))
+        pages.append(
+            {"page_idx": page_idx, "markdown": "\n\n".join(blocks), "images": []}
+        )
+    return pages

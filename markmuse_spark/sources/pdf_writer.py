@@ -1,0 +1,178 @@
+"""Seeded minimal-PDF writer: document model -> structurally valid PDF bytes.
+
+Fixture-side counterpart of :mod:`markmuse_spark.kernel.pdf_extract`.  The
+dialect is deliberately constrained (SURVEY.md §7 risk 2) but real PDF:
+``%PDF-1.4`` header, catalog/pages/page objects, per-page uncompressed
+content streams with standard text operators, xref table, trailer.  Every
+text run is absolutely positioned::
+
+    BT /F1 {size} Tf 1 0 0 1 {x} {y} Tm ({text}) Tj ET
+
+Layout rules (the spec the extractor's box-geometry heuristics must invert):
+
+* page 612x792; single column at x=72, two-column at x=72 / x=326
+* body font 10pt, line height 14; headings h1/h2/h3 at 24/18/14pt
+* consecutive lines of one block are 14 apart; blocks are 28+ apart
+* paragraphs greedy-wrapped at a per-column character budget; list items one
+  line each, written with their ``- `` / ``1. `` markers
+* two-column pages fill the left column with the first half of the blocks,
+  then the right column (reading order: left column first)
+
+Non-ASCII text is emitted as escaped UTF-8 bytes inside literal strings —
+a dialect constraint, documented here and honored by the extractor.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+PAGE_W, PAGE_H = 612, 792
+MARGIN_TOP = 720
+COL_X = {1: (72,), 2: (72, 326)}
+WRAP = {1: 62, 2: 28}
+BODY_SIZE = 10
+HEAD_SIZE = {1: 24, 2: 18, 3: 14}
+LINE_H = 14
+BLOCK_GAP = 28
+
+
+def _escape(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _wrap(text: str, width: int) -> list[str]:
+    words = text.split()
+    lines: list[str] = []
+    cur: list[str] = []
+    n = 0
+    for w in words:
+        add = len(w) + (1 if cur else 0)
+        if cur and n + add > width:
+            lines.append(" ".join(cur))
+            cur, n = [w], len(w)
+        else:
+            cur.append(w)
+            n += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines or [""]
+
+
+def _layout_column(blocks: list[dict], x: int, width: int) -> list[tuple[int, int, int, str]]:
+    """Place blocks into (size, x, y, text) runs going down from MARGIN_TOP."""
+    runs: list[tuple[int, int, int, str]] = []
+    y = MARGIN_TOP
+    for b in blocks:
+        t = b["t"]
+        if t == "h":
+            size = HEAD_SIZE[min(b["level"], 3)]
+            runs.append((size, x, y, b["text"]))
+            y -= BLOCK_GAP + size
+        elif t == "p":
+            text = " ".join(txt for _, txt in b["spans"]) if "spans" in b else b["text"]
+            for line in _wrap(" ".join(text.split()), width):
+                runs.append((BODY_SIZE, x, y, line))
+                y -= LINE_H
+            y -= BLOCK_GAP - LINE_H
+        elif t in ("ul", "ol"):
+            for i, item in enumerate(b["items"]):
+                marker = "- " if t == "ul" else f"{i + 1}. "
+                runs.append((BODY_SIZE, x, y, marker + item))
+                y -= LINE_H
+            y -= BLOCK_GAP - LINE_H
+        else:
+            raise ValueError(f"pdf dialect does not support block type {t!r}")
+    return runs
+
+
+def page_runs(page_model: dict[str, Any]) -> list[tuple[int, int, int, str]]:
+    """All text runs for one page model {'columns': 1|2, 'blocks': [...]}."""
+    cols = page_model.get("columns", 1)
+    blocks = page_model["blocks"]
+    xs = COL_X[cols]
+    if cols == 1:
+        return _layout_column(blocks, xs[0], WRAP[1])
+    half = (len(blocks) + 1) // 2
+    runs = _layout_column(blocks[:half], xs[0], WRAP[2])
+    runs += _layout_column(blocks[half:], xs[1], WRAP[2])
+    return runs
+
+
+def _content_stream(runs: list[tuple[int, int, int, str]]) -> bytes:
+    parts = []
+    for size, x, y, text in runs:
+        parts.append(
+            b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%b) Tj ET" % (size, x, y, _escape(text))
+        )
+    return b"\n".join(parts)
+
+
+def write_pdf(pages: list[dict[str, Any]]) -> bytes:
+    """Serialize page models into one PDF file (bytes)."""
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [%b] /Count %d >>" % (kids.encode(), n_pages)
+    )
+    for i, page in enumerate(pages):
+        content_num = 4 + 2 * i
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, content_num)
+        )
+        stream = _content_stream(page_runs(page))
+        objects.append(
+            b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
+        )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, obj)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# ------------------------------------------------------------------
+# expected markdown (reading-order spec) for a page model
+# ------------------------------------------------------------------
+
+def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
+    """Markdown the extractor must produce for this page (reading order:
+    left column then right; headings by level; lists keep their markers)."""
+    cols = page_model.get("columns", 1)
+    blocks = page_model["blocks"]
+    if cols == 2:
+        half = (len(blocks) + 1) // 2
+        ordered = blocks[:half] + blocks[half:]
+    else:
+        ordered = blocks
+    md: list[str] = []
+    for b in ordered:
+        t = b["t"]
+        if t == "h":
+            md.append("#" * min(b["level"], 3) + " " + b["text"])
+        elif t == "p":
+            text = " ".join(txt for _, txt in b["spans"]) if "spans" in b else b["text"]
+            md.append(" ".join(text.split()))
+        elif t == "ul":
+            md.append("\n".join(f"- {it}" for it in b["items"]))
+        elif t == "ol":
+            md.append("\n".join(f"{i + 1}. {it}" for i, it in enumerate(b["items"])))
+    return "\n\n".join(m for m in md if m)

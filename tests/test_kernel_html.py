@@ -1,0 +1,115 @@
+"""HTML layout kernel vs the document-model spec.
+
+The generator (markmuse_spark.sources.docmodel) renders a seeded block model
+to noisy Common-Crawl-style HTML; the kernel must recover exactly the
+expected page markdown + inline-image list — the stand-in for the OCR page
+shape the reference consumes (markmuse.py:563-565, :347-352).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from markmuse_spark.kernel import html_extract
+from markmuse_spark.sources import docmodel
+
+
+def _roundtrip(seed: int, lang: str = "en", truncate: int | None = None):
+    rng = random.Random(seed)
+    blocks = docmodel.random_page_blocks(rng, lang)
+    html = docmodel.render_html(blocks, rng, truncate_after=truncate)
+    want = docmodel.expected_page(blocks, 0, upto=truncate)
+    got = html_extract.extract_pages(html)
+    assert len(got) == 1
+    return want, got[0], html
+
+
+@pytest.mark.parametrize("lang", sorted(docmodel._WORDS_BY_LANG))
+def test_roundtrip_languages(lang):
+    for seed in range(20):
+        want, got, html = _roundtrip(1000 + seed, lang)
+        assert got["markdown"] == want["markdown"], (lang, seed, html[:400])
+        assert got["images"] == want["images"], (lang, seed)
+
+
+def test_roundtrip_corpus():
+    for seed in range(200):
+        want, got, html = _roundtrip(seed)
+        assert got["markdown"] == want["markdown"], (seed, html.decode()[:500])
+        assert got["images"] == want["images"], seed
+
+
+def test_truncated_payload():
+    for seed in range(30):
+        rng = random.Random(seed)
+        blocks = docmodel.random_page_blocks(rng, "en")
+        cut = max(1, len(blocks) // 2)
+        want, got, _ = _roundtrip(seed, truncate=cut)
+        assert got["markdown"] == want["markdown"], seed
+
+
+def test_empty_payload_raises():
+    with pytest.raises(ValueError):
+        html_extract.extract_pages(b"")
+
+
+def test_batch_error_capture():
+    rng = random.Random(3)
+    blocks = docmodel.random_page_blocks(rng, "en")
+    ok_html = docmodel.render_html(blocks, rng)
+    results = html_extract.extract_html_batch([ok_html, b"", b"\xff\xfe garbage <p>x</p>"])
+    assert results[0][1] is None and results[0][0] is not None
+    assert results[1][0] is None and "empty payload" in results[1][1]
+    # undecodable-as-utf8 falls back to latin-1 and still parses
+    assert results[2][1] is None
+    assert results[2][0][0]["markdown"].endswith("x")
+
+
+def test_boilerplate_stripped():
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<header><div class='logo'>LOGO</div></header>"
+        b"<nav><ul class='menu'><li>Home</li></ul></nav>"
+        b"<div class='ad-banner'>BUY <div>nested leak?</div> NOW</div>"
+        b"<article><h1>Real Title</h1><p>Real body.</p></article>"
+        b"<aside class='related'><p>junk</p></aside>"
+        b"<footer>(c) junk</footer></body></html>"
+    )
+    page = html_extract.extract_pages(html)[0]
+    assert page["markdown"] == "# Real Title\n\nReal body."
+
+
+def test_entities_and_inline_marks():
+    html = (
+        b"<body><article><p>a &amp; b &lt;tag&gt; <strong>bold</strong> "
+        b"<em>it</em> <code>c()</code>&nbsp;end</p></article></body>"
+    )
+    page = html_extract.extract_pages(html)[0]
+    assert page["markdown"] == "a & b <tag> **bold** *it* `c()` end"
+
+
+def test_data_uri_image_lifted():
+    import base64
+
+    b64 = base64.b64encode(b"\x89PNG" + bytes(150)).decode()
+    html = (
+        "<body><article><p>before</p>"
+        f'<img src="data:image/png;base64,{b64}" alt="a chart">'
+        '<img src="https://cdn.example/x.jpg" alt="ext">'
+        "<p>after</p></article></body>"
+    ).encode()
+    page = html_extract.extract_pages(html)[0]
+    assert page["markdown"] == (
+        "before\n\n![a chart](img-p1-1.png)\n\n![ext](https://cdn.example/x.jpg)\n\nafter"
+    )
+    assert page["images"] == [
+        {"id": "img-p1-1.png", "image_base64": "data:image/png;base64," + b64}
+    ]
+
+
+def test_unclosed_tags_tolerated():
+    html = b"<body><article><p>one<p>two<ul><li>a<li>b</ul><h2>head"
+    page = html_extract.extract_pages(html)[0]
+    assert page["markdown"] == "one\n\ntwo\n\n- a\n- b\n\n## head"

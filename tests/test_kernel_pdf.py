@@ -1,0 +1,130 @@
+"""PDF layout kernel vs the writer's layout spec.
+
+The seeded writer places text runs with absolute x/y boxes (multi-column on
+~25% of pages); the extractor must reconstruct reading order, headings (from
+the font-size histogram), lists, and paragraph re-wrapping byte-exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from markmuse_spark.kernel import pdf_extract
+from markmuse_spark.sources import docmodel, pdf_writer
+
+
+def _roundtrip(seed: int, lang: str = "en"):
+    rng = random.Random(seed)
+    pages = docmodel.random_pdf_pages(rng, lang)
+    pdf = pdf_writer.write_pdf(pages)
+    got = pdf_extract.extract_pages(pdf)
+    want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+    return want, got, pdf
+
+
+@pytest.mark.parametrize("lang", sorted(docmodel._WORDS_BY_LANG))
+def test_roundtrip_languages(lang):
+    for seed in range(10):
+        want, got, pdf = _roundtrip(2000 + seed, lang)
+        assert len(got) == len(want), (lang, seed)
+        for i, w in enumerate(want):
+            assert got[i]["markdown"] == w, (lang, seed, i)
+            assert got[i]["images"] == []
+
+
+def test_roundtrip_corpus():
+    for seed in range(150):
+        want, got, _ = _roundtrip(seed)
+        assert [p["markdown"] for p in got] == want, seed
+
+
+def test_structural_validity():
+    rng = random.Random(1)
+    pdf = pdf_writer.write_pdf(docmodel.random_pdf_pages(rng, "en"))
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert b"xref" in pdf and b"trailer" in pdf
+    assert pdf.count(b"stream") >= 2  # stream + endstream per page
+
+
+def test_two_column_reading_order():
+    pages = [
+        {
+            "columns": 2,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Left Head"},
+                {"t": "p", "spans": [("", "left column body text here")]},
+                {"t": "h", "level": 2, "text": "Right Head"},
+                {"t": "p", "spans": [("", "right column body text here")]},
+            ],
+        }
+    ]
+    pdf = pdf_writer.write_pdf(pages)
+    got = pdf_extract.extract_pages(pdf)[0]["markdown"]
+    assert got == (
+        "# Left Head\n\nleft column body text here\n\n"
+        "## Right Head\n\nright column body text here"
+    )
+
+
+def test_heading_levels_by_font_ratio():
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "One"},
+                {"t": "p", "spans": [("", "body a")]},
+                {"t": "h", "level": 2, "text": "Two"},
+                {"t": "p", "spans": [("", "body b")]},
+                {"t": "h", "level": 3, "text": "Three"},
+                {"t": "p", "spans": [("", "body c")]},
+            ],
+        }
+    ]
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf(pages))[0]["markdown"]
+    assert got == "# One\n\nbody a\n\n## Two\n\nbody b\n\n### Three\n\nbody c"
+
+
+def test_list_markers_preserved():
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "ul", "items": ["alpha", "beta"]},
+                {"t": "ol", "items": ["first", "second", "third"]},
+            ],
+        }
+    ]
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf(pages))[0]["markdown"]
+    assert got == "- alpha\n- beta\n\n1. first\n2. second\n3. third"
+
+
+def test_paragraph_rewrap():
+    long = "word " * 60
+    pages = [{"columns": 1, "blocks": [{"t": "p", "spans": [("", long)]}]}]
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf(pages))[0]["markdown"]
+    assert got == long.strip()
+
+
+def test_escaped_parens_and_backslash():
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "p", "spans": [("", r"f(x) = y \ (z) end")]},
+            ],
+        }
+    ]
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf(pages))[0]["markdown"]
+    assert got == r"f(x) = y \ (z) end"
+
+
+def test_bad_payloads():
+    with pytest.raises(ValueError):
+        pdf_extract.extract_pages(b"")
+    with pytest.raises(ValueError):
+        pdf_extract.extract_pages(b"not a pdf")
+    with pytest.raises(ValueError):
+        pdf_extract.extract_pages(b"%PDF-1.4\nno streams here")
