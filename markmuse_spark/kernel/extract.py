@@ -1,0 +1,61 @@
+"""Unified extraction kernel: payload bytes -> assembled Markdown document.
+
+Per-document composition of the three kernel stages (the Spark operator in
+:mod:`markmuse_spark.operators.extract` calls the batch entry point from a
+``mapInPandas`` iterator):
+
+1. dispatch on payload magic: ``%PDF`` -> PDF box-geometry extractor,
+   otherwise HTML boilerplate-strip extractor
+2. deterministic MarkMuse tail (image map, link-rewrite join, page concat)
+   via :mod:`markmuse_spark.kernel.markdown_assembly`
+
+Per-row errors are captured, never raised — the Spark analog of the
+reference's per-document try/except in the batch loop
+(``/root/reference/markmuse.py:756-777``): one poisoned payload must not
+kill a 10^12-row job.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional
+
+from markmuse_spark.kernel import html_extract, pdf_extract
+from markmuse_spark.kernel.markdown_assembly import assemble_one
+
+
+def extract_document(url: str, payload: Optional[bytes]) -> dict[str, Any]:
+    """Extract + assemble one document; errors land in the ``error`` field."""
+    try:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        if payload.startswith(b"%PDF"):
+            pages = pdf_extract.extract_pages(payload)
+        else:
+            pages = html_extract.extract_pages(payload)
+        doc = assemble_one(url, pages)
+        return {
+            "url": url,
+            "markdown": doc["markdown"],
+            "extracted_text": doc["extracted_text"],
+            "n_pages": len(pages),
+            "n_images": len(doc["image_manifest"]),
+            "n_chars": len(doc["markdown"]),
+            "error": None,
+        }
+    except Exception as exc:
+        return {
+            "url": url,
+            "markdown": None,
+            "extracted_text": None,
+            "n_pages": 0,
+            "n_images": 0,
+            "n_chars": 0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+
+
+def extract_batch(
+    urls: Iterable[str], payloads: Iterable[Optional[bytes]]
+) -> list[dict[str, Any]]:
+    """One Arrow batch of documents in, one list of result rows out."""
+    return [extract_document(u, p) for u, p in zip(urls, payloads)]

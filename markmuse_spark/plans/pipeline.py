@@ -1,0 +1,173 @@
+"""The full extraction job: resume -> skew-aware shuffle -> extract ->
+atomic publish -> lineage/metrics sidecar.
+
+Spark-first re-expression of the reference's control plane:
+
+* **resume anti-join** (A21, ``task_api/routes.py:144-154`` analog):
+  previously committed urls are excluded before any payload is read
+* **salted size-aware repartition** (SURVEY §4 custom item 1): every row
+  gets a shuffle *slot*; small docs share ``oversub * parallelism`` salted
+  slots keyed on ``xxhash64(url)``, giant docs (>= ``big_bytes``) each get
+  their own slot so a 100 MB PDF never queues thousands of small pages
+  behind it — AQE's skew handling only covers shuffle joins, not UDF
+  compute skew, so this is explicit
+* **atomic publish**: each run writes ``extracted/run_id=<id>/`` through
+  Spark's committer; a run directory counts as committed only when its
+  ``_SUCCESS`` marker exists (Hadoop commit-protocol semantics — the
+  sandbox stand-in for an Iceberg snapshot commit)
+* **lineage sidecar** (A20, ``clients/db/crud.py:134-320`` analog): one row
+  per executor partition with url/ok/err counts plus a job-level row,
+  appended under ``extraction_runs/``
+
+At 10^12-document scale every stage here is a single pass: no double scan
+of the source (the size split is a projected column, not a re-filter), no
+driver-side collection of payloads.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from markmuse_spark.operators.extract import extract_markdown
+
+DEFAULT_BIG_BYTES = 256 * 1024
+DEFAULT_OVERSUB = 4
+
+
+def committed_urls(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    """Urls from previously *committed* runs (run dirs bearing _SUCCESS)."""
+    root = os.path.join(output_dir, "extracted")
+    if not os.path.isdir(root):
+        return None
+    good = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("run_id=")
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    ]
+    if not good:
+        return None
+    return spark.read.parquet(*good).select("url")
+
+
+def salted_repartition(
+    pages: DataFrame,
+    parallelism: int,
+    big_bytes: int = DEFAULT_BIG_BYTES,
+    oversub: int = DEFAULT_OVERSUB,
+) -> DataFrame:
+    """One-pass skew-aware shuffle.
+
+    ``slot`` is the shuffle key: small docs -> ``pmod(xxhash64(url),
+    small_slots)`` (salted, uniform); giant docs -> full ``xxhash64(url)``
+    (a unique slot each, so no partition accumulates more than one giant
+    plus its hash-share of small docs).
+    """
+    small_slots = max(1, parallelism * oversub)
+    slot = F.when(
+        F.length(F.col("html")) >= big_bytes, F.xxhash64(F.col("url"))
+    ).otherwise(F.pmod(F.xxhash64(F.col("url")), F.lit(small_slots)))
+    return pages.withColumn("_slot", slot).repartition(small_slots, "_slot").drop("_slot")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    run_id: str,
+    big_bytes: int = DEFAULT_BIG_BYTES,
+    oversub: int = DEFAULT_OVERSUB,
+    resume: bool = True,
+) -> dict:
+    """Execute one extraction run; returns the job-level metrics row."""
+    started_at = _dt.datetime.now(_dt.timezone.utc)
+    parallelism = spark.sparkContext.defaultParallelism
+
+    todo = pages
+    if resume:
+        done = committed_urls(spark, output_dir)
+        if done is not None:
+            todo = todo.join(done, "url", "left_anti")
+
+    shuffled = salted_repartition(todo, parallelism, big_bytes, oversub)
+    result = extract_markdown(shuffled)
+
+    run_path = os.path.join(output_dir, "extracted", f"run_id={run_id}")
+    status = "SUCCESS"
+    error_message = None
+    try:
+        result.write.mode("errorifexists").parquet(run_path)
+    except Exception as exc:  # FAILURE lineage row, then re-raise (A20)
+        status = "FAILURE"
+        error_message = f"{type(exc).__name__}: {exc}"
+
+    completed_at = _dt.datetime.now(_dt.timezone.utc)
+
+    # ---- lineage / metrics sidecar (reads the committed parquet back:
+    # cheap — markdown column pruned, counts only) ----------------------
+    metrics_rows: list[dict] = []
+    job_row = {
+        "run_id": run_id,
+        "partition_id": -1,
+        "status": status,
+        "url_count": 0,
+        "ok_count": 0,
+        "err_count": 0,
+        "started_at": started_at,
+        "completed_at": completed_at,
+        "error_message": error_message,
+        "metrics": None,
+    }
+    if status == "SUCCESS":
+        per_part = (
+            spark.read.parquet(run_path)
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("url_count"),
+                F.count(F.when(F.col("error").isNull(), 1)).alias("ok_count"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("err_count"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum("n_images").alias("sum_images"),
+            )
+            .collect()
+        )
+        for r in per_part:
+            metrics_rows.append(
+                {
+                    "run_id": run_id,
+                    "partition_id": r["partition_id"],
+                    "status": "SUCCESS",
+                    "url_count": r["url_count"],
+                    "ok_count": r["ok_count"],
+                    "err_count": r["err_count"],
+                    "started_at": started_at,
+                    "completed_at": completed_at,
+                    "error_message": None,
+                    "metrics": json.dumps(
+                        {"sum_chars": r["sum_chars"], "sum_images": r["sum_images"]}
+                    ),
+                }
+            )
+        job_row["url_count"] = sum(r["url_count"] for r in per_part)
+        job_row["ok_count"] = sum(r["ok_count"] for r in per_part)
+        job_row["err_count"] = sum(r["err_count"] for r in per_part)
+    metrics_rows.append(job_row)
+
+    runs_schema = (
+        "run_id string, partition_id int, status string, url_count long, "
+        "ok_count long, err_count long, started_at timestamp, "
+        "completed_at timestamp, error_message string, metrics string"
+    )
+    spark.createDataFrame(metrics_rows, schema=runs_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(output_dir, "extraction_runs"))
+
+    if status == "FAILURE":
+        raise RuntimeError(f"extraction run {run_id} failed: {error_message}")
+    return job_row

@@ -1,0 +1,167 @@
+"""Deterministic Common-Crawl-style ``pages`` corpus + golden fixtures.
+
+Implements FIXTURES.md §1 exactly: per-row content is a pure function of
+``(seed, row_id)`` so the corpus can be generated **distributed** (Spark
+``range -> mapInPandas``) at any scale with identical bytes at any
+parallelism — the property that lets the same generator back unit tests
+(hundreds of rows) and the 100k-row bench table.
+
+Row mix (by row id ``i``):
+
+* ~2%  adversarial  (``i % 50 == 7``): empty payload (expected error) or
+  truncated HTML (golden = prefix blocks)
+* ~20% PDF          (``i % 5 == 4``, url gains a ``.pdf`` segment)
+* rest HTML         (nested divs, boilerplate chrome, headings, lists,
+  tables, inline ``data:`` images incl. <100-byte rejects)
+* skew knob: ``i % 1000 == 500`` -> payload ~100x median (FIXTURES §1)
+
+Golden documents are minted by the oracle tail
+(:func:`markmuse_spark.golden.oracle.assemble_document`) over the *expected*
+page shape — never by running the production kernel.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from typing import Any, Optional
+
+from markmuse_spark.golden import oracle
+from markmuse_spark.sources import docmodel, pdf_writer
+
+_CATEGORIES = ("articles", "docs", "news", "blog", "papers")
+_LANGS = ("en", "zh", "de", "fr", "es")
+_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def row_url(i: int) -> str:
+    cat = _CATEGORIES[i % len(_CATEGORIES)]
+    suffix = ".pdf" if (i % 5 == 4 and i % 50 != 7) else ""
+    return f"https://site{i % 97}.example/{cat}/doc-{i:06d}{suffix}"
+
+
+def row_ts(i: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(seconds=137 * i)
+
+
+def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Optional[str]]:
+    """Pure per-row spec.
+
+    Returns ``(url, payload, expected_pages, expected_error)``;
+    ``expected_pages`` is the ocr_pages shape the kernel must recover
+    (None for expected-error rows).
+    """
+    url = row_url(i)
+    lang = _LANGS[i % len(_LANGS)]
+    rng = random.Random(f"{seed}:{i}")
+
+    if i % 50 == 7:
+        if i % 100 == 7:
+            return url, b"", None, "empty payload"
+        blocks = docmodel.random_page_blocks(rng, lang)
+        cut = max(1, len(blocks) // 2)
+        payload = docmodel.render_html(blocks, rng, truncate_after=cut)
+        return url, payload, [docmodel.expected_page(blocks, 0, upto=cut)], None
+
+    if i % 5 == 4:
+        pages_model = docmodel.random_pdf_pages(rng, lang)
+        payload = pdf_writer.write_pdf(pages_model)
+        expected = [
+            {
+                "page_idx": k,
+                "markdown": pdf_writer.expected_pdf_page_markdown(pm),
+                "images": [],
+            }
+            for k, pm in enumerate(pages_model)
+        ]
+        return url, payload, expected, None
+
+    blocks = docmodel.random_page_blocks(rng, lang)
+    if i % 1000 == 500:  # skew straggler: ~100x median payload
+        blocks = blocks * max(1, 800 // max(1, len(blocks)))
+    payload = docmodel.render_html(blocks, rng)
+    return url, payload, [docmodel.expected_page(blocks, 0)], None
+
+
+def make_page_row(i: int, seed: int = 42) -> dict[str, Any]:
+    """One row of the ``pages`` table (FIXTURES §1 schema)."""
+    url, payload, expected, _err = _make_doc(i, seed)
+    lang = _LANGS[i % len(_LANGS)]
+    # pre-extracted text column "may be empty; the pipeline recomputes its
+    # own" (FIXTURES §1) — populate every other row with a rough projection
+    if expected and i % 2 == 0:
+        pre_text = oracle.plain_text(expected[0]["markdown"])[:400]
+    else:
+        pre_text = ""
+    return {
+        "url": url,
+        "warc_ts": row_ts(i),
+        "html": payload,
+        "text": pre_text,
+        "lang": lang,
+    }
+
+
+def make_golden_row(i: int, seed: int = 42) -> dict[str, Any]:
+    """One row of the ``golden_markdown`` table (FIXTURES §3 schema)."""
+    url, _payload, expected, err = _make_doc(i, seed)
+    if err is not None:
+        return {
+            "url": url,
+            "markdown": None,
+            "extracted_text": None,
+            "n_images": 0,
+            "error_expected": err,
+        }
+    doc = oracle.assemble_document(url, expected)
+    return {
+        "url": url,
+        "markdown": doc["markdown"],
+        "extracted_text": doc["extracted_text"],
+        "n_images": len(doc["image_manifest"]),
+        "error_expected": None,
+    }
+
+
+# ----------------------------------------------------------------------
+# Spark-distributed generation (scale path; also used by bench.py)
+# ----------------------------------------------------------------------
+
+_PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+_GOLDEN_DDL = (
+    "url string, markdown string, extracted_text string, n_images int, "
+    "error_expected string"
+)
+
+
+def pages_dataframe(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    """Distributed pages-table generation: ``spark.range`` -> ``mapInPandas``.
+
+    Content depends only on (seed, id); partitioning/parallelism cannot
+    change the data — safe at any cluster size.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_page_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_rows, numPartitions=partitions)
+        .mapInPandas(gen, schema=_PAGES_DDL)
+    )
+
+
+def golden_dataframe(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_golden_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_rows, numPartitions=partitions)
+        .mapInPandas(gen, schema=_GOLDEN_DDL)
+    )

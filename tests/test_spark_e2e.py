@@ -1,0 +1,122 @@
+"""End-to-end Spark pipeline: byte-identical per-url output vs golden
+fixtures (the north rule), resume idempotency, skew bucketing, lineage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from markmuse_spark.operators.extract import extract_markdown
+from markmuse_spark.plans import pipeline
+from markmuse_spark.sources import corpus
+
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    pages = corpus.pages_dataframe(spark, N_ROWS, seed=42, partitions=8)
+    golden = corpus.golden_dataframe(spark, N_ROWS, seed=42, partitions=8)
+    return pages, golden
+
+
+def test_byte_parity_per_url(spark, small_corpus):
+    pages, golden = small_corpus
+    result = extract_markdown(pages)
+    joined = result.alias("r").join(golden.alias("g"), "url", "full_outer")
+    rows = joined.select(
+        "url",
+        F.col("r.markdown").alias("got_md"),
+        F.col("g.markdown").alias("want_md"),
+        F.col("r.extracted_text").alias("got_text"),
+        F.col("g.extracted_text").alias("want_text"),
+        F.col("r.n_images").alias("got_n"),
+        F.col("g.n_images").alias("want_n"),
+        F.col("r.error").alias("got_err"),
+        F.col("g.error_expected").alias("want_err"),
+    ).collect()
+    assert len(rows) == N_ROWS
+    for r in rows:
+        if r["want_err"] is not None:
+            assert r["got_err"] is not None and r["want_err"] in r["got_err"], r["url"]
+            continue
+        assert r["got_err"] is None, (r["url"], r["got_err"])
+        assert r["got_md"] == r["want_md"], r["url"]
+        assert r["got_text"] == r["want_text"], r["url"]
+        assert r["got_n"] == r["want_n"], r["url"]
+
+
+def test_full_run_with_sidecar(spark, small_corpus, tmp_path):
+    pages, _ = small_corpus
+    out = str(tmp_path / "out")
+    job = pipeline.run_extraction(spark, pages, out, run_id="r1")
+    assert job["status"] == "SUCCESS"
+    assert job["url_count"] == N_ROWS
+    # adversarial rows (i % 50 == 7 -> 8 of 400) surface as error rows
+    assert job["err_count"] == len([i for i in range(N_ROWS) if i % 100 == 7])
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.count() == N_ROWS
+    runs = spark.read.parquet(f"{out}/extraction_runs")
+    parts = runs.filter(F.col("partition_id") >= 0)
+    agg = parts.agg(F.sum("url_count"), F.sum("ok_count"), F.sum("err_count")).first()
+    assert agg[0] == N_ROWS and agg[0] == agg[1] + agg[2]
+    assert runs.filter((F.col("partition_id") == -1) & (F.col("status") == "SUCCESS")).count() == 1
+
+
+def test_resume_is_idempotent_and_incremental(spark, tmp_path):
+    out = str(tmp_path / "out")
+    first = corpus.pages_dataframe(spark, 120, seed=42, partitions=4)
+    pipeline.run_extraction(spark, first, out, run_id="r1")
+    # re-running over a superset only processes the 80 new urls
+    full = corpus.pages_dataframe(spark, 200, seed=42, partitions=4)
+    job2 = pipeline.run_extraction(spark, full, out, run_id="r2")
+    assert job2["url_count"] == 80
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.count() == 200
+    assert extracted.select("url").distinct().count() == 200  # exactly-once
+    # a third run is a no-op
+    job3 = pipeline.run_extraction(spark, full, out, run_id="r3")
+    assert job3["url_count"] == 0
+
+
+def test_uncommitted_run_not_treated_as_done(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "out")
+    pages = corpus.pages_dataframe(spark, 60, seed=42, partitions=4)
+    pipeline.run_extraction(spark, pages, out, run_id="r1")
+    # simulate a torn run: directory exists but no _SUCCESS marker
+    os.remove(f"{out}/extracted/run_id=r1/_SUCCESS")
+    job = pipeline.run_extraction(spark, pages, out, run_id="r2")
+    assert job["url_count"] == 60  # everything redone
+
+
+def test_salted_repartition_isolates_giants(spark):
+    pages = corpus.pages_dataframe(spark, 1001, seed=42, partitions=8)
+    shuffled = pipeline.salted_repartition(pages, parallelism=4, big_bytes=100_000)
+    # the skew row (id 500) is ~100x median -> must sit in a partition with
+    # no other giant
+    sizes = (
+        shuffled.select("url", F.length("html").alias("n"), F.spark_partition_id().alias("pid"))
+        .filter(F.col("n") >= 100_000)
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert sizes, "expected at least one giant row"
+    assert all(r["count"] == 1 for r in sizes)
+
+
+def test_plan_prunes_columns(spark, tmp_path):
+    # against a real parquet scan the operator must only read (url, html):
+    # Catalyst column pruning must reach ReadSchema — at 100 TB reading the
+    # unused text/lang/warc_ts columns would be a ~2x scan overhead
+    path = str(tmp_path / "pages_parquet")
+    corpus.pages_dataframe(spark, 50, seed=42, partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = extract_markdown(pages)._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "url" in scan_line and "html" in scan_line
+    assert "warc_ts" not in scan_line
+    assert "lang" not in scan_line
+    assert "text" not in scan_line.split("ReadSchema")[1]
