@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship end-to-end extraction — the Common-Crawl-style pages
+corpus (plus sf0.001 ``documents`` wrapped as HTML payloads) run through the
+salted, size-bucketed extraction pipeline, summarized per language.
+
+``queries``/``oracle_sql``: the operator registry lives in
+:mod:`markmuse_spark.queries`; entries without oracle SQL (the extraction
+kernel itself, LSH dedup, streaming) get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +14,62 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract Markdown from a mixed HTML/PDF corpus + the
+    sf0.001 documents table, via the skew-aware pipeline operator."""
+    from markmuse_spark.operators.extract import extract_markdown
+    from markmuse_spark.plans.pipeline import salted_repartition
+    from markmuse_spark.sources import corpus
+
+    pages = corpus.pages_dataframe(spark, 300, seed=42, partitions=8)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_pages = docs.select(
+        F.concat(F.lit("https://docs.example/sf/doc-"), F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><article><h1>Document "),
+                F.col("doc_id"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p></article></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+    all_pages = pages.unionByName(doc_pages)
+    lang_of = all_pages.select("url", "lang")
+    extracted = extract_markdown(
+        salted_repartition(all_pages, spark.sparkContext.defaultParallelism)
+    )
+    return (
+        extracted.join(lang_of, "url")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"),
+            F.sum("n_pages").alias("total_pages"),
+            F.sum("n_images").alias("total_images"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from markmuse_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from markmuse_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,490 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(Spark callable, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Conventions (driver contract, ``__spark_entry__.py``):
+
+* each callable takes ``(spark, sf_dir)`` and returns a DataFrame
+* every computed column is aliased identically in Spark and SQL (the
+  driver's compare sorts columns by name before value-hashing)
+* float aggregates are rounded on both sides (IEEE summation order differs
+  between engines)
+* queries with no SQL-expressible oracle (the extraction kernel, MinHash
+  LSH, SimHash, streaming) appear in :data:`QUERIES` only -> the driver
+  records a rows-only check
+
+SURVEY §2 mapping is noted per entry (B-ops = control-plane relational
+surface, A-ops = pipeline dataflow, C-ops = scalar library).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# B. control-plane relational operators (SURVEY §2.B)
+# =====================================================================
+
+@_q(
+    "b1_point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey = 1234",
+)
+def b1_point_lookup(spark, sf_dir):
+    """B1: equality point lookup (crud.py:174-185 analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 1234)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@_q(
+    "b2_conjunctive_filter",
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate <= TIMESTAMP '1997-12-31'",
+)
+def b2_conjunctive_filter(spark, sf_dir):
+    """B2: equality + time-range conjunction (crud.py:346-356 analog);
+    all four predicates push into the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@_q(
+    "b3_b4_sort_paginate",
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50 OFFSET 100",
+)
+def b3_b4_sort_paginate(spark, sf_dir):
+    """B3+B4: ORDER BY ... DESC LIMIT/OFFSET pagination
+    (crud.py:358-360, routes.py:220-221 analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@_q(
+    "b5_time_window",
+    "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+    "FROM events WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def b5_time_window(spark, sf_dir):
+    """B5: last-N-days window filter (routes.py:217-218 analog), anchored
+    to max(ts) so it is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "b6_count_groups",
+    "SELECT o_orderstatus, count(*) AS n_orders FROM orders "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def b6_count_groups(spark, sf_dir):
+    """B6: the count aggregate the reference faked (routes.py:233-235)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "b7_coalesce_merge",
+    "SELECT o.o_orderkey, coalesce(c.c_name, 'UNKNOWN') AS customer_name, "
+    "coalesce(c.c_mktsegment, 'NONE') AS segment "
+    "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_orderkey <= 500",
+)
+def b7_coalesce_merge(spark, sf_dir):
+    """B7: two-source precedence merge via left join + coalesce
+    (routes.py:121-187 analog); customer is broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+    )
+
+
+@_q(
+    "b8_flag_filter",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity >= 49",
+)
+def b8_flag_filter(spark, sf_dir):
+    """B8: active-only flag filter (crud.py:52-73 analog)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") >= 49)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_q(
+    "b9_latest_wins",
+    "SELECT user_id, event_id AS last_event_id, event_type AS last_event_type "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 "
+    "AND user_id <= 200",
+)
+def b9_latest_wins(spark, sf_dir):
+    """B9: append-only events + latest-wins view — the upsert lifecycle
+    (crud.py:134-320) re-expressed without MERGE."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("user_id") <= 200))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@_q(
+    "b10_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value "
+    "FROM events WHERE event_id <= 1000",
+)
+def b10_json_extract(spark, sf_dir):
+    """B10/C16: JSON auto-(de)serialization (redis client analog)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 1000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
+# =====================================================================
+# A. pipeline dataflow shapes on relational tables (SURVEY §2.A)
+# =====================================================================
+
+@_q(
+    "a13_ordered_concat",
+    "SELECT user_id, string_agg(event_type, chr(10) || chr(10) "
+    "ORDER BY ts, event_id) AS history, count(*) AS n_events "
+    "FROM events WHERE user_id <= 100 GROUP BY user_id ORDER BY user_id",
+)
+def a13_ordered_concat(spark, sf_dir):
+    """A13: per-key ordered concat with a \\n\\n joiner — the page-assembly
+    aggregation (markmuse.py:558-614) as a relational group-by."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    sorted_structs = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "\n\n", F.transform(sorted_structs, lambda s: s["event_type"])
+            ).alias("history"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "a6_explode_flatten",
+    "SELECT word, count(*) AS n FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+    "WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 100",
+)
+def a6_explode_flatten(spark, sf_dir):
+    """A6: pages->images flatten (markmuse.py:344-352) as explode over a
+    split column; top-100 word counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+
+
+@_q(
+    "a21_resume_anti_join",
+    "SELECT count(*) AS n_pending FROM orders o "
+    "WHERE o.o_orderstatus = 'O' AND NOT EXISTS "
+    "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_linestatus = 'F')",
+)
+def a21_resume_anti_join(spark, sf_dir):
+    """A21: checkpoint-resume anti-join shape (pending = not yet committed)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    done = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return o.join(done, "o_orderkey", "left_anti").agg(
+        F.count("*").alias("n_pending")
+    )
+
+
+# =====================================================================
+# C. scalar function library (SURVEY §2.C) — exercised on live matches
+# =====================================================================
+
+@_q(
+    "c_scalar_kernel",
+    "SELECT doc_id, "
+    "regexp_extract('https://cdn.example/a/b/img-' || doc_id || '.png', '([^/]+)$', 1) AS img_id, "
+    "regexp_replace('we?ird:d*oc-' || doc_id || '.png', '[\\\\/*?:''\"<>|]', '_', 'g') AS safe_name, "
+    "printf('img-p%d-%d.png', CAST(doc_id % 9 + 1 AS BIGINT), CAST(doc_id % 4 + 1 AS BIGINT)) AS default_id, "
+    "CASE WHEN lower('doc-' || doc_id || '.PDF') LIKE '%.pdf' "
+    "THEN replace('doc-' || doc_id || '.PDF', '.pdf', '') "
+    "ELSE 'pdf_from_url' END AS out_stem, "
+    "regexp_replace(regexp_replace('![alt](x.png) ' || text, '!\\[.*?\\]\\(.*?\\)', '', 'g'), '[#*_`~]', '', 'g') AS plain "
+    "FROM documents WHERE doc_id <= 100",
+)
+def c_scalar_kernel(spark, sf_dir):
+    """C4/C8/C9/C12/C2+C3: the scalar kernel rules on live matches —
+    url->id (markmuse.py:573-577), sanitize (:393), default id (:390),
+    stem derivation (:704-720, bug-compat all-occurrence replace),
+    image-link + format strip (:477-479)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    url = F.concat(F.lit("https://cdn.example/a/b/img-"), F.col("doc_id"), F.lit(".png"))
+    weird = F.concat(F.lit("we?ird:d*oc-"), F.col("doc_id"), F.lit(".png"))
+    upname = F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".PDF"))
+    md = F.concat(F.lit("![alt](x.png) "), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, r"([^/]+)$", 1).alias("img_id"),
+        F.regexp_replace(weird, r"""[\\/*?:'"<>|]""", "_").alias("safe_name"),
+        F.format_string(
+            "img-p%d-%d.png", (F.col("doc_id") % 9 + 1), (F.col("doc_id") % 4 + 1)
+        ).alias("default_id"),
+        F.when(
+            F.lower(upname).endswith(".pdf"),
+            F.regexp_replace(upname, r"\.pdf", ""),
+        )
+        .otherwise("pdf_from_url")
+        .alias("out_stem"),
+        F.regexp_replace(
+            F.regexp_replace(md, r"!\[.*?\]\(.*?\)", ""), r"[#*_`~]", ""
+        ).alias("plain"),
+    )
+
+
+@_q(
+    "c13_content_type",
+    "SELECT ext, CASE ext "
+    "WHEN '.jpg' THEN 'image/jpeg' WHEN '.jpeg' THEN 'image/jpeg' "
+    "WHEN '.png' THEN 'image/png' WHEN '.gif' THEN 'image/gif' "
+    "WHEN '.webp' THEN 'image/webp' WHEN '.bmp' THEN 'image/bmp' "
+    "WHEN '.tiff' THEN 'image/tiff' WHEN '.tif' THEN 'image/tiff' "
+    "WHEN '.md' THEN 'text/markdown' WHEN '.html' THEN 'text/html' "
+    "WHEN '.txt' THEN 'text/plain' WHEN '.pdf' THEN 'application/pdf' "
+    "WHEN '.json' THEN 'application/json' "
+    "WHEN '.js' THEN 'application/javascript' WHEN '.css' THEN 'text/css' "
+    "ELSE 'application/octet-stream' END AS content_type "
+    "FROM (SELECT unnest(['.jpg','.jpeg','.png','.gif','.webp','.bmp','.tiff',"
+    "'.tif','.md','.html','.txt','.pdf','.json','.js','.css','.exe']) AS ext) "
+    "ORDER BY ext",
+)
+def c13_content_type(spark, sf_dir):
+    """C13: extension->MIME map (s3_storage.py:375-395)."""
+    exts = [
+        ".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff", ".tif",
+        ".md", ".html", ".txt", ".pdf", ".json", ".js", ".css", ".exe",
+    ]
+    mime = {
+        ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
+        ".gif": "image/gif", ".webp": "image/webp", ".bmp": "image/bmp",
+        ".tiff": "image/tiff", ".tif": "image/tiff", ".md": "text/markdown",
+        ".html": "text/html", ".txt": "text/plain", ".pdf": "application/pdf",
+        ".json": "application/json", ".js": "application/javascript",
+        ".css": "text/css",
+    }
+    df = spark.createDataFrame([(e,) for e in exts], "ext string")
+    expr = F.lit("application/octet-stream")
+    for k, v in reversed(list(mime.items())):
+        expr = F.when(F.col("ext") == k, v).otherwise(expr)
+    return df.select("ext", expr.alias("content_type")).orderBy("ext")
+
+
+# =====================================================================
+# Headline analytical queries (bench + coverage: joins/aggs/windows)
+# =====================================================================
+
+@_q(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate with map-side partial aggregation."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q3_top_orders",
+    "SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue, o.o_orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1997-01-01' "
+    "GROUP BY l.l_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (dims broadcast), agg, top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_regional_revenue",
+    "SELECT n.n_name AS nation, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+    "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY n.n_name ORDER BY revenue DESC, nation",
+)
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join with broadcast dimension chain."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@_q(
+    "w_topk_per_group",
+    "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM ("
+    "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, "
+    "row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, "
+    "l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3 "
+    "ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber",
+)
+def w_topk_per_group(spark, sf_dir):
+    """Window top-k per group (the reference's pagination B4 generalized)."""
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+    )
