@@ -488,3 +488,275 @@ def w_topk_per_group(spark, sf_dir):
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_suppkey", F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
     )
+
+
+# =====================================================================
+# Training-data pipeline: text analysis (lang-ID, quality, tokens,
+# fingerprint) — JVM-side expressions, DuckDB-oracled
+# =====================================================================
+
+_STOP = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "es": ("el", "los", "las", "y", "del"),
+}
+_CJK = "[一-鿿]"  # literal CJK chars are embedded into both engines
+
+
+def _tokens():
+    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+
+
+def _hits(lang):
+    return F.size(F.filter(_tokens(), lambda x: x.isin(*_STOP[lang])))
+
+
+def _sql_tokens():
+    return "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _sql_hits(lang):
+    quoted = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return f"len(list_filter({_sql_tokens()}, x -> x IN ({quoted})))"
+
+
+@_q(
+    "t_token_count",
+    f"SELECT doc_id, len({_sql_tokens()}) AS n_tokens, "
+    f"round(CAST(list_sum(list_transform({_sql_tokens()}, x -> len(x))) AS DOUBLE)"
+    f" / greatest(len({_sql_tokens()}), 1), 4) AS mean_token_len "
+    "FROM documents ORDER BY doc_id",
+)
+def t_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + mean token length."""
+    t = _tokens()
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.round(
+                total_len.cast("double") / F.greatest(F.size(t), F.lit(1)), 4
+            ).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "t_quality_score",
+    f"SELECT doc_id, n_chars, len({_sql_tokens()}) AS n_tokens, "
+    "round(CAST(len(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / "
+    "greatest(len(text), 1), 4) AS punct_ratio, "
+    f"round(CAST({_sql_hits('en')} AS DOUBLE) / "
+    f"greatest(len({_sql_tokens()}), 1), 4) AS stopword_ratio, "
+    f"round(least(1.0, len({_sql_tokens()}) / 100.0) * "
+    "(1.0 - CAST(len(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / "
+    "greatest(len(text), 1)), 4) AS quality "
+    "FROM documents ORDER BY doc_id",
+)
+def t_quality_score(spark, sf_dir):
+    """Quality scoring: length / punctuation ratio / stopword ratio and a
+    composite — the boilerplate-vs-content heuristics of a webtext
+    pipeline."""
+    t = _tokens()
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    stop = _hits("en").cast("double") / F.greatest(F.size(t), F.lit(1))
+    quality = F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (1.0 - punct)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(t).alias("n_tokens"),
+            F.round(punct, 4).alias("punct_ratio"),
+            F.round(stop, 4).alias("stopword_ratio"),
+            F.round(quality, 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANG_SQL = (
+    "CASE WHEN regexp_matches(text, '" + _CJK + "') THEN 'zh' "
+    f"WHEN {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} >= "
+    f"{_sql_hits('fr')} AND {_sql_hits('en')} >= {_sql_hits('es')} AND "
+    f"{_sql_hits('en')} > 0 THEN 'en' "
+    f"WHEN {_sql_hits('de')} >= {_sql_hits('fr')} AND {_sql_hits('de')} >= "
+    f"{_sql_hits('es')} AND {_sql_hits('de')} > 0 THEN 'de' "
+    f"WHEN {_sql_hits('fr')} >= {_sql_hits('es')} AND {_sql_hits('fr')} > 0 "
+    "THEN 'fr' "
+    f"WHEN {_sql_hits('es')} > 0 THEN 'es' ELSE 'unknown' END"
+)
+
+
+@_q(
+    "t_lang_id",
+    f"SELECT {_LANG_SQL} AS lang_pred, count(*) AS n_docs "
+    "FROM documents GROUP BY lang_pred ORDER BY lang_pred",
+)
+def t_lang_id(spark, sf_dir):
+    """Language-ID heuristic: CJK-range test + stopword-marker argmax with
+    a fixed priority order (en > de > fr > es)."""
+    e, d, fr_, s = _hits("en"), _hits("de"), _hits("fr"), _hits("es")
+    lang = (
+        F.when(F.col("text").rlike(_CJK), "zh")
+        .when((e >= d) & (e >= fr_) & (e >= s) & (e > 0), "en")
+        .when((d >= fr_) & (d >= s) & (d > 0), "de")
+        .when((fr_ >= s) & (fr_ > 0), "fr")
+        .when(s > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang.alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+@_q(
+    "t_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents ORDER BY doc_id",
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized text."""
+    from markmuse_spark.operators.dedup import normalized_fingerprint
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: deduplication
+# =====================================================================
+
+@_q(
+    "d_exact_dedup",
+    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS "
+    "fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id "
+    "FROM documents GROUP BY fingerprint ORDER BY n_docs DESC, fingerprint "
+    "LIMIT 20",
+)
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy fingerprint groups (top-20 by size)."""
+    from markmuse_spark.operators.dedup import exact_duplicates
+
+    return (
+        exact_duplicates(_t(spark, sf_dir, "documents"))
+        .orderBy(F.col("n_docs").desc(), "fingerprint")
+        .limit(20)
+    )
+
+
+_SH_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    + _sql_tokens()
+    + " AS t FROM documents), sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 "
+    "THEN list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks) "
+)
+
+
+@_q(
+    "d_ngram_jaccard",
+    _SH_SQL
+    + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5 "
+    "ORDER BY doc_a, doc_b",
+)
+def d_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join);
+    finds the corpus's planted near-duplicates."""
+    from markmuse_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@_q("d_minhash_lsh")  # rows-only: banded-LSH not SQL-expressible
+def d_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified —
+    the 10^12-scale dedup path (tests assert parity with d_ngram_jaccard)."""
+    from markmuse_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@_q("d_simhash_pairs")  # rows-only: bit-vote reduction not SQL-expressible
+def d_simhash_pairs(spark, sf_dir):
+    """SimHash-64 near-dup pairs within Hamming<=3 via 4x16-bit bands."""
+    from markmuse_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# =====================================================================
+# Training-data pipeline: similarity search over embeddings
+# =====================================================================
+
+@_q(
+    "s_cosine_topk",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "q AS (SELECT e AS qe FROM v WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_dot_product(e, qe) / "
+    "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) "
+    "AS cosine FROM v, q WHERE vec_id <> 0 "
+    "ORDER BY cosine DESC, vec_id LIMIT 10",
+)
+def s_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against vec_id=0 (broadcast query side,
+    partial top-k merge — no full sort)."""
+    from markmuse_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    "s_embedding_near_pairs",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e))), 4) AS cosine "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e))) >= 0.45 ORDER BY id_a, id_b",
+)
+def s_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs)."""
+    from markmuse_spark.operators.similarity import embedding_near_pairs
+
+    return embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@_q("s_lsh_ann")  # rows-only: seeded hyperplane signatures not in SQL
+def s_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-10 (random-hyperplane signatures,
+    Hamming-radius-2 probe, exact re-rank of candidates)."""
+    from markmuse_spark.operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)

@@ -1,0 +1,100 @@
+"""Semantic checks for the dedup/similarity scale paths against their
+exact counterparts on the sf0.01 tables (which contain planted near-dups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from markmuse_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    rows = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+
+
+def test_corpus_has_planted_near_dups(exact_pairs):
+    assert len(exact_pairs) >= 5
+    assert max(exact_pairs.values()) > 0.9
+
+
+def test_minhash_lsh_matches_exact_at_high_threshold(docs, exact_pairs):
+    # 64 perms / 16 bands: P(candidate) = 1-(1-j^4)^16 -> >0.9997 at j>=0.7;
+    # every exact pair at j>=0.7 must surface, with the identical jaccard
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    want = {k: v for k, v in exact_pairs.items() if v >= 0.7}
+    assert want, "expected planted pairs above 0.7"
+    for k, v in want.items():
+        assert k in lsh, f"LSH missed high-jaccard pair {k} (j={v})"
+        assert lsh[k] == v  # verification recomputes the same exact jaccard
+    # and no false positives relative to the exact join
+    assert set(lsh) <= set(exact_pairs)
+
+
+def test_simhash_banded_search_is_exact(docs, exact_pairs):
+    # the banded candidate join must find EXACTLY the pairs within the
+    # Hamming radius (8 bands of 8 bits guarantee recall for <=7; radius 6)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+            if h <= 6:
+                want[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    assert got == want
+    # and the radius is meaningful: it flags most planted near-identicals
+    near_identical = {k for k, v in exact_pairs.items() if v >= 0.95}
+    assert len(near_identical & set(got)) >= len(near_identical) * 0.7
+
+
+def test_exact_duplicates_shape(docs):
+    out = dedup.exact_duplicates(docs)
+    assert out.columns == ["fingerprint", "n_docs", "keep_id"]
+    total = out.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+
+
+def test_lsh_ann_overlaps_brute_force(vectors):
+    brute = [r["vec_id"] for r in similarity.cosine_topk(vectors, 0, k=10).collect()]
+    ann = [r["vec_id"] for r in similarity.lsh_bucketed_topk(vectors, 0, k=10).collect()]
+    # approximate search: require half the true top-10 in the ANN top-10
+    assert len(set(brute) & set(ann)) >= 5, (brute, ann)
+
+
+def test_ann_cosines_are_exact_for_returned_ids(vectors):
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(vectors, 0, k=100).collect()
+    }
+    for r in similarity.lsh_bucketed_topk(vectors, 0, k=10).collect():
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_simhash_deterministic_across_partitionings(spark, docs):
+    one = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(1)).collect()}
+    many = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(13)).collect()}
+    assert one == many
