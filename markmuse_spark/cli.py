@@ -1,0 +1,70 @@
+"""CLI entry point — the ``spark-submit --py-files`` front door.
+
+Mirrors the reference's CLI surface (``markmuse.py:783-825``) where it
+still makes sense for a table-in/table-out engine:
+
+    # batch-convert a pages table (the --batch/--input-folder analog)
+    spark-submit --py-files markmuse_spark.zip -m markmuse_spark.cli \
+        --pages /data/pages_parquet --output /data/out --run-id run42
+
+    # generate a deterministic corpus first (no external data)
+    python -m markmuse_spark.cli --generate 10000 --pages /tmp/pages \
+        --output /tmp/out --run-id r1
+
+Dropped reference flags and why: ``--url``/``--file`` (single-document
+network/local entry; the engine reads payloads already landed in the
+table, SURVEY §2 A3), ``--enhance-images`` (external LLM captioning is
+outside the deterministic contract, SURVEY §7), ``--parallel-images``
+(Spark's executor grid replaces the thread pool, A7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="markmuse-spark")
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output root directory")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--generate", type=int, default=None,
+                    help="first generate N deterministic corpus rows into --pages")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--big-bytes", type=int, default=None,
+                    help="size threshold for dedicated shuffle slots")
+    args = ap.parse_args(argv)
+
+    from markmuse_spark.plans import pipeline
+    from markmuse_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name=f"markmuse-{args.run_id}")
+    try:
+        if args.generate:
+            from markmuse_spark.sources import corpus
+
+            corpus.pages_dataframe(
+                spark, args.generate, seed=args.seed,
+                partitions=spark.sparkContext.defaultParallelism * 2,
+            ).write.mode("overwrite").parquet(args.pages)
+
+        pages = spark.read.parquet(args.pages)
+        kwargs = {}
+        if args.big_bytes is not None:
+            kwargs["big_bytes"] = args.big_bytes
+        job = pipeline.run_extraction(
+            spark, pages, args.output, args.run_id,
+            resume=not args.no_resume, **kwargs,
+        )
+        print(json.dumps({k: str(v) for k, v in job.items()}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

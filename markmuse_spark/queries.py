@@ -760,3 +760,82 @@ def s_lsh_ann(spark, sf_dir):
     from markmuse_spark.operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# =====================================================================
+# The extraction engine + multimodal plumbing as registry entries
+# (rows-only: the kernel and binary plumbing are not SQL-expressible)
+# =====================================================================
+
+@_q("x_extract_corpus")
+def x_extract_corpus(spark, sf_dir):
+    """The flagship operator itself: full HTML/PDF->Markdown extraction
+    over a 200-row deterministic corpus (seed 42); markdown reported as an
+    md5 checksum per url so the driver's hash check pins byte stability."""
+    from markmuse_spark.operators.extract import extract_markdown
+    from markmuse_spark.sources import corpus
+
+    pages = corpus.pages_dataframe(spark, 200, seed=42, partitions=8)
+    return (
+        extract_markdown(pages)
+        .select(
+            "url",
+            F.md5(F.coalesce(F.col("markdown"), F.lit(""))).alias("markdown_md5"),
+            "n_pages",
+            "n_images",
+            "n_chars",
+            F.col("error").isNotNull().alias("is_error"),
+        )
+        .orderBy("url")
+    )
+
+
+@_q("m_image_metadata")
+def m_image_metadata(spark, sf_dir):
+    """Multimodal: binary image columns with typed metadata — synthetic
+    PNG payloads built JVM-side (unhex magic + IHDR from doc_id), parsed
+    back by the byte-stream header reader."""
+    from markmuse_spark.operators.multimodal import image_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # magic + IHDR len/tag
+        F.unhex(F.lpad(F.hex((F.col("doc_id") % 1920) + 1), 8, "0")),  # width
+        F.unhex(F.lpad(F.hex((F.col("doc_id") % 1080) + 1), 8, "0")),  # height
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = d.select(F.col("doc_id").cast("string").alias("media_id"), png.alias("payload"))
+    return image_metadata(media, "media_id", "payload").orderBy(F.col("_id").cast("int"))
+
+
+@_q("m_image_features")
+def m_image_features(spark, sf_dir):
+    """Multimodal: deterministic (clearly-fake) feature vectors over binary
+    payloads — exercises the binary->array<float> embedding plumbing."""
+    from markmuse_spark.operators.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_image_features(media, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 2), 4).alias("f1"),
+        F.size("features").alias("dim"),
+    ).orderBy("doc_id")
+
+
+@_q("m_frame_sample")
+def m_frame_sample(spark, sf_dir):
+    """Multimodal: 1->N frame-sampling plumbing over opaque media bytes."""
+    from markmuse_spark.operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = sample_video_frames(media, "doc_id", "payload", every_n_bytes=128, max_frames=4)
+    return frames.select(
+        F.col("_id").cast("int").alias("doc_id"),
+        "frame_idx",
+        "byte_offset",
+        F.length("frame").alias("frame_bytes"),
+    ).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,118 @@
+"""Multimodal plumbing (real schemas/parsing, stubbed decode) and
+incremental Structured-Streaming extraction."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from markmuse_spark.operators import multimodal
+from markmuse_spark.sources import corpus
+
+
+def _png(w, h, payload=b"x" * 50):
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + payload
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 50
+
+
+def _jpeg(w, h):
+    sof = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", h, w)
+    return b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\x00" * 40
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("a", _png(640, 480)),
+        ("b", _gif(32, 16)),
+        ("c", _jpeg(1920, 1080)),
+        ("d", b"RIFF1234WAVE" + b"\x00" * 40),
+        ("e", b"not an image at all, just bytes" * 4),
+        ("f", None),
+    ]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def test_image_metadata(media):
+    out = {r["_id"]: r for r in multimodal.image_metadata(media, "media_id", "payload").collect()}
+    assert out["a"]["format"] == "png" and (out["a"]["width"], out["a"]["height"]) == (640, 480)
+    assert out["b"]["format"] == "gif" and (out["b"]["width"], out["b"]["height"]) == (32, 16)
+    assert out["c"]["format"] == "jpeg" and (out["c"]["width"], out["c"]["height"]) == (1920, 1080)
+    assert out["d"]["format"] == "wav"
+    assert out["e"]["format"] is None and out["e"]["n_bytes"] > 0
+    assert "f" not in out or out["f"]["sha1"] is None  # null payload row
+
+
+def test_decode_is_stubbed():
+    if multimodal._PIL_Image is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_pixels(_png(1, 1))
+
+
+def test_fake_features_deterministic_and_normalized(media):
+    import math
+
+    one = {r["media_id"]: r["features"] for r in multimodal.extract_image_features(media, "media_id", "payload").collect()}
+    two = {r["media_id"]: r["features"] for r in multimodal.extract_image_features(media.repartition(5), "media_id", "payload").collect()}
+    assert one == two
+    assert one["f"] is None
+    norm = math.sqrt(sum(x * x for x in one["a"]))
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_frame_sampling_shape(media):
+    frames = multimodal.sample_video_frames(media, "media_id", "payload", every_n_bytes=32, max_frames=3)
+    rows = frames.filter(F.col("_id") == "e").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["byte_offset"] for r in rows] == [0, 32, 64]
+    assert all(isinstance(r["frame"], (bytes, bytearray)) for r in rows)
+
+
+def test_incremental_streaming_exactly_once(spark, tmp_path):
+    from markmuse_spark.streaming.incremental import run_incremental
+
+    root = str(tmp_path / "pages_root")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus.pages_dataframe(spark, 60, seed=42, partitions=2).write.mode("append").parquet(root)
+    n1 = run_incremental(spark, root, out, ckpt)
+    assert n1 == 60
+    # drain again with no new data -> nothing reprocessed
+    assert run_incremental(spark, root, out, ckpt) == 0
+    # land more files -> only the delta is processed
+    corpus.pages_dataframe(spark, 140, seed=42, partitions=2).write.mode(
+        "append"
+    ).parquet(root)
+    n3 = run_incremental(spark, root, out, ckpt)
+    assert n3 == 140
+    got = spark.read.parquet(f"{out}/extracted_stream")
+    assert got.count() == 200
+    # urls 0..59 appear twice (the second landing re-included them as new
+    # FILES); streaming exactly-once is per file, dedup-by-url stays the
+    # batch pipeline's resume anti-join job
+    assert got.select("url").distinct().count() == 140
+
+
+def test_windowed_throughput_memory_sink(spark, tmp_path):
+    from markmuse_spark.streaming.incremental import windowed_throughput
+
+    root = str(tmp_path / "pages_root")
+    corpus.pages_dataframe(spark, 80, seed=42, partitions=2).write.parquet(root)
+    agg = windowed_throughput(spark, root, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from tp").collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) == 80
+    assert all(r["total_bytes"] >= 0 for r in rows)
