@@ -1,0 +1,123 @@
+"""Scalar function library: the reference's byte-parity-critical pure
+functions (SURVEY §2.C) as reusable Spark column functions.
+
+These are the JVM-side (codegen'd) forms used by relational queries; the
+extraction kernel keeps its own Python implementations because byte parity
+of the full tail requires the exact probe orders of
+:mod:`markmuse_spark.kernel.markdown_assembly` — both are pinned to the
+same semantics by tests.
+
+Each function cites the reference rule it reproduces
+(paths into /root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "strip_image_links",
+    "strip_markdown_format",
+    "plain_text",
+    "sanitize_filename",
+    "has_image_extension",
+    "url_to_image_id",
+    "default_image_id",
+    "output_stem",
+    "content_type_for_extension",
+    "image_type_class",
+    "json_roundtrip",
+]
+
+#: s3_storage.py:377-393 — extension -> MIME
+CONTENT_TYPES = {
+    ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
+    ".gif": "image/gif", ".webp": "image/webp", ".bmp": "image/bmp",
+    ".tiff": "image/tiff", ".tif": "image/tiff", ".md": "text/markdown",
+    ".html": "text/html", ".txt": "text/plain", ".pdf": "application/pdf",
+    ".json": "application/json", ".js": "application/javascript",
+    ".css": "text/css",
+}
+
+
+def _c(c) -> Column:
+    """Accept either a column name or a Column (like pyspark builtins)."""
+    return F.col(c) if isinstance(c, str) else c
+
+
+def strip_image_links(c: Column) -> Column:
+    """C2 — ``re.sub(r'!\\[.*?\\]\\(.*?\\)', '', s)`` (markmuse.py:477)."""
+    return F.regexp_replace(c, r"!\[.*?\]\(.*?\)", "")
+
+
+def strip_markdown_format(c: Column) -> Column:
+    """C3 — ``re.sub(r'[#*_`~]', '', s)`` (markmuse.py:479)."""
+    return F.regexp_replace(c, r"[#*_`~]", "")
+
+
+def plain_text(c: Column) -> Column:
+    """C2+C3 composition — the ``extracted_text`` projection."""
+    return strip_markdown_format(strip_image_links(c))
+
+
+def sanitize_filename(c: Column) -> Column:
+    """C4 — ``re.sub(r"[\\\\/*?:'\\"<>|]", '_', s)`` (markmuse.py:393)."""
+    return F.regexp_replace(c, r"""[\\/*?:'"<>|]""", "_")
+
+
+def has_image_extension(c: Column, probe_list: bool = False) -> Column:
+    """C5 — the 7-ext normalization test (markmuse.py:396) or, with
+    ``probe_list=True``, the shorter 5-ext probe test (markmuse.py:584)."""
+    exts = "jpg|jpeg|png|gif|webp" if probe_list else "jpg|jpeg|png|gif|webp|bmp|tiff"
+    return F.lower(_c(c)).rlike(rf"\.({exts})$")
+
+
+def url_to_image_id(c: Column) -> Column:
+    """C9 — ``url.split('/')[-1]`` (markmuse.py:573-577)."""
+    return F.element_at(F.split(c, "/"), -1)
+
+
+def default_image_id(page_idx: Column, img_idx: Column) -> Column:
+    """C8 — ``f"img-p{page+1}-{img+1}.png"`` (markmuse.py:390)."""
+    return F.format_string("img-p%d-%d.png", _c(page_idx) + 1, _c(img_idx) + 1)
+
+
+def output_stem(url: Column) -> Column:
+    """C12 — stem derivation (markmuse.py:704-720), bug-compatible
+    all-occurrence ``.pdf`` replace; non-pdf segments pass through (see
+    kernel docstring for the documented divergence)."""
+    seg = F.element_at(F.split(url, "/"), -1)
+    return (
+        F.when(seg == "", "pdf_from_url")
+        .when(F.lower(seg).endswith(".pdf"), F.regexp_replace(seg, r"\.pdf", ""))
+        .otherwise(seg)
+    )
+
+
+def content_type_for_extension(ext: Column) -> Column:
+    """C13 — 15-entry extension->MIME map with octet-stream default
+    (s3_storage.py:375-395)."""
+    expr: Column = F.lit("application/octet-stream")
+    for k, v in reversed(list(CONTENT_TYPES.items())):
+        expr = F.when(F.lower(_c(ext)) == k, v).otherwise(expr)
+    return expr
+
+
+def image_type_class(img_id: Column) -> Column:
+    """C15 — id-substring image classification (markmuse.py:165-173)."""
+    c = _c(img_id)
+    return (
+        F.when(c.contains("_chart_") | c.contains("_graph_"), "chart")
+        .when(c.contains("_diagram_") | c.contains("_flow_"), "diagram")
+        .when(
+            c.contains("_doc_") | c.contains("_table_") | c.contains("_form_"),
+            "document",
+        )
+        .otherwise("general")
+    )
+
+
+def json_roundtrip(c: Column, schema: str) -> Column:
+    """C16 — JSON (de)serialization (redis client.py:137-170 analog)."""
+    return F.from_json(c, schema)

@@ -1,0 +1,112 @@
+"""Scalar function library parity (JVM forms vs the Python kernel) and
+plan-quality audits (.explain): broadcasts where expected, pushed filters,
+partial aggregation, no stray shuffles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from markmuse_spark import functions as MF
+from markmuse_spark.golden import oracle
+from markmuse_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# --- scalar parity: JVM column forms vs the Python kernel ---------------
+
+CASES = [
+    "plain # text *bold* ![alt](img.png) tail",
+    "![a](x/y/z.PNG) ![b](noext) mixed `code` _u_ ~s~",
+    "no markdown here",
+    "",
+]
+
+
+def test_plain_text_matches_kernel(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "s string")
+    got = [r["o"] for r in df.select(MF.plain_text("s").alias("o")).collect()]
+    want = [oracle.plain_text(s) for s in CASES]
+    assert got == want
+
+
+def test_sanitize_matches_kernel(spark):
+    vals = ['we?ird:im"g.png', "a\\b/c*d", "clean.jpg", "<>|"]
+    df = spark.createDataFrame([(s,) for s in vals], "s string")
+    got = [r["o"] for r in df.select(MF.sanitize_filename("s").alias("o")).collect()]
+    import re
+
+    want = [re.sub(r"[\\/*?:'\"<>|]", "_", s) for s in vals]
+    assert got == want
+
+
+def test_output_stem_matches_kernel(spark):
+    urls = [
+        "https://a.example/x/report.pdf",
+        "https://a.example/x/report.PDF",
+        "https://a.example/x/a.pdf.pdf",
+        "https://a.example/x/page",
+        "https://a.example/x/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r["o"] for r in df.select(MF.output_stem("u").alias("o")).collect()]
+    assert got == [oracle.output_stem(u) for u in urls]
+
+
+def test_content_type_map(spark):
+    df = spark.createDataFrame(
+        [(e,) for e in [".JPG", ".png", ".exe", ".tif"]], "e string"
+    )
+    got = [r["o"] for r in df.select(MF.content_type_for_extension("e").alias("o")).collect()]
+    assert got == ["image/jpeg", "image/png", "application/octet-stream", "image/tiff"]
+
+
+def test_image_type_class(spark):
+    df = spark.createDataFrame(
+        [("x_chart_1",), ("y_flow_2",), ("z_table_3",), ("plain",)], "s string"
+    )
+    got = [r["o"] for r in df.select(MF.image_type_class("s").alias("o")).collect()]
+    assert got == ["chart", "diagram", "document", "general"]
+
+
+# --- plan audits ---------------------------------------------------------
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    # top-k must be a partial TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcast_chain_no_giant_shuffle(spark):
+    plan = _plan(spark, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # region->nation->customer chain
+
+
+def test_b2_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "b2_conjunctive_filter")
+    scan = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for fragment in ("o_orderstatus", "o_orderpriority", "o_orderdate"):
+        assert fragment in scan, scan
+
+
+def test_q1_partial_aggregation(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan so codegen spans materialize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: a partial_ aggregate before the exchange
+    assert "partial_" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
+    assert "*(" in plan
+
+
+def test_cosine_topk_no_sort_shuffle(spark):
+    plan = _plan(spark, "s_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
