@@ -839,3 +839,128 @@ def m_frame_sample(spark, sf_dir):
         "byte_offset",
         F.length("frame").alias("frame_bytes"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# =====================================================================
+# Extended relational coverage: rollup, set ops, sessionization, pivot
+# (capabilities beyond the reference's surface; SURVEY §2 checklist rows)
+# =====================================================================
+
+@_q(
+    "agg_rollup",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+    "ORDER BY returnflag, linestatus",
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (subtotals + grand total)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@_q(
+    "set_operations",
+    "SELECT 'intersect' AS op, count(*) AS n FROM "
+    "((SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0) "
+    "INTERSECT (SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 1)) "
+    "UNION ALL "
+    "SELECT 'except' AS op, count(*) AS n FROM "
+    "((SELECT DISTINCT event_type FROM events WHERE value > 90) "
+    "EXCEPT (SELECT DISTINCT event_type FROM events WHERE value <= 90)) "
+    "UNION ALL "
+    "SELECT 'union' AS op, count(*) AS n FROM "
+    "((SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0) "
+    "UNION (SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 1)) "
+    "ORDER BY op",
+)
+def set_operations(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over derived event-type sets."""
+    e = _t(spark, sf_dir, "events")
+    even = e.filter(F.col("user_id") % 2 == 0).select("event_type").distinct()
+    odd = e.filter(F.col("user_id") % 2 == 1).select("event_type").distinct()
+    hi = e.filter(F.col("value") > 90).select("event_type").distinct()
+    lo = e.filter(F.col("value") <= 90).select("event_type").distinct()
+    rows = [
+        even.intersect(odd).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        hi.exceptAll(lo).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+        even.union(odd).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("op")
+
+
+@_q(
+    "w_sessionize",
+    "WITH t AS (SELECT user_id, ts, event_id, CASE WHEN "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WHERE user_id <= 50), "
+    "s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM t) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "min(ts) AS session_start, max(ts) AS session_end "
+    "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id",
+)
+def w_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum over event time) — the
+    batch form of the streaming session_window."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_q(
+    "a_pivot_event_counts",
+    "SELECT user_id, "
+    "count(*) FILTER (event_type = 'click') AS click, "
+    "count(*) FILTER (event_type = 'error') AS error, "
+    "count(*) FILTER (event_type = 'purchase') AS purchase, "
+    "count(*) FILTER (event_type = 'signup') AS signup, "
+    "count(*) FILTER (event_type = 'view') AS view "
+    "FROM events WHERE user_id <= 40 GROUP BY user_id ORDER BY user_id",
+)
+def a_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (explicit value list keeps
+    the plan a single pass, no distinct-values pre-query)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 40)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,67 @@
+"""Crash-safety fuzz: the extraction kernel must never raise through
+``extract_document`` (per-row error capture is the A19 fault-tolerance
+guarantee — one poisoned payload must not kill a 10^12-row job), and must
+stay deterministic under repeated calls."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from markmuse_spark.kernel.extract import extract_document
+from markmuse_spark.sources import docmodel
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_arbitrary_bytes_never_raise(payload):
+    row = extract_document("https://f.example/x/doc", payload)
+    assert set(row) == {
+        "url", "markdown", "extracted_text", "n_pages", "n_images",
+        "n_chars", "error",
+    }
+    # either a successful extraction or a captured error, never both/neither
+    assert (row["markdown"] is None) == (row["error"] is not None)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="<>/ab&#;=\"'!x[]()%PDF \n", min_size=0, max_size=2000))
+def test_taglike_soup_never_raises(soup):
+    row = extract_document("https://f.example/x/doc", soup.encode("utf-8"))
+    assert row["error"] is None or row["markdown"] is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.data())
+def test_mutated_real_html_never_raises(seed, data):
+    rng = random.Random(seed)
+    blocks = docmodel.random_page_blocks(rng, "en")
+    payload = bytearray(docmodel.render_html(blocks, rng))
+    # random byte mutations: truncate, splice, flip
+    for _ in range(data.draw(st.integers(0, 5))):
+        op = data.draw(st.integers(0, 2))
+        if not payload:
+            break
+        pos = data.draw(st.integers(0, len(payload) - 1))
+        if op == 0:
+            del payload[pos:]
+        elif op == 1:
+            payload[pos] = data.draw(st.integers(0, 255))
+        else:
+            payload[pos : pos + 1] = b"<" * data.draw(st.integers(0, 3))
+    row = extract_document("https://f.example/x/doc", bytes(payload))
+    row2 = extract_document("https://f.example/x/doc", bytes(payload))
+    assert row == row2  # bit-stable under repetition
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 3000))
+def test_truncated_pdf_never_raises(seed, cut):
+    rng = random.Random(seed)
+    from markmuse_spark.sources import pdf_writer
+
+    pdf = pdf_writer.write_pdf(docmodel.random_pdf_pages(rng, "en"))
+    row = extract_document("https://f.example/x/d.pdf", pdf[: min(cut, len(pdf))])
+    assert (row["markdown"] is None) == (row["error"] is not None)
