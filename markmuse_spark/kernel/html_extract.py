@@ -68,7 +68,12 @@ _INLINE_MARK = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
 _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 
+_EMPTY_ATTRS: dict[str, str] = {}
+
+
 def _parse_attrs(tag: str) -> dict[str, str]:
+    if "=" not in tag:  # attribute-less tag: the overwhelmingly common case
+        return _EMPTY_ATTRS
     out: dict[str, str] = {}
     for m in _ATTR.finditer(tag):
         val = m.group(3)
@@ -157,10 +162,15 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         return text_buf
 
     def _clean(parts: list[str]) -> str:
-        return _WS.sub(" ", "".join(parts)).strip()
+        # collapse unicode whitespace runs + strip; str.split is the
+        # C-level equivalent of _WS.sub(' ', s).strip()
+        return " ".join("".join(parts).split())
 
     def _flush_text() -> None:
         nonlocal heading_level
+        if not text_buf:
+            heading_level = 0
+            return
         s = _clean(text_buf)
         text_buf.clear()
         inline_stack.clear()

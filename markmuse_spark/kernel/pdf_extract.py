@@ -42,7 +42,9 @@ _LINE_GAP = 20.0
 
 def _decode_pdf_string(raw: str) -> str:
     """Literal-string unescape, then recover UTF-8 from the latin-1 view."""
-    s = _UNESCAPE.sub(r"\1", raw)
+    s = _UNESCAPE.sub(r"\1", raw) if "\\" in raw else raw
+    if s.isascii():  # fast path: ASCII round-trips identically
+        return s
     try:
         return s.encode("latin-1").decode("utf-8")
     except (UnicodeDecodeError, UnicodeEncodeError):
