@@ -964,3 +964,96 @@ def a_pivot_event_counts(spark, sf_dir):
         .na.fill(0)
         .orderBy("user_id")
     )
+
+
+@_q(
+    "j_asof_last_purchase",
+    "SELECT e.user_id, e.event_id, e.ts, p.ts AS last_purchase_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'error' AND user_id <= 100) e "
+    "ASOF LEFT JOIN "
+    "(SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 100) p "
+    "ON e.user_id = p.user_id AND e.ts >= p.ts "
+    "ORDER BY e.user_id, e.event_id",
+)
+def j_asof_last_purchase(spark, sf_dir):
+    """As-of join (Spark has no native one): for each error event, the most
+    recent preceding purchase of the same user — expressed as a running
+    max over the unioned, time-ordered stream (single shuffle on user_id,
+    no per-group Python)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error") & (F.col("user_id") <= 100))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    last_p = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_purchase_ts", last_p)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "ts", "last_purchase_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_q(
+    "q_quantiles",
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price, "
+    "round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price, "
+    "round(min(l_extendedprice), 2) AS min_price, "
+    "round(max(l_extendedprice), 2) AS max_price, "
+    "count(DISTINCT l_suppkey) AS n_suppliers "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles + distinct aggregate per group (the
+    exact `percentile` here; `percentile_approx` is the stand-in at
+    10^12 rows, noted for the scale path)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "j_semi_anti",
+    "SELECT 'semi' AS op, count(*) AS n FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT') "
+    "UNION ALL "
+    "SELECT 'anti' AS op, count(*) AS n FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "ORDER BY op",
+)
+def j_semi_anti(spark, sf_dir):
+    """Semi and anti joins (EXISTS / NOT EXISTS shapes)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    any_o = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = (
+        c.join(urgent, "c_custkey", "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("op"), "n")
+    )
+    anti = (
+        c.join(any_o, "c_custkey", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("op"), "n")
+    )
+    return anti.unionByName(semi).orderBy("op")
