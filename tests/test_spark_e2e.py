@@ -120,3 +120,18 @@ def test_plan_prunes_columns(spark, tmp_path):
     assert "warc_ts" not in scan_line
     assert "lang" not in scan_line
     assert "text" not in scan_line.split("ReadSchema")[1]
+
+
+def test_extraction_invariant_under_partitioning(spark):
+    # the whole engine must be a pure function of the data: identical
+    # results no matter how rows are partitioned/shuffled
+    pages = corpus.pages_dataframe(spark, 120, seed=42, partitions=4)
+    one = {
+        r["url"]: (r["markdown"], r["extracted_text"], r["error"])
+        for r in extract_markdown(pages.repartition(1)).collect()
+    }
+    many = {
+        r["url"]: (r["markdown"], r["extracted_text"], r["error"])
+        for r in extract_markdown(pages.repartition(11)).collect()
+    }
+    assert one == many
