@@ -198,19 +198,22 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         cell_buf = None
         header_seen = False
 
+    _unescape = _html.unescape
+    _tag_match = _TAG_NAME.match
     for m in _TOKEN.finditer(text):
-        tok = m.group(0)
-        c0 = tok[0]
-        if c0 != "<":
+        tok = m[0]
+        if tok[0] != "<":
             if skip_stack:
                 continue
-            buf = _target_buf()
-            if buf is not None:
-                buf.append(_html.unescape(tok))
+            # inline target-buffer resolution: plain text is the hot path
+            buf = cell_buf if cell_buf is not None else (
+                item_buf if item_buf is not None else text_buf
+            )
+            buf.append(_unescape(tok) if "&" in tok else tok)
             continue
-        if tok.startswith("<!") or len(tok) < 3:
+        if len(tok) < 3 or tok[1] == "!":
             continue  # comment / doctype / stray '<'
-        nm = _TAG_NAME.match(tok)
+        nm = _tag_match(tok)
         if not nm:
             continue
         name = nm.group(1).lower()
