@@ -116,3 +116,40 @@ def test_windowed_throughput_memory_sink(spark, tmp_path):
     assert rows
     assert sum(r["n_docs"] for r in rows) == 80
     assert all(r["total_bytes"] >= 0 for r in rows)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from markmuse_spark.streaming.incremental import PAGES_SCHEMA
+    from markmuse_spark.streaming.stateful import running_lang_stats
+
+    root = str(tmp_path / "pages_root")
+    # two separate files -> maxFilesPerTrigger=1 forces two micro-batches,
+    # so the final totals prove state persisted across batches
+    corpus.pages_dataframe(spark, 50, seed=42, partitions=1).write.mode("append").parquet(root)
+    corpus.pages_dataframe(spark, 100, seed=42, partitions=1).filter(
+        F.col("url") > ""
+    ).write.mode("append").parquet(root)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(root)
+    )
+    q = (
+        running_lang_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("langstats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select lang, max(total_docs) as d, max(batches_seen) as b "
+        "from langstats group by lang order by lang"
+    ).collect()
+    assert sum(r["d"] for r in rows) == 150
+    assert max(r["b"] for r in rows) >= 2  # state survived across batches

@@ -135,3 +135,35 @@ def test_extraction_invariant_under_partitioning(spark):
         for r in extract_markdown(pages.repartition(11)).collect()
     }
     assert one == many
+
+
+def test_control_plane_queries_over_sidecar(spark, tmp_path):
+    # the reference's task-API relational surface (B1-B6) applied to our
+    # extraction_runs lineage table: point lookup, status filter, time
+    # ordering + pagination, counts
+    out = str(tmp_path / "out")
+    pipeline.run_extraction(
+        spark, corpus.pages_dataframe(spark, 60, seed=42, partitions=4), out, run_id="r1"
+    )
+    pipeline.run_extraction(
+        spark, corpus.pages_dataframe(spark, 100, seed=42, partitions=4), out, run_id="r2"
+    )
+    runs = spark.read.parquet(f"{out}/extraction_runs")
+    # B1 point lookup by run id (job-level row)
+    job = runs.filter((F.col("run_id") == "r2") & (F.col("partition_id") == -1)).collect()
+    assert len(job) == 1 and job[0]["url_count"] == 40
+    # B2/B8 conjunctive status filter
+    ok_parts = runs.filter((F.col("status") == "SUCCESS") & (F.col("partition_id") >= 0))
+    assert ok_parts.agg(F.sum("url_count")).first()[0] == 100
+    # B3+B4 sort desc + paginate over job rows
+    page = (
+        runs.filter(F.col("partition_id") == -1)
+        .orderBy(F.col("started_at").desc())
+        .offset(1)
+        .limit(1)
+        .collect()
+    )
+    assert page[0]["run_id"] == "r1"
+    # B6 counts per status
+    counts = {r["status"]: r["n"] for r in runs.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("SUCCESS", 0) >= 2
