@@ -79,8 +79,15 @@ def ngram_jaccard_pairs(
     scale; changes semantics, so default off and the oracle matches).
     """
     sh = _shingled(docs, id_col, text_col, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # carry the per-doc shingle count through the explode: the set size is
+    # constant within each (doc_a, doc_b) group, so first() recovers it and
+    # no post-aggregation join with a sizes table is needed (one scan, one
+    # shuffle on shingle, one shuffle on the pair key)
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
     if max_df is not None:
         hot = (
             inv.groupBy("shingle")
@@ -91,21 +98,20 @@ def ngram_jaccard_pairs(
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
-    inter = (
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

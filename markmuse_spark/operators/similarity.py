@@ -47,18 +47,22 @@ def cosine_topk(
     The 1-row query side is broadcast; the scan side is one pass, no
     shuffle until the final top-k (which Spark executes as a partial
     per-partition top-k + single merge — TakeOrderedAndProject)."""
+    # norms are per-vector quantities: compute them once on the scan side
+    # (and once for the broadcast query row), never per pair
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
-    )
+    ).withColumn("nrm", _norm(F.col("vec")))
     q = v.filter(F.col(id_col) == query_id).select(
-        F.col("vec").alias("qvec")
+        F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
     )
     return (
         v.join(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine_expr(F.col("vec"), F.col("qvec")), 4).alias("cosine"),
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 4
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -159,10 +163,16 @@ def embedding_near_pairs(
     """Exact all-pairs cosine near-duplicates (embedding-space dedup)."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))  # per-vector, never per-pair
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("n_a")
     )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"))
-    cos = F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 4)
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("n_b")
+    )
+    cos = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 4
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
