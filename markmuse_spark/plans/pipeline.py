@@ -84,8 +84,14 @@ def run_extraction(
     big_bytes: int = DEFAULT_BIG_BYTES,
     oversub: int = DEFAULT_OVERSUB,
     resume: bool = True,
+    iceberg_table: Optional[str] = None,
 ) -> dict:
-    """Execute one extraction run; returns the job-level metrics row."""
+    """Execute one extraction run; returns the job-level metrics row.
+
+    ``iceberg_table``: fully-qualified Iceberg table name to append to
+    instead of the parquet run directory (needs an Iceberg catalog on the
+    session; untestable in this sandbox — the parquet path is the tested
+    equivalent with _SUCCESS-marker commit semantics)."""
     started_at = _dt.datetime.now(_dt.timezone.utc)
     parallelism = spark.sparkContext.defaultParallelism
 
@@ -102,7 +108,16 @@ def run_extraction(
     status = "SUCCESS"
     error_message = None
     try:
-        result.write.mode("errorifexists").parquet(run_path)
+        if iceberg_table is not None:
+            result = result.withColumn("run_id", F.lit(run_id))
+            # production path: Iceberg snapshot commit (atomicity, schema
+            # evolution, time travel); requires the iceberg-spark runtime
+            # jar + a configured catalog — absent in this sandbox, where
+            # the parquet committer's _SUCCESS marker provides the same
+            # committed-run semantics for resume (see committed_urls)
+            result.writeTo(iceberg_table).append()
+        else:
+            result.write.mode("errorifexists").parquet(run_path)
     except Exception as exc:  # FAILURE lineage row, then re-raise (A20)
         status = "FAILURE"
         error_message = f"{type(exc).__name__}: {exc}"
@@ -125,8 +140,14 @@ def run_extraction(
         "metrics": None,
     }
     if status == "SUCCESS":
+        if iceberg_table is not None:
+            read_back = spark.read.table(iceberg_table).filter(
+                F.col("run_id") == run_id
+            )
+        else:
+            read_back = spark.read.parquet(run_path)
         per_part = (
-            spark.read.parquet(run_path)
+            read_back
             .groupBy("partition_id")
             .agg(
                 F.count("*").alias("url_count"),
