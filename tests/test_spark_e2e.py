@@ -167,3 +167,38 @@ def test_control_plane_queries_over_sidecar(spark, tmp_path):
     # B6 counts per status
     counts = {r["status"]: r["n"] for r in runs.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert counts.get("SUCCESS", 0) >= 2
+
+
+def test_grouped_map_assembly_matches_golden(spark):
+    # the applyInPandas path over an exploded ocr_pages table (FIXTURES §2)
+    # must be byte-identical to the golden oracle, same as the fused path
+    import pandas as pd
+
+    from markmuse_spark.operators.assemble import assemble_documents
+    from markmuse_spark.golden import fixtures, oracle
+
+    docs = fixtures.edge_case_documents() + fixtures.random_documents(40, seed=11)
+    rows = []
+    for d in docs:
+        for p in d["pages"]:
+            rows.append(
+                {
+                    "url": d["url"],
+                    "page_idx": p["page_idx"],
+                    "markdown": p["markdown"],
+                    "images": p.get("images") or [],
+                }
+            )
+    exploded = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "url string, page_idx int, markdown string, "
+        "images array<struct<id string, image_base64 string>>",
+    )
+    got = {r["url"]: r for r in assemble_documents(exploded).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        want = oracle.assemble_document(d["url"], d["pages"])
+        g = got[d["url"]]
+        assert g["markdown"] == want["markdown"], d["url"]
+        assert g["extracted_text"] == want["extracted_text"], d["url"]
+        assert g["n_images"] == len(want["image_manifest"]), d["url"]
