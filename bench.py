@@ -47,6 +47,13 @@ HEADLINE = [
     "a13_ordered_concat",
     "b5_time_window",
     "a6_explode_flatten",
+    # training-data pipeline ops (exact ngram-jaccard and full LSH dedup
+    # are correctness-gated at sf0.01; the sf0.1 bench carries the cheap
+    # representatives so dedup/similarity/text costs are visible)
+    "d_exact_dedup",
+    "s_cosine_topk",
+    "t_quality_score",
+    "t_lang_id",
 ]
 
 

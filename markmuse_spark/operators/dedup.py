@@ -122,20 +122,28 @@ def minhash_signature(
     n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    """MinHash signatures as ``array<long>`` — k simulated permutations via
-    ``xxhash64(shingle, seed_i)`` + ``array_min`` (all JVM expressions)."""
+    """MinHash signatures as ``array<long>`` (all JVM expressions).
+
+    Each shingle string is hashed to a long ONCE (``xxhash64(shingle)``),
+    then the k permutations rehash that 8-byte long (``xxhash64(h, i)``)
+    instead of re-hashing the full shingle string k times — ~2-3x cheaper
+    at equal quality."""
     sh = _shingled(docs, id_col, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
+    )
 
     def _perm(i: int):
         # NB: the lambda must take exactly one parameter — a two-parameter
         # lambda is interpreted by Spark as (element, index) and the index
         # would silently replace the permutation seed
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
         )
 
     sig = F.array(*[_perm(i) for i in range(num_perm)])
-    return sh.select("doc_id", sig.alias("signature"))
+    return hashed.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
