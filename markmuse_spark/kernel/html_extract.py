@@ -152,7 +152,6 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     table_rows: list[list[str]] = []
     table_row: Optional[list[str]] = None
     cell_buf: Optional[list[str]] = None
-    header_seen = False
 
     def _target_buf() -> Optional[list[str]]:
         if cell_buf is not None:
@@ -182,7 +181,7 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         heading_level = 0
 
     def _flush_table() -> None:
-        nonlocal in_table, table_rows, table_row, cell_buf, header_seen
+        nonlocal in_table, table_rows, table_row, cell_buf
         rows = [r for r in table_rows if r]
         if rows:
             lines = []
@@ -196,7 +195,6 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         table_rows = []
         table_row = None
         cell_buf = None
-        header_seen = False
 
     _unescape = _html.unescape
     _tag_match = _TAG_NAME.match
