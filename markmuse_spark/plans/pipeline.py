@@ -117,7 +117,17 @@ def run_extraction(
             # committed-run semantics for resume (see committed_urls)
             result.writeTo(iceberg_table).append()
         else:
-            result.write.mode("errorifexists").parquet(run_path)
+            # zstd beats snappy ~30% on markdown-heavy columns at equal
+            # speed; sorting within partitions by url gives parquet
+            # dictionary/RLE friendlier runs and min/max stats that let
+            # downstream url-keyed reads (the resume anti-join, point
+            # lookups) skip row groups
+            (
+                result.sortWithinPartitions("url")
+                .write.mode("errorifexists")
+                .option("compression", "zstd")
+                .parquet(run_path)
+            )
     except Exception as exc:  # FAILURE lineage row, then re-raise (A20)
         status = "FAILURE"
         error_message = f"{type(exc).__name__}: {exc}"
