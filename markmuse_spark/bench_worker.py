@@ -1,12 +1,23 @@
-"""Scaling-run worker: one extraction job at a fixed parallelism.
+"""Scaling-run worker: extraction passes at a fixed parallelism.
 
 Invoked by ``bench.py`` via ``spark-submit --py-files <pkg.zip>`` (the
 submission path the north rule mandates), once per cluster-size stand-in
-(``local[8]`` = N executors, ``local[32]`` = 4N).  Reads the shared bench
-corpus, runs the salted size-aware extraction, forces full materialization
-with an aggregate (no output IO so the measurement is compute + shuffle),
-prints one JSON line ``{"elapsed_sec": ..., "n_docs": ..., "docs_per_sec":
-...}`` on stdout.
+(``local[N]`` and ``local[4N]`` pinned to disjoint core sets).  Reads the
+shared bench corpus, runs the salted size-aware extraction ``--passes``
+times after one warm-up, forcing full materialization with an aggregate
+(no output IO so the measurement is compute + shuffle).  Prints one JSON
+line::
+
+    {"cores": .., "n_docs": .., "passes": [{"elapsed_sec": ..,
+     "docs_per_sec": .., "steal_pct": ..}, ...],
+     "docs_per_sec": <median over passes>, "best_docs_per_sec": ..}
+
+``steal_pct`` is hypervisor steal over each pass window from
+``/proc/stat`` (machine-wide, all vcpus) — the sandbox VM shows bursty
+10-35% steal, and the per-pass numbers let the harness prove which
+windows were clean.  The median (not max) over equal pass counts is the
+comparison statistic: the expected maximum of a noisy sample grows with
+sample count, medians do not.
 """
 
 from __future__ import annotations
@@ -17,10 +28,29 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except OSError:  # non-Linux fallback: no steal evidence
+        return 0, 0
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--passes", type=int, default=1,
+                    help="measured passes after the warm-up")
     ap.add_argument("--shuffle", action="store_true",
                     help="force the salted repartition ahead of extraction")
     args = ap.parse_args()
@@ -67,22 +97,44 @@ def main() -> None:
     warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
     job(warm).agg(F.count("*")).collect()
 
-    t0 = time.time()
-    agg = job(pages).agg(
-        F.count("*").alias("n"),
-        F.sum("n_chars").alias("chars"),
-        F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
-    ).first()
-    elapsed = time.time() - t0
+    passes = []
+    n_docs = n_errors = sum_chars = 0
+    for _ in range(max(1, args.passes)):
+        tot0, st0 = _cpu_stat()
+        t0 = time.time()
+        agg = job(pages).agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
+        ).first()
+        elapsed = time.time() - t0
+        tot1, st1 = _cpu_stat()
+        steal_pct = (
+            round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
+            if tot1 > tot0
+            else None
+        )
+        n_docs, n_errors, sum_chars = agg["n"], agg["errs"], int(agg["chars"])
+        passes.append(
+            {
+                "elapsed_sec": round(elapsed, 3),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "steal_pct": steal_pct,
+            }
+        )
+
+    rates = [p["docs_per_sec"] for p in passes]
     print(
         json.dumps(
             {
-                "elapsed_sec": round(elapsed, 3),
-                "n_docs": agg["n"],
-                "n_errors": agg["errs"],
-                "sum_chars": int(agg["chars"]),
-                "docs_per_sec": round(agg["n"] / elapsed, 1),
                 "cores": args.cores,
+                "n_docs": n_docs,
+                "n_errors": n_errors,
+                "sum_chars": sum_chars,
+                "passes": passes,
+                "docs_per_sec": round(_median(rates), 1),
+                "best_docs_per_sec": max(rates),
+                "elapsed_sec": min(p["elapsed_sec"] for p in passes),
             }
         )
     )

@@ -147,6 +147,8 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     list_items: list[list[str]] = []  # rendered items per open list
     item_buf: Optional[list[str]] = None  # accumulation for current <li>
     heading_level = 0
+    quote_depth = 0  # open <blockquote> nesting -> "> " prefix per level
+    pre_buf: Optional[list[str]] = None  # verbatim accumulation inside <pre>
     # table state
     in_table = False
     table_rows: list[list[str]] = []
@@ -175,9 +177,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         inline_stack.clear()
         if s:
             if heading_level:
-                blocks.append("#" * heading_level + " " + s)
-            else:
-                blocks.append(s)
+                s = "#" * heading_level + " " + s
+            if quote_depth:
+                s = "> " * quote_depth + s
+            blocks.append(s)
         heading_level = 0
 
     def _flush_table() -> None:
@@ -202,6 +205,9 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         tok = m[0]
         if tok[0] != "<":
             if skip_stack:
+                continue
+            if pre_buf is not None:  # verbatim: no whitespace collapsing
+                pre_buf.append(_unescape(tok) if "&" in tok else tok)
                 continue
             # inline target-buffer resolution: plain text is the hot path
             buf = cell_buf if cell_buf is not None else (
@@ -231,6 +237,17 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
             elif name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
                 # track every nested element so inner content can't leak out
                 skip_stack.append(name)
+            continue
+
+        # ---- <pre> verbatim mode: only </pre> and <br> are significant ----
+        if pre_buf is not None:
+            if closing and name == "pre":
+                code = "".join(pre_buf).strip("\n")
+                pre_buf = None
+                if code:
+                    blocks.append("```\n" + code + "\n```")
+            elif name == "br" and not closing:
+                pre_buf.append("\n")
             continue
 
         if not closing:
@@ -286,10 +303,24 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         if name == "p":
             _flush_text()
             continue
-        if name in ("br", "hr", "blockquote", "pre"):
+        if name in ("br", "hr"):
             buf = _target_buf()
             if buf is not None and name == "br":
                 buf.append(" ")
+            continue
+
+        # ---- blockquote / pre ------------------------------------------------
+        if name == "blockquote":
+            _flush_text()
+            if not closing:
+                quote_depth += 1
+            elif quote_depth:
+                quote_depth -= 1
+            continue
+        if name == "pre":
+            if not closing:
+                _flush_text()
+                pre_buf = []
             continue
 
         # ---- lists -----------------------------------------------------------
@@ -376,6 +407,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         if name in _BLOCK_ELEMENTS:
             _flush_text()
 
+    if pre_buf is not None:  # unterminated <pre> (truncated payload)
+        code = "".join(pre_buf).strip("\n")
+        if code:
+            blocks.append("```\n" + code + "\n```")
     _flush_text()
     if in_table:
         _flush_table()

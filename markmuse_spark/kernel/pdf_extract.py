@@ -16,28 +16,44 @@ reading order and structure:
 * **list detection** — blocks whose lines all carry ``- `` / ``1. ``
   markers are kept line-per-item; other blocks re-join wrapped lines
 
-Dialect constraints (matching :mod:`markmuse_spark.sources.pdf_writer`,
-SURVEY.md §7 risk 2): uncompressed streams, ``Tf``/``Tm``/``Tj`` text ops,
+Dialect (matching :mod:`markmuse_spark.sources.pdf_writer`, SURVEY.md §7
+risk 2, extended round 2 toward the real-corpus baseline): plain AND
+FlateDecode-compressed content streams (``/Length``-delimited, zlib),
+``Tf``/``Tm`` positioning, both ``Tj`` literal strings and kerned ``TJ``
+arrays (inter-word space recovered from adjustments <= -150 milli-em),
 UTF-8 bytes inside literal strings, content streams in page order.
+Real-corpus gaps that remain out of dialect: ToUnicode CMaps / multi-byte
+encodings, cross-reference streams, object streams.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from collections import Counter
 from typing import Any
 
-_STREAM = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
+# a stream-bearing object: simple (non-nested) dict immediately followed by
+# the stream keyword — /Length delimits the exact payload so compressed
+# bytes that happen to contain "endstream" can't truncate the slice
+_STREAM_HDR = re.compile(rb"<<([^<>]*)>>\s*stream\r?\n")
+_LENGTH = re.compile(rb"/Length\s+(\d+)")
+_FLATE = re.compile(rb"/Filter\s*/FlateDecode")
+_ENDSTREAM = re.compile(rb"\r?\n?endstream")
 _OP = re.compile(
     r"/F\d+\s+(\d+(?:\.\d+)?)\s+Tf"
     r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
     r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    r"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
 )
+_TJ_PIECE = re.compile(r"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)")
 _UNESCAPE = re.compile(r"\\([\\()])")
 _LIST_LINE = re.compile(r"^(?:- |\d+\. )")
 
 _COLUMN_GAP = 60.0
 _LINE_GAP = 20.0
+# a TJ adjustment at/below this (milli-em, negative = widen) is a word space
+_TJ_SPACE_ADJ = -150.0
 
 
 def _decode_pdf_string(raw: str) -> str:
@@ -51,6 +67,18 @@ def _decode_pdf_string(raw: str) -> str:
         return s
 
 
+def _tj_text(body: str) -> str:
+    """Concatenate a TJ array's string pieces, re-inserting word spaces
+    for adjustments <= -150 (the kerned-text word gap)."""
+    parts: list[str] = []
+    for m in _TJ_PIECE.finditer(body):
+        if m.group(1) is not None:
+            parts.append(_decode_pdf_string(m.group(1)))
+        elif float(m.group(2)) <= _TJ_SPACE_ADJ:
+            parts.append(" ")
+    return "".join(parts)
+
+
 def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
     runs: list[tuple[float, float, float, str]] = []
     size = 10.0
@@ -60,11 +88,45 @@ def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
             size = float(m.group(1))
         elif m.group(2) is not None:
             x, y = float(m.group(2)), float(m.group(3))
-        else:
+        elif m.group(4) is not None:
             text = _decode_pdf_string(m.group(4))
             if text:
                 runs.append((size, x, y, text))
+        else:
+            text = _tj_text(m.group(5))
+            if text:
+                runs.append((size, x, y, text))
     return runs
+
+
+def _content_streams(payload: bytes) -> list[str]:
+    """All content streams, decompressed, in document order.
+
+    ``/Length`` (when present and consistent) delimits the payload slice —
+    required for Flate streams whose compressed bytes may contain the
+    ``endstream`` keyword; otherwise fall back to scanning for it.
+    """
+    streams: list[str] = []
+    for m in _STREAM_HDR.finditer(payload):
+        head, start = m.group(1), m.end()
+        lm = _LENGTH.search(head)
+        data: bytes | None = None
+        if lm:
+            end = start + int(lm.group(1))
+            if _ENDSTREAM.match(payload, end):
+                data = payload[start:end]
+        if data is None:  # no/odd /Length: scan (uncompressed dialect only)
+            idx = payload.find(b"endstream", start)
+            if idx < 0:
+                continue
+            data = payload[start:idx].rstrip(b"\r\n")
+        if _FLATE.search(head):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+        streams.append(data.decode("latin-1"))
+    return streams
 
 
 def _cluster_columns(runs: list[tuple[float, float, float, str]]) -> list[list[tuple[float, float, float, str]]]:
@@ -150,9 +212,8 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         raise ValueError("empty payload")
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
-    doc = payload.decode("latin-1")
     pages: list[dict[str, Any]] = []
-    streams = _STREAM.findall(doc)
+    streams = _content_streams(payload)
     if not streams:
         raise ValueError("no content streams")
     for page_idx, stream in enumerate(streams):

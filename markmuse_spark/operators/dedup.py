@@ -107,11 +107,13 @@ def ngram_jaccard_pairs(
             F.first(F.col("b.n_sh")).alias("n_b"),
         )
     )
-    jac = F.round(
-        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-    )
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    # threshold the UNROUNDED value (the DuckDB oracle does the same);
+    # rounding is presentation-only on the projected column — filtering on
+    # a rounded value would keep/drop boundary pairs differently per engine
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        pairs.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -195,15 +197,12 @@ def minhash_lsh_pairs(
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union  # threshold unrounded; round only the projection
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -170,11 +170,11 @@ def embedding_near_pairs(
     b = v.select(
         F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("n_b")
     )
-    cos = F.round(
-        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 4
-    )
+    # threshold the UNROUNDED cosine (matching the oracle's WHERE clause);
+    # round only the projected output column
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
     )

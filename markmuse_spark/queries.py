@@ -984,9 +984,17 @@ def j_asof_last_purchase(spark, sf_dir):
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "error") & (F.col("user_id") <= 100))
     )
+    # at equal ts, purchases must sort BEFORE errors so the running max
+    # includes a same-timestamp purchase — matching the oracle's ts-only
+    # as-of condition (e.ts >= p.ts); ordering by event_id alone would
+    # exclude a purchase whose event_id is higher than the error's
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            "event_id",
+        )
         .rowsBetween(W.unboundedPreceding, 0)
     )
     last_p = F.max(

@@ -93,7 +93,7 @@ def random_page_blocks(rng: random.Random, lang: str, rich: bool = True) -> list
         blocks.append({"t": "h", "level": level, "text": _sentence(rng, words, 2, 6)})
         for _ in range(rng.randint(1, 3)):
             kind = rng.random()
-            if kind < 0.55:
+            if kind < 0.50:
                 spans: list[tuple[str, str]] = []
                 for _ in range(rng.randint(1, 3)):
                     if spans:
@@ -101,10 +101,21 @@ def random_page_blocks(rng: random.Random, lang: str, rich: bool = True) -> list
                     style = rng.choice(["", "", "", "b", "i", "c"])
                     spans.append((style, _sentence(rng, words)))
                 blocks.append({"t": "p", "spans": spans})
-            elif kind < 0.75:
+            elif kind < 0.66:
                 items = [_sentence(rng, words, 2, 7) for _ in range(rng.randint(2, 5))]
                 blocks.append({"t": rng.choice(["ul", "ol"]), "items": items})
-            elif kind < 0.85 and tbl_budget > 0:
+            elif kind < 0.72:
+                blocks.append({"t": "bq", "text": _sentence(rng, words, 4, 12)})
+            elif kind < 0.78:
+                lines = []
+                for j in range(rng.randint(1, 4)):
+                    indent = "    " if (j and rng.random() < 0.5) else ""
+                    lines.append(
+                        f"{indent}{rng.choice(words)} = "
+                        f"{rng.choice(words)}({rng.randint(0, 99)})"
+                    )
+                blocks.append({"t": "pre", "code": lines})
+            elif kind < 0.88 and tbl_budget > 0:
                 tbl_budget -= 1
                 ncol = rng.randint(2, 4)
                 rows = [[rng.choice(words) for _ in range(ncol)]]
@@ -144,11 +155,15 @@ def random_page_blocks(rng: random.Random, lang: str, rich: bool = True) -> list
 
 def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
     """1-5 page models in the PDF dialect (headings h1-h3, paragraphs,
-    lists; ~25% two-column pages per FIXTURES.md §1)."""
+    lists; ~25% two-column pages per FIXTURES.md §1; ~60% of pages carry
+    FlateDecode-compressed content streams and ~40% kerned ``TJ`` arrays —
+    the real-corpus forms, see pdf_writer/pdf_extract round-2 dialect)."""
     words = _WORDS_BY_LANG[lang]
     pages: list[dict] = []
     for _ in range(rng.randint(1, 5)):
         columns = 2 if rng.random() < 0.25 else 1
+        compress = rng.random() < 0.6
+        use_tj = rng.random() < 0.4
         blocks: list[dict] = []
         n_sections = rng.randint(1, 4)
         for s in range(n_sections):
@@ -162,7 +177,9 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
                 else:
                     items = [_sentence(rng, words, 2, 4) for _ in range(rng.randint(2, 4))]
                     blocks.append({"t": rng.choice(["ul", "ol"]), "items": items})
-        pages.append({"columns": columns, "blocks": blocks})
+        pages.append(
+            {"columns": columns, "blocks": blocks, "compress": compress, "tj": use_tj}
+        )
     return pages
 
 
@@ -210,6 +227,12 @@ def _render_block(b: dict, rng: random.Random) -> str:
         if rng.random() < 0.4:
             return f"<table><thead>{rows_html[0]}</thead><tbody>{''.join(rows_html[1:])}</tbody></table>{ws}"
         return f"<table>{body}</table>{ws}"
+    if t == "bq":
+        return f"<blockquote>{_noise_ws(rng)}<p>{_esc(b['text'])}</p></blockquote>{ws}"
+    if t == "pre":
+        # verbatim content: no whitespace noise inside the <pre> subtree
+        code = _esc("\n".join(b["code"]))
+        return f"<pre><code>{code}</code></pre>{ws}"
     if t == "img":
         alt = _html.escape(b["alt"], quote=True)
         if b["b64"] is not None:
@@ -286,6 +309,10 @@ def expected_page(blocks: list[dict], page_idx: int = 0, upto: Optional[int] = N
             md.append("\n".join(f"- {it}" for it in b["items"]))
         elif t == "ol":
             md.append("\n".join(f"{i + 1}. {it}" for i, it in enumerate(b["items"])))
+        elif t == "bq":
+            md.append("> " + b["text"])
+        elif t == "pre":
+            md.append("```\n" + "\n".join(b["code"]) + "\n```")
         elif t == "table":
             rows = b["rows"]
             lines = ["| " + " | ".join(rows[0]) + " |"]

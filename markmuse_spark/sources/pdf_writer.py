@@ -99,38 +99,80 @@ def page_runs(page_model: dict[str, Any]) -> list[tuple[int, int, int, str]]:
     return runs
 
 
-def _content_stream(runs: list[tuple[int, int, int, str]]) -> bytes:
+def _tj_array(text: str) -> bytes:
+    """One line as a kerned ``TJ`` array: words as separate strings with a
+    -250 (milli-em) inter-word adjustment — the form real PDF generators
+    emit for justified text.  The extractor must re-insert the word space
+    from the adjustment (threshold: adj <= -150)."""
+    words = text.split(" ")
+    parts = []
+    for j, w in enumerate(words):
+        if j:
+            parts.append(b"-250")
+        parts.append(b"(%b)" % _escape(w))
+    return b"[" + b" ".join(parts) + b"]"
+
+
+def _content_stream(runs: list[tuple[int, int, int, str]], use_tj: bool) -> bytes:
     parts = []
     for size, x, y, text in runs:
-        parts.append(
-            b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%b) Tj ET" % (size, x, y, _escape(text))
-        )
+        if use_tj and " " in text:
+            parts.append(
+                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b TJ ET"
+                % (size, x, y, _tj_array(text))
+            )
+        else:
+            parts.append(
+                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%b) Tj ET"
+                % (size, x, y, _escape(text))
+            )
     return b"\n".join(parts)
 
 
 def write_pdf(pages: list[dict[str, Any]]) -> bytes:
-    """Serialize page models into one PDF file (bytes)."""
+    """Serialize page models into one PDF file (bytes).
+
+    Per-page dialect knobs (in the page model):
+
+    * ``"compress": True`` — the content stream is FlateDecode-compressed
+      (zlib), as virtually all real-corpus PDFs are
+    * ``"tj": True`` — text runs with spaces are emitted as kerned ``TJ``
+      arrays instead of plain ``Tj`` strings
+
+    Object layout: 1 catalog, 2 pages, 3 font (fixed id, BEFORE the pages
+    so every page's ``/Font << /F1 3 0 R >>`` resolves for any page count),
+    then per page ``i``: page object ``4+2i``, content stream ``5+2i``.
+    """
+    import zlib
+
     objects: list[bytes] = []
     n_pages = len(pages)
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         b"<< /Type /Pages /Kids [%b] /Count %d >>" % (kids.encode(), n_pages)
     )
-    for i, page in enumerate(pages):
-        content_num = 4 + 2 * i
-        objects.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
-            b"/Resources << /Font << /F1 5 0 R >> >> /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, content_num)
-        )
-        stream = _content_stream(page_runs(page))
-        objects.append(
-            b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
-        )
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    for i, page in enumerate(pages):
+        content_num = 5 + 2 * i
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, content_num)
+        )
+        stream = _content_stream(page_runs(page), bool(page.get("tj")))
+        if page.get("compress"):
+            stream = zlib.compress(stream, 6)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%b\nendstream"
+                % (len(stream), stream)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
+            )
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

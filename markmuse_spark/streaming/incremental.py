@@ -3,8 +3,9 @@
 The reference's Celery queue is an unbounded stream of task arrivals with
 at-least-once execution (SURVEY §2 "Streaming ops"); the batch engine's
 analog is an incremental run: new parquet files landing under the pages
-root are discovered by the file source, extracted, and appended exactly
-once per file via the streaming checkpoint — the Spark-native equivalent
+root are discovered by the file source, extracted, and committed
+effectively-once (checkpointed epochs + idempotent per-epoch partition
+overwrite in the sink) — the Spark-native equivalent
 of the reference's PENDING->SUCCESS task lifecycle without an external
 broker (``clients/celery/app.py`` analog).
 
@@ -43,9 +44,13 @@ def run_incremental(
 ) -> int:
     """Drain all unprocessed page files into the extracted sink.
 
-    Returns the number of rows written in this increment.  Exactly-once
-    per input file is provided by the streaming checkpoint; re-running
-    after a crash resumes without duplicates.
+    Returns the number of rows written in this increment.  The streaming
+    checkpoint gives at-least-once epoch delivery; the sink makes the
+    epochs idempotent (effectively-once end-to-end) by writing each epoch
+    as its own ``epoch_id=`` partition with dynamic partition overwrite —
+    a replayed epoch (crash after the parquet commit but before the
+    checkpoint commit) overwrites its own partition instead of appending
+    duplicate rows.
     """
     reader = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -60,14 +65,22 @@ def run_incremental(
     counter = spark.sparkContext.accumulator(0)
 
     def sink(batch_df, epoch_id: int) -> None:
-        n = batch_df.count()
-        counter.add(n)
-        if n:
-            (
-                batch_df.withColumn("epoch_id", F.lit(epoch_id))
-                .write.mode("append")
-                .parquet(f"{output_dir}/extracted_stream")
-            )
+        # persist so the extraction kernel runs ONCE per micro-batch (the
+        # count and the write share the materialized result instead of
+        # re-executing the plan twice)
+        out = batch_df.withColumn("epoch_id", F.lit(epoch_id)).persist()
+        try:
+            n = out.count()
+            counter.add(n)
+            if n:
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(f"{output_dir}/extracted_stream")
+                )
+        finally:
+            out.unpersist()
 
     query = (
         extracted.writeStream.foreachBatch(sink)
