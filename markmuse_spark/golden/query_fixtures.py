@@ -1,0 +1,365 @@
+"""Independent pure-Python oracles -> golden parquet fixtures for the
+registry queries whose semantics no SQL engine can express directly
+(seeded-hash / seeded-RNG computations: SimHash bit votes, hyperplane-LSH
+probing, md5-seeded feature vectors, the extraction kernel itself).
+
+Each minting function re-derives the expected result FROM FIRST PRINCIPLES
+(hashlib / numpy / the golden assembly oracle) without importing the Spark
+operators under test, writes one parquet per query under
+``fixtures/query_golden/``, and the query's ``oracle_sql()`` entry is then a
+plain ``SELECT ... FROM read_parquet('<fixture>')`` the driver's DuckDB can
+run — turning the former rows-only checks into full three-way
+(rows+schema+hash) comparisons.
+
+Freshness is enforced by ``tests/test_query_fixtures.py``: it re-mints every
+fixture in-memory and asserts byte-equality with the committed parquet, so a
+semantic change that forgets ``python -m markmuse_spark.golden.query_fixtures``
+fails the suite.
+
+Determinism inputs: ``/root/testdata/sf0.01`` (the driver's correctness
+scale) and the seed-42 extraction corpus spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "query_golden",
+)
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def spark_round(x: float, scale: int = 4) -> float:
+    """Replicate Spark's ``round(double, n)``: HALF_UP on the shortest
+    decimal repr (BigDecimal.valueOf semantics).  Python's built-in round
+    is HALF_EVEN — a boundary value would differ."""
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _documents(max_doc_id: int | None = None) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    if max_doc_id is not None:
+        rows = [r for r in rows if r["doc_id"] < max_doc_id]
+    return sorted(rows, key=lambda r: r["doc_id"])
+
+
+# ---------------------------------------------------------------------
+# x_extract_corpus: golden assembly oracle over the 200-row seed-42 corpus
+# ---------------------------------------------------------------------
+
+def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    rows = []
+    for i in range(200):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            rows.append(
+                {
+                    "url": url,
+                    # the query hashes coalesce(markdown, '')
+                    "markdown_md5": hashlib.md5(b"").hexdigest(),
+                    "n_pages": 0,
+                    "n_images": 0,
+                    "n_chars": 0,
+                    "is_error": True,
+                }
+            )
+            continue
+        doc = oracle.assemble_document(url, expected)
+        rows.append(
+            {
+                "url": url,
+                "markdown_md5": hashlib.md5(
+                    doc["markdown"].encode("utf-8")
+                ).hexdigest(),
+                "n_pages": len(expected),
+                "n_images": len(doc["image_manifest"]),
+                "n_chars": len(doc["markdown"]),
+                "is_error": False,
+            }
+        )
+    rows.sort(key=lambda r: r["url"])
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("markdown_md5", pa.string()),
+            ("n_pages", pa.int32()),
+            ("n_images", pa.int32()),
+            ("n_chars", pa.int64()),
+            ("is_error", pa.bool_()),
+        ]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
+# m_image_metadata: first-principles expectations for the synthetic PNGs
+# ---------------------------------------------------------------------
+
+def mint_m_image_metadata() -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    magic_ihdr = bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+    rows = []
+    for d in _documents(max_doc_id=100):
+        w = int(d["doc_id"]) % 1920 + 1
+        h = int(d["doc_id"]) % 1080 + 1
+        payload = (
+            magic_ihdr
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + d["text"].encode("utf-8")
+        )
+        rows.append(
+            {
+                "_id": str(d["doc_id"]),
+                "format": "png",
+                "width": w,
+                "height": h,
+                "n_bytes": len(payload),
+                "sha1": hashlib.sha1(payload).hexdigest(),
+            }
+        )
+    schema = pa.schema(
+        [
+            ("_id", pa.string()),
+            ("format", pa.string()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("n_bytes", pa.int64()),
+            ("sha1", pa.string()),
+        ]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
+# m_image_features: md5-seeded unit vectors (the documented fake encoder)
+# ---------------------------------------------------------------------
+
+def mint_m_image_features(dim: int = 16) -> tuple[list[dict], "object"]:
+    import numpy as np
+    import pyarrow as pa
+
+    rows = []
+    for d in _documents(max_doc_id=50):
+        payload = d["text"].encode("utf-8")
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        vec = np.random.default_rng(seed).standard_normal(dim)
+        vec = (vec / np.linalg.norm(vec)).astype(np.float32)
+        rows.append(
+            {
+                "doc_id": int(d["doc_id"]),
+                "f0": spark_round(float(vec[0])),
+                "f1": spark_round(float(vec[1])),
+                "dim": dim,
+            }
+        )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("f0", pa.float64()),
+            ("f1", pa.float64()),
+            ("dim", pa.int32()),
+        ]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
+# SimHash: md5-based 64-bit feature hashes, bit votes, all-pairs Hamming
+# (the Spark operator uses banded candidates; 8x8-bit bands provably cover
+# every Hamming<=7 pair, so the all-pairs derivation here is equal output)
+# ---------------------------------------------------------------------
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = [t for t in text.lower().split(" ") if t]
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def md5_long_unsigned(s: str) -> int:
+    """The engine's feature hash: first 8 md5 bytes, big-endian unsigned."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash64(text: str) -> int:
+    sh = _shingles(text)
+    if not sh:
+        return 0
+    hs = [md5_long_unsigned(s) for s in sh]
+    sig = 0
+    half = len(hs)
+    for b in range(64):
+        ones = sum((h >> b) & 1 for h in hs)
+        if 2 * ones > half:
+            sig |= 1 << b
+    return sig
+
+
+def mint_d_simhash_pairs(max_hamming: int = 6) -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    docs = _documents()
+    sigs = [(int(d["doc_id"]), simhash64(d["text"])) for d in docs]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, sa), (ib, sb) = sigs[i], sigs[j]
+            ham = bin(sa ^ sb).count("1")
+            if ham <= max_hamming:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                rows.append({"doc_a": a, "doc_b": b, "hamming": ham})
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
+# Hyperplane-LSH ANN: seeded planes, bucket signatures, Hamming-radius
+# probe, exact left-fold cosine re-rank (replicates the documented spec,
+# not the Spark code)
+# ---------------------------------------------------------------------
+
+def _embeddings():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = [int(v) for v in tbl["vec_id"].to_pylist()]
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+    return ids, vecs
+
+
+def _fold_dot(a, b) -> float:
+    """Strict left-to-right float64 fold — Spark's F.aggregate semantics
+    (numpy's pairwise-summed dot can differ in the last ulp)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _cosine(a, b) -> float:
+    return _fold_dot(a, b) / (
+        math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+    )
+
+
+def lsh_buckets(vecs, n_tables: int = 8, n_planes: int = 8, seed: int = 7, dim: int = 64):
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+    bits = (vecs @ planes) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return bits.reshape(len(vecs), n_tables, n_planes) @ weights
+
+
+def mint_s_lsh_ann(
+    query_id: int = 0, k: int = 10, hamming_radius: int = 1
+) -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    ids, vecs = _embeddings()
+    buckets = lsh_buckets(vecs)
+    qi = ids.index(query_id)
+    cands = []
+    for i, vid in enumerate(ids):
+        if vid == query_id:
+            continue
+        if any(
+            bin(int(buckets[i, t]) ^ int(buckets[qi, t])).count("1") <= hamming_radius
+            for t in range(buckets.shape[1])
+        ):
+            cands.append((vid, spark_round(_cosine(vecs[i], vecs[qi]))))
+    cands.sort(key=lambda r: (-r[1], r[0]))
+    rows = [{"vec_id": v, "cosine": c} for v, c in cands[:k]]
+    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+    return rows, schema
+
+
+def mint_s_lsh_ann_batch(
+    n_queries: int = 5, k: int = 5
+) -> tuple[list[dict], "object"]:
+    """Batch form: per query, candidates are hamming<=1 in any table (the
+    multiprobe XOR-one-bit expansion is exactly the radius-1 ball), exact
+    left-fold cosine re-rank, top-k per query."""
+    import pyarrow as pa
+
+    ids, vecs = _embeddings()
+    buckets = lsh_buckets(vecs)
+    rows = []
+    for qid in range(n_queries):
+        qi = ids.index(qid)
+        cands = []
+        for i, vid in enumerate(ids):
+            if vid == qid:
+                continue
+            if any(
+                bin(int(buckets[i, t]) ^ int(buckets[qi, t])).count("1") <= 1
+                for t in range(buckets.shape[1])
+            ):
+                cands.append((vid, spark_round(_cosine(vecs[i], vecs[qi]))))
+        cands.sort(key=lambda r: (-r[1], r[0]))
+        rows.extend(
+            {"query_id": qid, "cand_id": v, "cosine": c} for v, c in cands[:k]
+        )
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("cand_id", pa.int64()), ("cosine", pa.float64())]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
+# mint-all entry point
+# ---------------------------------------------------------------------
+
+MINTERS = {
+    "x_extract_corpus": mint_x_extract_corpus,
+    "m_image_metadata": mint_m_image_metadata,
+    "m_image_features": mint_m_image_features,
+    "d_simhash_pairs": mint_d_simhash_pairs,
+    "s_lsh_ann": mint_s_lsh_ann,
+    "s_lsh_ann_batch": mint_s_lsh_ann_batch,
+}
+
+
+def fixture_path(name: str) -> str:
+    return os.path.join(FIXTURE_DIR, f"{name}.parquet")
+
+
+def mint_table(name: str):
+    import pyarrow as pa
+
+    rows, schema = MINTERS[name]()
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def main() -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    for name in MINTERS:
+        tbl = mint_table(name)
+        pq.write_table(tbl, fixture_path(name), compression="zstd")
+        print(f"minted {name}: {tbl.num_rows} rows -> {fixture_path(name)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -206,14 +206,51 @@ def minhash_lsh_pairs(
     )
 
 
+def md5_long_expr(col):
+    """64-bit signed feature hash from md5 (first 8 bytes, big-endian) as a
+    JVM expression.  Chosen over ``xxhash64`` for SimHash because md5 is
+    reproducible in every engine (hashlib, DuckDB, Spark), which makes the
+    banded SimHash output independently oracle-able
+    (:mod:`markmuse_spark.golden.query_fixtures`); ~2x slower per feature —
+    swap back to ``xxhash64`` at scale when cross-engine parity is not
+    needed."""
+    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(u >= two63, u - two64).otherwise(u).cast("long")
+
+
+def near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    exact: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """User-facing near-dup pair API.  DEFAULTS TO THE LSH PATH
+    (:func:`minhash_lsh_pairs`): banded candidates, exact-Jaccard verify —
+    the only shape that survives 10^12 documents.  ``exact=True`` switches
+    to the inverted-index self-join (:func:`ngram_jaccard_pairs`), the
+    ground-truth/oracle form; use it only at small scale or with ``max_df``
+    set (unbounded, every stopword shingle is a hot join key)."""
+    if exact:
+        return ngram_jaccard_pairs(
+            docs, id_col, text_col, n, threshold, max_df=max_df
+        )
+    return minhash_lsh_pairs(docs, id_col, text_col, n, threshold=threshold)
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """64-bit SimHash over word n-gram shingle features: feature hashes
-    JVM-side (xxhash64), bit-vote reduction as a vectorized numpy
-    pandas-UDF (the only Python step).  Shingle features (not unigrams)
-    keep the feature space large enough that near-identical documents land
-    within a few bits even over small vocabularies."""
+    JVM-side (md5-derived, see :func:`md5_long_expr`), bit-vote reduction
+    as a vectorized numpy pandas-UDF (the only Python step).  Shingle
+    features (not unigrams) keep the feature space large enough that
+    near-identical documents land within a few bits even over small
+    vocabularies."""
     import numpy as np
     import pandas as pd
 
@@ -237,7 +274,7 @@ def simhash(
     _simhash_from_hashes.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
     _simhash_from_hashes = F.pandas_udf(_simhash_from_hashes, "long")
 
-    token_hashes = F.transform(shingles_expr(text_col, n), lambda t: F.xxhash64(t))
+    token_hashes = F.transform(shingles_expr(text_col, n), lambda t: md5_long_expr(t))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         _simhash_from_hashes(token_hashes).alias("simhash"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 
 from markmuse_spark.kernel.extract import extract_document
@@ -31,10 +32,37 @@ RESULT_DDL = (
 _COLS = ("url", "markdown", "extracted_text", "n_pages", "n_images", "n_chars", "error")
 
 
-def extract_markdown(pages: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+class PartitionMetricsParam(AccumulatorParam):
+    """Dict accumulator keyed by partition id, one metrics dict per key.
+
+    Merge is last-write-wins per key: a speculatively re-executed or
+    retried task overwrites its own partition's entry with identical
+    values instead of double-counting (the classic accumulator-in-
+    transformation hazard)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
+def extract_markdown(
+    pages: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    metrics_acc=None,
+) -> DataFrame:
     """Map the extraction kernel over (url, payload) with per-row error
     capture (A19 analog: one bad document never kills the job) and the
-    executor partition id recorded for the lineage sidecar (A20 analog)."""
+    executor partition id recorded for the lineage sidecar (A20 analog).
+
+    ``metrics_acc``: optional ``PartitionMetricsParam`` accumulator; when
+    given, each task adds its partition's url/ok/err/char/image counts as
+    it finishes, so the lineage sidecar comes out of the SAME pass as the
+    write — no second scan of the committed output (at 10^12 rows the
+    re-read is real money even column-pruned)."""
     import pyarrow as pa  # deferred: resolved on executors too
 
     schema = pa.schema(
@@ -55,6 +83,7 @@ def extract_markdown(pages: DataFrame, url_col: str = "url", payload_col: str = 
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        n_rows = n_err = sum_chars = sum_images = 0
         for batch in batches:
             urls = batch.column(0).to_pylist()
             payloads = batch.column(1).to_pylist()
@@ -63,8 +92,24 @@ def extract_markdown(pages: DataFrame, url_col: str = "url", payload_col: str = 
                 row = extract_document(url, payload)
                 for j, name in enumerate(_COLS):
                     cols[j].append(row[name])
+                n_rows += 1
+                n_err += row["error"] is not None
+                sum_chars += row["n_chars"]
+                sum_images += row["n_images"]
             arrays = [pa.array(c, type=schema.field(i).type) for i, c in enumerate(cols)]
             arrays.append(pa.array([pid] * len(urls), type=pa.int32()))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        if metrics_acc is not None and n_rows:
+            metrics_acc.add(
+                {
+                    pid: {
+                        "url_count": n_rows,
+                        "ok_count": n_rows - n_err,
+                        "err_count": n_err,
+                        "sum_chars": sum_chars,
+                        "sum_images": sum_images,
+                    }
+                }
+            )
 
     return pages.select(url_col, payload_col).mapInArrow(run, RESULT_DDL)

@@ -154,13 +154,156 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_pair_candidates(
+    vectors: DataFrame,
+    n_tables: int = 32,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate pairs from a ``(table_id, bucket)`` EQUI-join over
+    hyperplane-LSH signatures — the scale shape for embedding pair mining.
+
+    Unlike the all-pairs theta join (``id_a < id_b`` = a cartesian with a
+    filter, O(n^2) shuffled rows), this shuffles each row once per table on
+    its bucket key; pairwise work happens only within buckets.  At 10^12
+    vectors bucket sizes are bounded by choosing ``n_planes`` ~ log2(n /
+    target_bucket_size), so the join output is ~n * bucket_size * n_tables,
+    not n^2."""
+    sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
+    b = sigs.select(
+        F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    return (
+        a_.join(
+            b_,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def embedding_near_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = 32,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed near-duplicate pair mining: LSH candidates (equi-join),
+    exact-cosine verification of candidates only — output is a subset of
+    the exact all-pairs result by construction; recall is the LSH knob.
+
+    Parameter honesty: a hyperplane agrees on a cos-0.45 pair with
+    p = 1 - acos(0.45)/pi ~ 0.65 vs 0.5 for a random pair, so near the
+    test corpus's 0.45 threshold few planes + many tables are needed for
+    recall ~1 and bucket selectivity is weak.  At production near-dup
+    thresholds (cos >= 0.85: p ~ 0.82) selectivity is real — use
+    ``n_planes`` 12-16 there.  The SHAPE (equi-join on (table, bucket),
+    never a theta join) is what survives 10^12 rows."""
+    cand = lsh_pair_candidates(
+        vectors, n_tables, n_planes, seed, id_col, vec_col, dim
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    va = v.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("n_a")
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("n_b")
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+def lsh_batch_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Batch ANN: many queries at once via a grouped ``(table_id, bucket)``
+    probe — the join form :func:`lsh_bucketed_topk`'s docstring promises.
+
+    The query side expands each bucket to its Hamming-radius-1 multiprobe
+    set JVM-side (bucket XOR each single plane bit), so the data side needs
+    only an exact equi-join — no per-pair Hamming evaluation, no broadcast
+    of the full query set's signatures beyond the exploded probe keys.
+    Candidates are deduped per (query, candidate) and exact-cosine
+    re-ranked with a per-query top-k window."""
+    from pyspark.sql import Window
+
+    sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
+    data = sigs.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    qsigs = lsh_signatures(queries, n_tables, n_planes, seed, id_col, vec_col, dim)
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    qprobe = (
+        qsigs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+            F.posexplode("buckets").alias("table_id", "qbucket"),
+        )
+        .select(
+            "query_id", "qvec", "table_id", F.explode(probes).alias("bucket")
+        )
+    )
+    cand = (
+        data.join(F.broadcast(qprobe), ["table_id", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qvec", "cand_id", "cand_vec")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    cos = F.round(cosine_expr(F.col("cand_vec"), F.col("qvec")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        cand.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_near_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs cosine near-duplicates (embedding-space dedup)."""
+    """Exact all-pairs cosine near-duplicates (embedding-space dedup).
+
+    This is the ORACLE/ground-truth path (O(n^2) theta join) — route
+    production pair mining through :func:`embedding_near_pairs_lsh`."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("nrm", _norm(F.col("vec")))  # per-vector, never per-pair

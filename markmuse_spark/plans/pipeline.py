@@ -34,7 +34,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from markmuse_spark.operators.extract import extract_markdown
+from markmuse_spark.operators.extract import PartitionMetricsParam, extract_markdown
 
 DEFAULT_BIG_BYTES = 256 * 1024
 DEFAULT_OVERSUB = 4
@@ -102,7 +102,11 @@ def run_extraction(
             todo = todo.join(done, "url", "left_anti")
 
     shuffled = salted_repartition(todo, parallelism, big_bytes, oversub)
-    result = extract_markdown(shuffled)
+    # per-partition metrics accumulate INSIDE the extraction pass (keyed by
+    # partition id, last-write-wins under task retries) so the lineage
+    # sidecar needs no second scan of the committed output
+    metrics_acc = spark.sparkContext.accumulator({}, PartitionMetricsParam())
+    result = extract_markdown(shuffled, metrics_acc=metrics_acc)
 
     run_path = os.path.join(output_dir, "extracted", f"run_id={run_id}")
     status = "SUCCESS"
@@ -134,8 +138,9 @@ def run_extraction(
 
     completed_at = _dt.datetime.now(_dt.timezone.utc)
 
-    # ---- lineage / metrics sidecar (reads the committed parquet back:
-    # cheap — markdown column pruned, counts only) ----------------------
+    # ---- lineage / metrics sidecar: per-partition rows straight from the
+    # in-pass accumulator — the committed output is NOT re-read (the former
+    # read-back survives only as a test-time cross-check) ----------------
     metrics_rows: list[dict] = []
     job_row = {
         "run_id": run_id,
@@ -150,44 +155,28 @@ def run_extraction(
         "metrics": None,
     }
     if status == "SUCCESS":
-        if iceberg_table is not None:
-            read_back = spark.read.table(iceberg_table).filter(
-                F.col("run_id") == run_id
-            )
-        else:
-            read_back = spark.read.parquet(run_path)
-        per_part = (
-            read_back
-            .groupBy("partition_id")
-            .agg(
-                F.count("*").alias("url_count"),
-                F.count(F.when(F.col("error").isNull(), 1)).alias("ok_count"),
-                F.count(F.when(F.col("error").isNotNull(), 1)).alias("err_count"),
-                F.sum("n_chars").alias("sum_chars"),
-                F.sum("n_images").alias("sum_images"),
-            )
-            .collect()
-        )
-        for r in per_part:
+        per_part = metrics_acc.value
+        for pid in sorted(per_part):
+            m = per_part[pid]
             metrics_rows.append(
                 {
                     "run_id": run_id,
-                    "partition_id": r["partition_id"],
+                    "partition_id": pid,
                     "status": "SUCCESS",
-                    "url_count": r["url_count"],
-                    "ok_count": r["ok_count"],
-                    "err_count": r["err_count"],
+                    "url_count": m["url_count"],
+                    "ok_count": m["ok_count"],
+                    "err_count": m["err_count"],
                     "started_at": started_at,
                     "completed_at": completed_at,
                     "error_message": None,
                     "metrics": json.dumps(
-                        {"sum_chars": r["sum_chars"], "sum_images": r["sum_images"]}
+                        {"sum_chars": m["sum_chars"], "sum_images": m["sum_images"]}
                     ),
                 }
             )
-        job_row["url_count"] = sum(r["url_count"] for r in per_part)
-        job_row["ok_count"] = sum(r["ok_count"] for r in per_part)
-        job_row["err_count"] = sum(r["err_count"] for r in per_part)
+        job_row["url_count"] = sum(m["url_count"] for m in per_part.values())
+        job_row["ok_count"] = sum(m["ok_count"] for m in per_part.values())
+        job_row["err_count"] = sum(m["err_count"] for m in per_part.values())
     metrics_rows.append(job_row)
 
     runs_schema = (

@@ -8,9 +8,12 @@ Conventions (driver contract, ``__spark_entry__.py``):
   driver's compare sorts columns by name before value-hashing)
 * float aggregates are rounded on both sides (IEEE summation order differs
   between engines)
-* queries with no SQL-expressible oracle (the extraction kernel, MinHash
-  LSH, SimHash, streaming) appear in :data:`QUERIES` only -> the driver
-  records a rows-only check
+* queries whose semantics plain SQL cannot re-derive (the extraction
+  kernel, SimHash, hyperplane LSH, the fake feature encoder) are oracled
+  against golden parquet fixtures minted by INDEPENDENT pure-Python
+  implementations (:mod:`markmuse_spark.golden.query_fixtures`); their
+  oracle SQL is a ``read_parquet`` SELECT — every registry entry carries a
+  full three-way (rows+schema+hash) oracle
 
 SURVEY §2 mapping is noted per entry (B-ops = control-plane relational
 surface, A-ops = pipeline dataflow, C-ops = scalar library).
@@ -18,11 +21,21 @@ surface, A-ops = pipeline dataflow, C-ops = scalar library).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# golden parquet fixtures minted by independent pure-Python oracles
+# (markmuse_spark/golden/query_fixtures.py) for queries whose semantics SQL
+# cannot express directly; the oracle SQL is then a read_parquet SELECT
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "query_golden",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -692,10 +705,26 @@ def d_ngram_jaccard(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-@_q("d_minhash_lsh")  # rows-only: banded-LSH not SQL-expressible
+@_q(
+    "d_minhash_lsh",
+    # the LSH path must find exactly the exact-Jaccard pairs (candidate
+    # generation is banded MinHash, verification is exact): the oracle IS
+    # the exact n-gram-Jaccard relation — the strongest end-to-end
+    # statement ("no pair above threshold is missed on this corpus")
+    _SH_SQL
+    + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5 "
+    "ORDER BY doc_a, doc_b",
+)
 def d_minhash_lsh(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified —
-    the 10^12-scale dedup path (tests assert parity with d_ngram_jaccard)."""
+    the 10^12-scale dedup path (tests also assert parity with
+    d_ngram_jaccard; the oracle asserts it against DuckDB)."""
     from markmuse_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -703,9 +732,17 @@ def d_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-@_q("d_simhash_pairs")  # rows-only: bit-vote reduction not SQL-expressible
+@_q(
+    "d_simhash_pairs",
+    # fixture minted by an INDEPENDENT pure-Python all-pairs derivation
+    # (hashlib md5 features + bit votes; golden/query_fixtures.py) — equal
+    # to the banded Spark output because 8x8-bit bands provably cover every
+    # Hamming<=7 pair (pigeonhole)
+    f"SELECT doc_a, doc_b, hamming FROM "
+    f"read_parquet('{_FIXDIR}/d_simhash_pairs.parquet') ORDER BY doc_a, doc_b",
+)
 def d_simhash_pairs(spark, sf_dir):
-    """SimHash-64 near-dup pairs within Hamming<=3 via 4x16-bit bands."""
+    """SimHash-64 near-dup pairs within Hamming<=6 via 8x8-bit bands."""
     from markmuse_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_t(spark, sf_dir, "documents")).orderBy(
@@ -753,10 +790,62 @@ def s_embedding_near_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@_q("s_lsh_ann")  # rows-only: seeded hyperplane signatures not in SQL
+@_q(
+    "s_embedding_near_pairs_lsh",
+    # oracle = the exact all-pairs relation: LSH candidates + exact verify
+    # must find every pair above threshold on this corpus (recall knob
+    # documented in the operator; the pytest recall gate enforces it too)
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e))), 4) AS cosine "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e))) >= 0.45 ORDER BY id_a, id_b",
+)
+def s_embedding_near_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup pairs, the 10^12-scale path: (table, bucket)
+    equi-join candidates from hyperplane-LSH signatures + exact-cosine
+    verification — replaces the all-pairs theta join as the default pair
+    miner (s_embedding_near_pairs stays as the exact oracle form)."""
+    from markmuse_spark.operators.similarity import embedding_near_pairs_lsh
+
+    return embedding_near_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "s_lsh_ann_batch",
+    # fixture minted by the independent pure-Python replica (radius-1
+    # multiprobe == hamming<=1 ball per table; golden/query_fixtures.py)
+    "SELECT query_id, cand_id, cosine FROM "
+    f"read_parquet('{_FIXDIR}/s_lsh_ann_batch.parquet') "
+    "ORDER BY query_id, cosine DESC, cand_id",
+)
+def s_lsh_ann_batch(spark, sf_dir):
+    """Batch ANN: 5 queries probed at once through the grouped
+    (table, bucket) join form — multiprobe bucket expansion JVM-side,
+    exact re-rank, per-query top-5 window."""
+    from markmuse_spark.operators.similarity import lsh_batch_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_batch_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    ).orderBy("query_id", F.col("cosine").desc(), "cand_id")
+
+
+@_q(
+    "s_lsh_ann",
+    # fixture minted by an independent pure-Python replica of the spec
+    # (seeded numpy planes, Hamming-radius probe, strict left-fold cosine;
+    # golden/query_fixtures.py)
+    f"SELECT vec_id, cosine FROM read_parquet('{_FIXDIR}/s_lsh_ann.parquet') "
+    "ORDER BY cosine DESC, vec_id",
+)
 def s_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate top-10 (random-hyperplane signatures,
-    Hamming-radius-2 probe, exact re-rank of candidates)."""
+    Hamming-radius-1 probe, exact re-rank of candidates)."""
     from markmuse_spark.operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
@@ -767,7 +856,14 @@ def s_lsh_ann(spark, sf_dir):
 # (rows-only: the kernel and binary plumbing are not SQL-expressible)
 # =====================================================================
 
-@_q("x_extract_corpus")
+@_q(
+    "x_extract_corpus",
+    # fixture minted by the golden assembly oracle (an independent
+    # re-implementation of the reference tail over the expected page
+    # models — never the production kernel; golden/query_fixtures.py)
+    "SELECT url, markdown_md5, n_pages, n_images, n_chars, is_error FROM "
+    f"read_parquet('{_FIXDIR}/x_extract_corpus.parquet') ORDER BY url",
+)
 def x_extract_corpus(spark, sf_dir):
     """The flagship operator itself: full HTML/PDF->Markdown extraction
     over a 200-row deterministic corpus (seed 42); markdown reported as an
@@ -790,7 +886,15 @@ def x_extract_corpus(spark, sf_dir):
     )
 
 
-@_q("m_image_metadata")
+@_q(
+    "m_image_metadata",
+    # fixture minted from first principles (payload reconstructed from
+    # doc_id + text, dimensions from the construction arithmetic, sha1 via
+    # hashlib — no kernel code; golden/query_fixtures.py)
+    "SELECT _id, format, width, height, n_bytes, sha1 FROM "
+    f"read_parquet('{_FIXDIR}/m_image_metadata.parquet') "
+    "ORDER BY CAST(_id AS INTEGER)",
+)
 def m_image_metadata(spark, sf_dir):
     """Multimodal: binary image columns with typed metadata — synthetic
     PNG payloads built JVM-side (unhex magic + IHDR from doc_id), parsed
@@ -808,7 +912,13 @@ def m_image_metadata(spark, sf_dir):
     return image_metadata(media, "media_id", "payload").orderBy(F.col("_id").cast("int"))
 
 
-@_q("m_image_features")
+@_q(
+    "m_image_features",
+    # fixture minted by an independent hashlib+numpy replica of the
+    # documented fake-encoder spec (golden/query_fixtures.py)
+    "SELECT doc_id, f0, f1, dim FROM "
+    f"read_parquet('{_FIXDIR}/m_image_features.parquet') ORDER BY doc_id",
+)
 def m_image_features(spark, sf_dir):
     """Multimodal: deterministic (clearly-fake) feature vectors over binary
     payloads — exercises the binary->array<float> embedding plumbing."""
@@ -819,13 +929,27 @@ def m_image_features(spark, sf_dir):
     feats = extract_image_features(media, "doc_id", "payload")
     return feats.select(
         "doc_id",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
-        F.round(F.element_at("features", 2), 4).alias("f1"),
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("features", 2).cast("double"), 4).alias("f1"),
         F.size("features").alias("dim"),
     ).orderBy("doc_id")
 
 
-@_q("m_frame_sample")
+@_q(
+    "m_frame_sample",
+    # direct SQL oracle: the byte-window frame sampler is arithmetic over
+    # payload lengths, fully expressible in DuckDB
+    "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len "
+    "FROM documents WHERE doc_id < 30), "
+    "f AS (SELECT doc_id, len, "
+    "unnest(range(least(4, 1 + (len - 1) // 128))) AS frame_idx "
+    "FROM d WHERE len > 0) "
+    "SELECT CAST(doc_id AS INTEGER) AS doc_id, "
+    "CAST(frame_idx AS INTEGER) AS frame_idx, "
+    "CAST(frame_idx * 128 AS BIGINT) AS byte_offset, "
+    "CAST(least(256, len - frame_idx * 128) AS INTEGER) AS frame_bytes "
+    "FROM f ORDER BY doc_id, frame_idx",
+)
 def m_frame_sample(spark, sf_dir):
     """Multimodal: 1->N frame-sampling plumbing over opaque media bytes."""
     from markmuse_spark.operators.multimodal import sample_video_frames

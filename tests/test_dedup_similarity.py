@@ -98,3 +98,53 @@ def test_simhash_deterministic_across_partitionings(spark, docs):
     one = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(1)).collect()}
     many = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(13)).collect()}
     assert one == many
+
+
+def test_embedding_near_pairs_lsh_equals_exact(vectors):
+    """The bucketed pair miner (equi-join candidates + exact verify) must
+    find every exact pair on this corpus — the recall gate for the
+    10^12-scale default path."""
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_pairs(vectors).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_pairs_lsh(vectors).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_lsh_batch_topk_recall_floor(vectors):
+    """Batch ANN vs per-query brute force.  This corpus is LSH-hostile
+    (neighbor cosines 0.24-0.37 ~ noise level, hyperplane agreement
+    p ~ 0.55-0.6), so the floor is modest; measured mean recall 0.68."""
+    got: dict[int, set] = {}
+    batch = similarity.lsh_batch_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=5
+    ).collect()
+    for r in batch:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = []
+    for q in range(5):
+        bf = {
+            r.vec_id
+            for r in similarity.cosine_topk(vectors, query_id=q, k=5).collect()
+        }
+        recalls.append(len(bf & got.get(q, set())) / 5)
+    assert sum(recalls) / len(recalls) >= 0.5
+    # re-rank is exact: every returned cosine matches the brute-force value
+    bf0 = {r.vec_id: r.cosine for r in similarity.cosine_topk(vectors, 0, k=500).collect()}
+    for r in batch:
+        if r.query_id == 0:
+            assert bf0[r.cand_id] == r.cosine
+
+
+def test_near_duplicates_default_is_lsh(docs, exact_pairs):
+    """The user-facing API routes through the banded-LSH path by default
+    and matches the exact relation on this corpus."""
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.near_duplicates(docs).collect()
+    }
+    assert got == {(a, b, j) for (a, b), j in exact_pairs.items()}

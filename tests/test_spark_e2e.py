@@ -61,6 +61,46 @@ def test_full_run_with_sidecar(spark, small_corpus, tmp_path):
     agg = parts.agg(F.sum("url_count"), F.sum("ok_count"), F.sum("err_count")).first()
     assert agg[0] == N_ROWS and agg[0] == agg[1] + agg[2]
     assert runs.filter((F.col("partition_id") == -1) & (F.col("status") == "SUCCESS")).count() == 1
+    # cross-check: the accumulator-built sidecar must agree with a re-read
+    # of the committed output per partition (the production job never does
+    # this second scan; the test does it so a drift would be caught here)
+    reread = {
+        r["partition_id"]: (r["url_count"], r["err_count"])
+        for r in extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("url_count"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("err_count"),
+        )
+        .collect()
+    }
+    sidecar = {
+        r["partition_id"]: (r["url_count"], r["err_count"]) for r in parts.collect()
+    }
+    assert sidecar == reread
+
+
+def test_iceberg_sink_without_catalog_fails_with_lineage(spark, tmp_path):
+    """Contract for the Iceberg path in a catalog-less sandbox: the write
+    fails loudly, a FAILURE lineage row is still committed (A20), and the
+    run directory is absent so resume treats the run as not-done."""
+    import os
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    pages = corpus.pages_dataframe(spark, 30, seed=42, partitions=2)
+    with _pytest.raises(RuntimeError, match="failed"):
+        pipeline.run_extraction(
+            spark, pages, out, run_id="rI", iceberg_table="ice.cat.extracted"
+        )
+    runs = spark.read.parquet(f"{out}/extraction_runs")
+    row = runs.filter(F.col("run_id") == "rI").collect()
+    assert len(row) == 1 and row[0]["status"] == "FAILURE"
+    assert row[0]["error_message"]
+    assert not os.path.exists(f"{out}/extracted/run_id=rI/_SUCCESS")
+    # and the next (parquet) run is unaffected by the failed one
+    job = pipeline.run_extraction(spark, pages, out, run_id="rJ")
+    assert job["status"] == "SUCCESS" and job["url_count"] == 30
 
 
 def test_resume_is_idempotent_and_incremental(spark, tmp_path):
