@@ -28,6 +28,9 @@ __all__ = [
     "content_type_for_extension",
     "image_type_class",
     "json_roundtrip",
+    "mask_url_password",
+    "template_variables",
+    "render_template",
 ]
 
 #: s3_storage.py:377-393 — extension -> MIME
@@ -121,3 +124,79 @@ def image_type_class(img_id: Column) -> Column:
 def json_roundtrip(c: Column, schema: str) -> Column:
     """C16 — JSON (de)serialization (redis client.py:137-170 analog)."""
     return F.from_json(c, schema)
+
+
+def mask_url_password(url: Column) -> Column:
+    """C17 — connection-URL password mask (redis client.py:76-95).
+
+    Bug-compatible transcription of the reference's split logic: the
+    credential part is everything before the FIRST '@'; with >= 3
+    colon-separated pieces the third-and-later pieces (the password) become
+    '***'; with exactly 2 the second does; text after a SECOND '@' is
+    dropped (the reference rejoins only parts[1])."""
+    c = _c(url)
+    at = F.split(c, "@")
+    proto_auth = F.element_at(at, 1)
+    host = F.element_at(at, 2)
+    pp = F.split(proto_auth, ":")
+    masked = (
+        F.when(
+            F.size(pp) >= 3,
+            F.concat(
+                F.element_at(pp, 1), F.lit(":"), F.element_at(pp, 2),
+                F.lit(":***@"), host,
+            ),
+        )
+        .when(F.size(pp) == 2, F.concat(F.element_at(pp, 1), F.lit(":***@"), host))
+        .otherwise(c)
+    )
+    return F.when(F.size(at) >= 2, masked).otherwise(c)
+
+
+_TEMPLATE_VAR = r"\{\{\s*(\w+)\s*\}\}"
+
+
+def template_variables(template: Column) -> Column:
+    """C18a — template variable extraction (jinja_prompt.py:50-68's regex
+    fallback, which for the ``{{ var }}``-only dialect equals the AST
+    walk): sorted distinct variable names, JVM-side."""
+    return F.array_sort(
+        F.array_distinct(F.regexp_extract_all(_c(template), F.lit(_TEMPLATE_VAR), 1))
+    )
+
+
+def render_template(template: Column, params: Column) -> Column:
+    """C18b — strict-undefined template render (jinja_prompt.py:35
+    StrictUndefined semantics) for the ``{{ var }}`` dialect: every
+    variable must exist in the ``params`` map column or the row errors.
+
+    Arrow-batched pandas UDF (string assembly with per-row dict lookups is
+    not expressible as a JVM column over a dynamic map)."""
+    import re as _re
+
+    import pandas as pd
+
+    pat = _re.compile(_TEMPLATE_VAR)
+
+    def _render(tpls, maps):
+        out = []
+        for t, m in zip(tpls, maps):
+            if t is None:
+                out.append(None)
+                continue
+            params_d = m or {}
+
+            def _sub(match):
+                name = match.group(1)
+                if name not in params_d or params_d[name] is None:
+                    raise ValueError(f"undefined template variable {name!r}")
+                return str(params_d[name])
+
+            out.append(pat.sub(_sub, t))
+        return pd.Series(out)
+
+    _render.__annotations__ = {
+        "tpls": pd.Series, "maps": pd.Series, "return": pd.Series
+    }
+    _render = F.pandas_udf(_render, "string")
+    return _render(_c(template), params)

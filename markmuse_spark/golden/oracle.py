@@ -181,6 +181,72 @@ def output_stem(url: str) -> str:
     return seg
 
 
+def assemble_document_enhanced(
+    url: str, pages: list[dict[str, Any]], captions: Optional[dict[str, str]]
+) -> dict[str, Any]:
+    """Enhanced-mode tail (``markmuse.py:569-608``): per-page link rewrite
+    with caption injection, the global ``re.sub`` SKIPPED
+    (``markmuse.py:664-666`` — enhanced mode replaces matched refs
+    in-page via ``str.replace`` and leaves everything else verbatim,
+    including matched-but-undescribed refs).
+
+    ``captions`` maps the image's primary id (manifest ``img_id``) to its
+    description — the reference fills this from the LLM
+    (``markmuse.py:462-503``); here it is an injected input so the tail
+    stays deterministic (the LLM is the pluggable seam, see
+    ``operators/extract.deterministic_captions``).
+    """
+    stem = output_stem(url)
+    image_map, manifest = build_image_map(pages)
+    desc = captions or {}
+    # image_map key -> (safe_filename, description): dual keys share the
+    # primary id's description, as the reference's shared info dict does
+    by_primary = {m["img_id"]: m["safe_filename"] for m in manifest}
+    enhanced_map: dict[str, tuple[str, Optional[str]]] = {}
+    for img_id, safe in by_primary.items():
+        d = desc.get(img_id)
+        enhanced_map[img_id] = (safe, d)
+        if not _EXT7.search(img_id):
+            enhanced_map[img_id + ".png"] = (safe, d)
+
+    n_enhanced = 0
+    contents: list[str] = []
+    for page in sorted(pages, key=lambda p: p["page_idx"]):
+        md = page.get("markdown")
+        if md is None:
+            continue
+        for alt_text, img_url in _IMG_LINK.findall(md):
+            img_id = img_url.split("/")[-1] if "/" in img_url else img_url
+            info: Optional[tuple[str, Optional[str]]] = None
+            if img_id in enhanced_map:  # markmuse.py:580-581
+                info = enhanced_map[img_id]
+            elif not _EXT5.search(img_id):  # markmuse.py:583-588
+                for ext in _PROBE_EXTS:
+                    if img_id + ext in enhanced_map:
+                        info = enhanced_map[img_id + ext]
+                        break
+            if info is None or info[1] is None:
+                continue  # unmatched OR undescribed: left verbatim (:590)
+            safe, description = info
+            new_ref = (
+                f"![{alt_text}]({stem}_images/{safe})\n\n"
+                f"**AI图片分析**：{description}\n"
+            )  # markmuse.py:599-604
+            old_ref = f"![{alt_text}]({img_url})"
+            if old_ref in md:
+                n_enhanced += md.count(old_ref)
+            md = md.replace(old_ref, new_ref)  # markmuse.py:606-608
+        contents.append(md)
+    markdown = "\n\n".join(contents)  # markmuse.py:614 (no global rewrite)
+    return {
+        "url": url,
+        "markdown": markdown,
+        "extracted_text": plain_text(markdown),
+        "image_manifest": manifest,
+        "n_enhanced": n_enhanced,
+    }
+
+
 def assemble_document(url: str, pages: list[dict[str, Any]]) -> dict[str, Any]:
     """Full deterministic tail for one document — the golden-fixture mint.
 

@@ -105,6 +105,62 @@ def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
     return rows, schema
 
 
+def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
+    """Enhanced-mode (A11) golden: the independent enhanced oracle over the
+    expected page models, captions from the same deterministic fake the
+    Spark-side ``deterministic_captions`` produces."""
+    import pyarrow as pa
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    rows = []
+    for i in range(100):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            rows.append(
+                {
+                    "url": url,
+                    "markdown_md5": hashlib.md5(b"").hexdigest(),
+                    "n_images": 0,
+                    "n_enhanced": 0,
+                    "n_chars": 0,
+                    "is_error": True,
+                }
+            )
+            continue
+        captions = {
+            f"img-p1-{k}.png": "synthetic caption "
+            + hashlib.md5(f"{url}|img-p1-{k}.png".encode()).hexdigest()[:12]
+            for k in range(1, 5)
+        }
+        doc = oracle.assemble_document_enhanced(url, expected, captions)
+        rows.append(
+            {
+                "url": url,
+                "markdown_md5": hashlib.md5(
+                    doc["markdown"].encode("utf-8")
+                ).hexdigest(),
+                "n_images": len(doc["image_manifest"]),
+                "n_enhanced": doc["n_enhanced"],
+                "n_chars": len(doc["markdown"]),
+                "is_error": False,
+            }
+        )
+    rows.sort(key=lambda r: r["url"])
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("markdown_md5", pa.string()),
+            ("n_images", pa.int32()),
+            ("n_enhanced", pa.int32()),
+            ("n_chars", pa.int64()),
+            ("is_error", pa.bool_()),
+        ]
+    )
+    return rows, schema
+
+
 # ---------------------------------------------------------------------
 # m_image_metadata: first-principles expectations for the synthetic PNGs
 # ---------------------------------------------------------------------
@@ -332,6 +388,7 @@ def mint_s_lsh_ann_batch(
 
 MINTERS = {
     "x_extract_corpus": mint_x_extract_corpus,
+    "x_extract_enhanced": mint_x_extract_enhanced,
     "m_image_metadata": mint_m_image_metadata,
     "m_image_features": mint_m_image_features,
     "d_simhash_pairs": mint_d_simhash_pairs,

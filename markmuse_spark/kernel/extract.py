@@ -59,3 +59,41 @@ def extract_batch(
 ) -> list[dict[str, Any]]:
     """One Arrow batch of documents in, one list of result rows out."""
     return [extract_document(u, p) for u, p in zip(urls, payloads)]
+
+
+def extract_document_enhanced(
+    url: str, payload: Optional[bytes], captions: Optional[dict[str, str]]
+) -> dict[str, Any]:
+    """Enhanced-mode variant (A11): same kernel dispatch, caption-injecting
+    assembly tail (``assemble_one_enhanced``)."""
+    from markmuse_spark.kernel.markdown_assembly import assemble_one_enhanced
+
+    try:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        if payload.startswith(b"%PDF"):
+            pages = pdf_extract.extract_pages(payload)
+        else:
+            pages = html_extract.extract_pages(payload)
+        doc = assemble_one_enhanced(url, pages, captions)
+        return {
+            "url": url,
+            "markdown": doc["markdown"],
+            "extracted_text": doc["extracted_text"],
+            "n_pages": len(pages),
+            "n_images": len(doc["image_manifest"]),
+            "n_enhanced": doc["n_enhanced"],
+            "n_chars": len(doc["markdown"]),
+            "error": None,
+        }
+    except Exception as exc:
+        return {
+            "url": url,
+            "markdown": None,
+            "extracted_text": None,
+            "n_pages": 0,
+            "n_images": 0,
+            "n_enhanced": 0,
+            "n_chars": 0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }

@@ -167,6 +167,70 @@ def assemble_one(url: str, pages: list[dict[str, Any]]) -> dict[str, Any]:
     }
 
 
+def assemble_one_enhanced(
+    url: str,
+    pages: list[dict[str, Any]],
+    captions: Optional[dict[str, str]],
+) -> dict[str, Any]:
+    """Enhanced-mode assembly (A11, ``markmuse.py:569-608``): matched image
+    refs with a caption are rewritten IN-PAGE via exact-substring replace
+    and get the ``**AI图片分析**`` block appended; everything else —
+    unmatched refs AND matched-but-uncaptioned refs — stays verbatim, and
+    the non-enhanced global rewrite is skipped (``markmuse.py:664-666``).
+
+    ``captions`` maps primary image id -> description.  The caption source
+    is external (the reference calls an LLM per image); this kernel is the
+    deterministic tail that consumes it.  Byte-parity vs
+    ``golden.oracle.assemble_document_enhanced`` is pinned in tests.
+    """
+    ordered = sorted(pages, key=lambda p: p["page_idx"])
+    stem = derive_stem(url)
+    index, manifest = build_image_index(ordered, stem)
+    desc = captions or {}
+    # probe-key -> (target, description); dual keys share the primary id's
+    # description exactly like the reference's shared info dict
+    enhanced: dict[str, tuple[str, Optional[str]]] = {}
+    prefix = stem + "_images/"
+    for m in manifest:
+        img_id, safe = m["img_id"], m["safe_filename"]
+        d = desc.get(img_id)
+        enhanced[img_id] = (prefix + safe, d)
+        if not _EXT7.search(img_id):
+            enhanced[img_id + ".png"] = (prefix + safe, d)
+
+    n_enhanced = 0
+    out_pages: list[str] = []
+    for page in ordered:
+        md = page.get("markdown")
+        if md is None:
+            continue
+        if "![" in md:
+            for alt, img_url in _IMG_LINK.findall(md):
+                img_id = img_url.rsplit("/", 1)[-1] if "/" in img_url else img_url
+                info = enhanced.get(img_id)
+                if info is None and not _EXT5.search(img_id):
+                    for ext in _PROBE_EXTS:
+                        info = enhanced.get(img_id + ext)
+                        if info is not None:
+                            break
+                if info is None or info[1] is None:
+                    continue
+                target, description = info
+                old_ref = f"![{alt}]({img_url})"
+                new_ref = f"![{alt}]({target})\n\n**AI图片分析**：{description}\n"
+                n_enhanced += md.count(old_ref)
+                md = md.replace(old_ref, new_ref)
+        out_pages.append(md)
+    markdown = "\n\n".join(out_pages)
+    return {
+        "url": url,
+        "markdown": markdown,
+        "extracted_text": to_plain_text(markdown),
+        "image_manifest": manifest,
+        "n_enhanced": n_enhanced,
+    }
+
+
 def assemble_batch(
     urls: Iterable[str], pages_col: Iterable[list[dict[str, Any]]]
 ) -> tuple[list[str], list[str], list[list[dict]], list[int]]:

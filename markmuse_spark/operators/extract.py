@@ -113,3 +113,104 @@ def extract_markdown(
             )
 
     return pages.select(url_col, payload_col).mapInArrow(run, RESULT_DDL)
+
+
+ENHANCED_DDL = (
+    "url string, markdown string, extracted_text string, n_pages int, "
+    "n_images int, n_enhanced int, n_chars long, error string, partition_id int"
+)
+
+_ENH_COLS = (
+    "url", "markdown", "extracted_text", "n_pages", "n_images", "n_enhanced",
+    "n_chars", "error",
+)
+
+
+def deterministic_captions(pages: DataFrame, max_images_per_page: int = 4,
+                           url_col: str = "url") -> DataFrame:
+    """CLEARLY-MARKED FAKE captioner (the reference's LLM seam,
+    markmuse.py:462-503): one deterministic md5-derived description per
+    (url, default image id).  Swap for a real captioning job on a cluster
+    with model access — the enhanced assembly tail is agnostic to the
+    caption source."""
+    from pyspark.sql import functions as F
+
+    ks = F.explode(
+        F.sequence(F.lit(1), F.lit(max_images_per_page))
+    ).alias("k")
+    with_k = pages.select(F.col(url_col).alias("url")).distinct().select("url", ks)
+    img_id = F.format_string("img-p1-%d.png", F.col("k"))
+    return with_k.select(
+        "url",
+        img_id.alias("img_id"),
+        F.concat(
+            F.lit("synthetic caption "),
+            F.substring(F.md5(F.concat(F.col("url"), F.lit("|"), img_id)), 1, 12),
+        ).alias("description"),
+    )
+
+
+def extract_markdown_enhanced(
+    pages: DataFrame,
+    captions: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """A11 enhanced mode as a Spark operator: extraction + caption-injecting
+    assembly in one Arrow pass.
+
+    ``captions``: DataFrame ``(url, img_id, description)`` — the output of
+    a (separate) captioning job.  It is grouped to one map per url and
+    joined on url; at 10^12 rows this is a shuffle join co-partitioned on
+    url (captions are small per url, never a cross product).  Pages without
+    captions take the left-outer path (nothing enhanced, refs verbatim)."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from markmuse_spark.kernel.extract import extract_document_enhanced
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("markdown", pa.string()),
+            ("extracted_text", pa.string()),
+            ("n_pages", pa.int32()),
+            ("n_images", pa.int32()),
+            ("n_enhanced", pa.int32()),
+            ("n_chars", pa.int64()),
+            ("error", pa.string()),
+            ("partition_id", pa.int32()),
+        ]
+    )
+
+    cap_map = captions.groupBy(url_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("img_id", "description"))
+        ).alias("_captions")
+    )
+    joined = pages.select(url_col, payload_col).join(cap_map, url_col, "left")
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            caps = batch.column(2).to_pylist()
+            cols: tuple[list, ...] = ([], [], [], [], [], [], [], [])
+            for url, payload, cap in zip(urls, payloads, caps):
+                # pyarrow map cells arrive as [(k, v), ...] or None
+                cap_d = dict(cap) if cap else None
+                row = extract_document_enhanced(url, payload, cap_d)
+                for j, name in enumerate(_ENH_COLS):
+                    cols[j].append(row[name])
+            arrays = [
+                pa.array(c, type=schema.field(i).type) for i, c in enumerate(cols)
+            ]
+            arrays.append(pa.array([pid] * len(urls), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return joined.mapInArrow(run, ENHANCED_DDL)

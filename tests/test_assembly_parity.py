@@ -174,3 +174,53 @@ def test_extracted_text_projection():
         == kernel.to_plain_text(md)
         == " Head bold code\n\n tailx"
     )
+
+
+def test_enhanced_mode_parity_and_semantics():
+    """A11: kernel assemble_one_enhanced is byte-identical to the enhanced
+    oracle over seeded page models, and the reference's enhanced-mode
+    quirks hold: uncaptioned-but-matched refs stay VERBATIM (no path
+    rewrite), unmatched refs stay verbatim, captioned refs gain the
+    AI-analysis block with the relative path."""
+    import random
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.kernel import markdown_assembly as ka
+    from markmuse_spark.sources import docmodel
+
+    n_docs = n_enh_total = 0
+    for i in range(120):
+        rng = random.Random(f"enh:{i}")
+        lang = ["en", "zh", "de", "fr", "es"][i % 5]
+        blocks = docmodel.random_page_blocks(rng, lang)
+        page = docmodel.expected_page(blocks, 0)
+        url = f"https://site.example/docs/enh-{i:04d}"
+        # caption only the ODD default ids so both branches are exercised
+        captions = {
+            img["id"]: f"cap {img['id']}"
+            for k, img in enumerate(page["images"])
+            if k % 2 == 0 and img["id"]
+        }
+        got = ka.assemble_one_enhanced(url, [page], captions)
+        want = oracle.assemble_document_enhanced(url, [page], captions)
+        assert got["markdown"] == want["markdown"], url
+        assert got["n_enhanced"] == want["n_enhanced"], url
+        assert got["extracted_text"] == want["extracted_text"], url
+        n_docs += 1
+        n_enh_total += got["n_enhanced"]
+        if got["n_enhanced"]:
+            assert "**AI图片分析**：" in got["markdown"]
+        # every uncaptioned inline image keeps its ORIGINAL id reference
+        kept = [
+            img["id"]
+            for k, img in enumerate(page["images"])
+            if k % 2 == 1 and img["id"] not in captions
+        ]
+        for img_id in kept:
+            # the ref may legitimately be absent if its base64 was rejected
+            # (<100B) AND captioned duplicates replaced an identical ref —
+            # but a rewritten path for it must never appear
+            assert f"]({url.rsplit('/', 1)[-1]}_images/{img_id}" not in got[
+                "markdown"
+            ] or img_id in captions
+    assert n_enh_total > 0, "fixture universe produced no enhanced refs"
