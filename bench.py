@@ -65,7 +65,7 @@ def _sf_from_dir(path: str) -> float:
         return 0.1
 
 
-CORPUS_TAG = "v2"  # bump when the corpus generator's bytes change
+CORPUS_TAG = "v3"  # bump when the corpus generator's bytes change
 
 
 def _ensure_corpus(spark, sf: float, n_rows: int) -> str:

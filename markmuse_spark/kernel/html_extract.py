@@ -20,7 +20,9 @@ Design notes (scale-first):
   north rule names
 * output block grammar matches the markdown dialect MarkMuse's OCR emits:
   ATX headings, paragraphs (with **bold**, *italic*, `` `code` `` inline),
-  ``-``/``1.`` lists, GFM tables, ``![alt](ref)`` image refs
+  ``-``/``1.`` lists (nested sub-lists indented 2 spaces per level),
+  ``> `` blockquotes (nested), fenced ``` code blocks from ``<pre>``
+  (verbatim whitespace), GFM tables, ``![alt](ref)`` image refs
 * inline ``data:`` images are lifted into the page's ``images`` list with
   MarkMuse's default id scheme ``img-p{page}-{k}.png`` (``markmuse.py:390``)
   so the downstream assembly tail (link-rewrite join) applies unchanged;
@@ -164,8 +166,8 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     skip_stack: list[str] = []  # open boilerplate subtrees (tag names)
     text_buf: list[str] = []  # inline accumulation for the current block
     inline_stack: list[str] = []  # open inline markers
-    list_stack: list[tuple[str, int]] = []  # (kind, next ordinal)
-    list_items: list[list[str]] = []  # rendered items per open list
+    list_stack: list[list] = []  # [kind, next ordinal] per open list level
+    list_lines: list[str] = []  # rendered lines of the outermost list block
     item_buf: Optional[list[str]] = None  # accumulation for current <li>
     heading_level = 0
     quote_depth = 0  # open <blockquote> nesting -> "> " prefix per level
@@ -203,6 +205,26 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                 s = "> " * quote_depth + s
             blocks.append(s)
         heading_level = 0
+
+    def _flush_item() -> None:
+        # render the pending <li> text at its depth; ordinals are consumed
+        # only by items that actually render (one markdown line per item)
+        nonlocal item_buf
+        if item_buf is None or not list_stack:
+            item_buf = None
+            return
+        s = _clean(item_buf)
+        item_buf = None
+        if not s:
+            return
+        depth = len(list_stack) - 1
+        kind, ordn = list_stack[-1]
+        if kind == "ul":
+            marker = "- "
+        else:
+            marker = f"{ordn}. "
+            list_stack[-1][1] = ordn + 1
+        list_lines.append("  " * depth + marker + s)
 
     def _flush_table() -> None:
         nonlocal in_table, table_rows, table_row, cell_buf
@@ -344,45 +366,31 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                 pre_buf = []
             continue
 
-        # ---- lists -----------------------------------------------------------
-        if name in ("ul", "ol"):
-            if not closing:
-                _flush_text()
-                list_stack.append((name, 1))
-                list_items.append([])
-                item_buf = None
-            else:
-                if item_buf is not None and list_items:
-                    s = _clean(item_buf)
-                    if s:
-                        list_items[-1].append(s)
-                    item_buf = None
-                if list_stack:
-                    kind, _ = list_stack.pop()
-                    items = list_items.pop()
-                    if items:
-                        if kind == "ul":
-                            blocks.append("\n".join(f"- {it}" for it in items))
-                        else:
-                            blocks.append(
-                                "\n".join(f"{i + 1}. {it}" for i, it in enumerate(items))
-                            )
-            continue
-        if name == "li":
-            if not list_stack:
+        # ---- lists (nested: sub-lists indent 2 spaces per level) -----------
+        if name in ("ul", "ol", "li"):
+            if name == "li":
+                if not list_stack:
+                    continue
+                _flush_item()
+                item_buf = [] if not closing else None
                 continue
             if not closing:
-                if item_buf is not None and list_items:
-                    s = _clean(item_buf)
-                    if s:
-                        list_items[-1].append(s)
-                item_buf = []
-            else:
-                if item_buf is not None and list_items:
-                    s = _clean(item_buf)
-                    if s:
-                        list_items[-1].append(s)
+                if not list_stack:
+                    _flush_text()
+                    list_lines = []
+                else:
+                    # nested list opening inside an <li>: the parent item's
+                    # own text becomes its line first
+                    _flush_item()
+                list_stack.append([name, 1])
                 item_buf = None
+            else:
+                _flush_item()
+                if list_stack:
+                    list_stack.pop()
+                if not list_stack and list_lines:
+                    blocks.append("\n".join(list_lines))
+                    list_lines = []
             continue
 
         # ---- tables -------------------------------------------------------------

@@ -44,9 +44,12 @@ _OP = re.compile(
     r"/F\d+\s+(\d+(?:\.\d+)?)\s+Tf"
     r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
     r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
-    r"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
+    r"|<([0-9A-Fa-f\s]*)>\s*Tj"
+    r"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\[\]()<>])*)\]\s*TJ"
 )
-_TJ_PIECE = re.compile(r"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)")
+_TJ_PIECE = re.compile(
+    r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)"
+)
 _UNESCAPE = re.compile(r"\\([\\()])")
 _LIST_LINE = re.compile(r"^(?:- |\d+\. )")
 
@@ -67,6 +70,22 @@ def _decode_pdf_string(raw: str) -> str:
         return s
 
 
+def _decode_hex_string(raw: str) -> str:
+    """Hex string ``<48656C6C6F>``: whitespace-tolerant, odd length padded
+    with 0 (PDF spec 7.3.4.3); bytes are the writer's UTF-8."""
+    h = "".join(raw.split())
+    if len(h) % 2:
+        h += "0"
+    try:
+        b = bytes.fromhex(h)
+    except ValueError:
+        return ""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _tj_text(body: str) -> str:
     """Concatenate a TJ array's string pieces, re-inserting word spaces
     for adjustments <= -150 (the kerned-text word gap).
@@ -76,10 +95,12 @@ def _tj_text(body: str) -> str:
     piece ``()`` yields ``('', '')`` and falls through to the string
     branch, appending '' (harmless and order-preserving)."""
     parts: list[str] = []
-    for s, num in _TJ_PIECE.findall(body):
+    for s, hx, num in _TJ_PIECE.findall(body):
         if num:
             if float(num) <= _TJ_SPACE_ADJ:
                 parts.append(" ")
+        elif hx:
+            parts.append(_decode_hex_string(hx))
         else:
             parts.append(_decode_pdf_string(s))
     return "".join(parts)
@@ -90,8 +111,8 @@ def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
     size = 10.0
     x = y = 0.0
     for m in _OP.finditer(stream):
-        # dispatch on lastindex (Tf->1, Tm->3, Tj->4, TJ->5): one attribute
-        # read instead of 2-3 group() calls per operator token
+        # dispatch on lastindex (Tf->1, Tm->3, Tj->4, hex-Tj->5, TJ->6):
+        # one attribute read instead of 2-3 group() calls per token
         li = m.lastindex
         if li == 4:
             text = _decode_pdf_string(m[4])
@@ -101,8 +122,12 @@ def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
             x, y = float(m[2]), float(m[3])
         elif li == 1:
             size = float(m[1])
+        elif li == 5:
+            text = _decode_hex_string(m[5])
+            if text:
+                runs.append((size, x, y, text))
         else:
-            text = _tj_text(m[5])
+            text = _tj_text(m[6])
             if text:
                 runs.append((size, x, y, text))
     return runs

@@ -102,7 +102,19 @@ def random_page_blocks(rng: random.Random, lang: str, rich: bool = True) -> list
                     spans.append((style, _sentence(rng, words)))
                 blocks.append({"t": "p", "spans": spans})
             elif kind < 0.66:
-                items = [_sentence(rng, words, 2, 7) for _ in range(rng.randint(2, 5))]
+                items: list = [
+                    _sentence(rng, words, 2, 7) for _ in range(rng.randint(2, 5))
+                ]
+                if rng.random() < 0.35:  # one nested sublist (depth 2)
+                    sub = {
+                        "t": rng.choice(["ul", "ol"]),
+                        "text": _sentence(rng, words, 2, 6),
+                        "items": [
+                            _sentence(rng, words, 2, 5)
+                            for _ in range(rng.randint(2, 3))
+                        ],
+                    }
+                    items.insert(rng.randrange(len(items) + 1), sub)
                 blocks.append({"t": rng.choice(["ul", "ol"]), "items": items})
             elif kind < 0.72:
                 blocks.append({"t": "bq", "text": _sentence(rng, words, 4, 12)})
@@ -164,6 +176,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
         columns = 2 if rng.random() < 0.25 else 1
         compress = rng.random() < 0.6
         use_tj = rng.random() < 0.4
+        use_hex = rng.random() < 0.3
         blocks: list[dict] = []
         n_sections = rng.randint(1, 4)
         for s in range(n_sections):
@@ -178,7 +191,13 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
                     items = [_sentence(rng, words, 2, 4) for _ in range(rng.randint(2, 4))]
                     blocks.append({"t": rng.choice(["ul", "ol"]), "items": items})
         pages.append(
-            {"columns": columns, "blocks": blocks, "compress": compress, "tj": use_tj}
+            {
+                "columns": columns,
+                "blocks": blocks,
+                "compress": compress,
+                "tj": use_tj,
+                "hex": use_hex,
+            }
         )
     return pages
 
@@ -215,8 +234,17 @@ def _render_block(b: dict, rng: random.Random) -> str:
         attr = ' class="body-text"' if rng.random() < 0.3 else ""
         return f"<p{attr}>{_render_spans(b['spans'], rng)}</p>{ws}"
     if t in ("ul", "ol"):
-        items = "".join(f"{_noise_ws(rng)}<li>{_esc(it)}</li>" for it in b["items"])
-        return f"<{t}>{items}{_noise_ws(rng)}</{t}>{ws}"
+        rendered = []
+        for it in b["items"]:
+            if isinstance(it, dict):  # item with a nested sublist
+                subs = "".join(f"<li>{_esc(s)}</li>" for s in it["items"])
+                rendered.append(
+                    f"{_noise_ws(rng)}<li>{_esc(it['text'])}"
+                    f"<{it['t']}>{subs}</{it['t']}></li>"
+                )
+            else:
+                rendered.append(f"{_noise_ws(rng)}<li>{_esc(it)}</li>")
+        return f"<{t}>{''.join(rendered)}{_noise_ws(rng)}</{t}>{ws}"
     if t == "table":
         rows_html = []
         for i, row in enumerate(b["rows"]):
@@ -305,10 +333,21 @@ def expected_page(blocks: list[dict], page_idx: int = 0, upto: Optional[int] = N
                 f"{marks[st]}{txt}{marks[st]}" if st else txt for st, txt in b["spans"]
             )
             md.append(s.strip())
-        elif t == "ul":
-            md.append("\n".join(f"- {it}" for it in b["items"]))
-        elif t == "ol":
-            md.append("\n".join(f"{i + 1}. {it}" for i, it in enumerate(b["items"])))
+        elif t in ("ul", "ol"):
+            lines: list[str] = []
+            n = 1
+            for it in b["items"]:
+                marker = "- " if t == "ul" else f"{n}. "
+                n += 1
+                if isinstance(it, dict):
+                    lines.append(marker + it["text"])
+                    sub_t = it["t"]
+                    for j, s in enumerate(it["items"]):
+                        sm = "- " if sub_t == "ul" else f"{j + 1}. "
+                        lines.append("  " + sm + s)
+                else:
+                    lines.append(marker + it)
+            md.append("\n".join(lines))
         elif t == "bq":
             md.append("> " + b["text"])
         elif t == "pre":

@@ -99,7 +99,12 @@ def page_runs(page_model: dict[str, Any]) -> list[tuple[int, int, int, str]]:
     return runs
 
 
-def _tj_array(text: str) -> bytes:
+def _hex_string(text: str) -> bytes:
+    """PDF hex string: ``<utf-8 bytes as hex>`` (spec 7.3.4.3)."""
+    return b"<%b>" % text.encode("utf-8").hex().upper().encode("ascii")
+
+
+def _tj_array(text: str, use_hex: bool) -> bytes:
     """One line as a kerned ``TJ`` array: words as separate strings with a
     -250 (milli-em) inter-word adjustment — the form real PDF generators
     emit for justified text.  The extractor must re-insert the word space
@@ -109,17 +114,24 @@ def _tj_array(text: str) -> bytes:
     for j, w in enumerate(words):
         if j:
             parts.append(b"-250")
-        parts.append(b"(%b)" % _escape(w))
+        parts.append(_hex_string(w) if use_hex else b"(%b)" % _escape(w))
     return b"[" + b" ".join(parts) + b"]"
 
 
-def _content_stream(runs: list[tuple[int, int, int, str]], use_tj: bool) -> bytes:
+def _content_stream(
+    runs: list[tuple[int, int, int, str]], use_tj: bool, use_hex: bool
+) -> bytes:
     parts = []
     for size, x, y, text in runs:
         if use_tj and " " in text:
             parts.append(
                 b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b TJ ET"
-                % (size, x, y, _tj_array(text))
+                % (size, x, y, _tj_array(text, use_hex))
+            )
+        elif use_hex:
+            parts.append(
+                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
+                % (size, x, y, _hex_string(text))
             )
         else:
             parts.append(
@@ -138,6 +150,8 @@ def write_pdf(pages: list[dict[str, Any]]) -> bytes:
       (zlib), as virtually all real-corpus PDFs are
     * ``"tj": True`` — text runs with spaces are emitted as kerned ``TJ``
       arrays instead of plain ``Tj`` strings
+    * ``"hex": True`` — string operands emitted as ``<hex>`` strings
+      (spec 7.3.4.3) instead of literal ``(...)`` strings
 
     Object layout: 1 catalog, 2 pages, 3 font (fixed id, BEFORE the pages
     so every page's ``/Font << /F1 3 0 R >>`` resolves for any page count),
@@ -162,7 +176,9 @@ def write_pdf(pages: list[dict[str, Any]]) -> bytes:
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
             % (PAGE_W, PAGE_H, content_num)
         )
-        stream = _content_stream(page_runs(page), bool(page.get("tj")))
+        stream = _content_stream(
+            page_runs(page), bool(page.get("tj")), bool(page.get("hex"))
+        )
         if page.get("compress"):
             stream = zlib.compress(stream, 6)
             objects.append(
