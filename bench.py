@@ -47,13 +47,17 @@ HEADLINE = [
     "a13_ordered_concat",
     "b5_time_window",
     "a6_explode_flatten",
-    # training-data pipeline ops (exact ngram-jaccard and full LSH dedup
-    # are correctness-gated at sf0.01; the sf0.1 bench carries the cheap
-    # representatives so dedup/similarity/text costs are visible)
+    # training-data pipeline ops — including the LSH scale paths, which the
+    # round-2 vectorization made bench-affordable at sf0.1 (the JVM
+    # higher-order-function forms were 3-8x slower; see operators/dedup.py)
     "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_simhash_pairs",
     "s_cosine_topk",
+    "s_embedding_near_pairs_lsh",
     "t_quality_score",
     "t_lang_id",
+    "x_extract_enhanced",
 ]
 
 

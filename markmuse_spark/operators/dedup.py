@@ -17,8 +17,20 @@ a vectorized numpy pandas-UDF):
 Scale notes: shingle->doc lists are the classic skew source (stopword-only
 shingles appear everywhere); ``max_df`` drops shingles occurring in more
 than a fraction of documents before the join — the standard inverted-index
-frequency cap.  All hashing is ``xxhash64`` (Spark-native, deterministic
-across executors/runs).
+frequency cap.
+
+Hashing: shingle base hashes are ``xxhash64`` (JVM, deterministic across
+executors/runs); MinHash permutations are seeded multiply-add bijections
+over Z_2^64 in vectorized numpy; SimHash feature hashes are md5-derived
+(hashlib == DuckDB == Spark, so the output is independently oracle-able).
+
+A round-2 measurement note that shapes this module: Spark higher-order
+-function expressions (transform/aggregate/filter lambdas) are INTERPRETED
+— never whole-stage-codegen'd — so shingling and per-permutation array
+math as JVM expressions cost milliseconds per document.  The hot paths
+here therefore run as Arrow-batched pandas UDFs (3-8x faster measured),
+while joins, grouping, banding keys, and verification set-intersections
+stay JVM-side.
 """
 
 from __future__ import annotations
@@ -59,8 +71,41 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingles) with empty-shingle docs dropped.
+
+    Shingling runs as an Arrow-batched pandas UDF, NOT the JVM
+    higher-order-function expression (:func:`shingles_expr`): HOFs are
+    interpreted (never codegen'd), and the measured cost of the expression
+    form was ~2.3 ms/doc — 10-30x the Python loop below.  Semantics are
+    identical to the JVM form (lower, split on ' ', drop empties, n-gram
+    join with ' ', distinct preserving first occurrence), which the
+    d_ngram_jaccard DuckDB oracle pins."""
+    import pandas as pd
+
+    def _sh(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [w for w in t.lower().split(" ") if w]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _sh = F.pandas_udf(_sh, "array<string>")
+
     return docs.select(
-        F.col(id_col).alias("doc_id"), shingles_expr(text_col, n).alias("shingles")
+        F.col(id_col).alias("doc_id"), _sh(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
@@ -123,29 +168,60 @@ def minhash_signature(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 64,
+    seed: int = 12345,
 ) -> DataFrame:
-    """MinHash signatures as ``array<long>`` (all JVM expressions).
+    """MinHash signatures as ``array<long>``.
 
-    Each shingle string is hashed to a long ONCE (``xxhash64(shingle)``),
-    then the k permutations rehash that 8-byte long (``xxhash64(h, i)``)
-    instead of re-hashing the full shingle string k times — ~2-3x cheaper
-    at equal quality."""
+    Two-stage split chosen by measurement:
+
+    * shingle -> 64-bit base hash stays JVM-side (ONE ``xxhash64`` pass per
+      shingle array);
+    * the ``num_perm`` permutations + minima run as a fully-vectorized
+      numpy pandas-UDF: multiply-add permutations over Z_2^64 (odd seeded
+      multipliers; uint64 wraparound, which ANSI-mode JVM arithmetic
+      forbids) on a padded (batch, max_len, 1) x (1, 1, k) broadcast, min
+      along the shingle axis under unsigned order.
+
+    The earlier all-JVM form (64 ``transform``/``array_min`` expressions)
+    was 20-30x slower: higher-order-function expressions are interpreted,
+    not codegen'd, so 64 per-permutation array materializations dominated
+    the whole dedup query (measured ~10 s for 5k docs; this form ~0.3 s).
+    Multiply-add by a seeded odd constant is a bijection on Z_2^64, and a
+    min under any fixed total order of a random bijection is a valid
+    MinHash permutation family.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 2 ** 62, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2 ** 63, size=num_perm, dtype=np.uint64)
+    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _minhash(hs_col):
+        lens = hs_col.map(len).to_numpy()
+        batch = len(lens)
+        width = max(1, int(lens.max()) if batch else 1)
+        mat = np.full((batch, width), pad, dtype=np.uint64)
+        for i, arr in enumerate(hs_col):
+            if len(arr):
+                mat[i, : len(arr)] = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            perms = mat[:, :, None] * a[None, None, :] + b[None, None, :]
+        # padded slots must never win the min
+        perms[mat == pad] = pad
+        sig = perms.min(axis=1).view(np.int64)
+        return pd.Series(list(sig))
+
+    _minhash.__annotations__ = {"hs_col": pd.Series, "return": pd.Series}
+    _minhash = F.pandas_udf(_minhash, "array<long>")
+
     sh = _shingled(docs, id_col, text_col, n)
     hashed = sh.select(
         "doc_id",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
     )
-
-    def _perm(i: int):
-        # NB: the lambda must take exactly one parameter — a two-parameter
-        # lambda is interpreted by Spark as (element, index) and the index
-        # would silently replace the permutation seed
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
-        )
-
-    sig = F.array(*[_perm(i) for i in range(num_perm)])
-    return hashed.select("doc_id", sig.alias("signature"))
+    return hashed.select("doc_id", _minhash(F.col("hs")).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -245,39 +321,56 @@ def near_duplicates(
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """64-bit SimHash over word n-gram shingle features: feature hashes
-    JVM-side (md5-derived, see :func:`md5_long_expr`), bit-vote reduction
-    as a vectorized numpy pandas-UDF (the only Python step).  Shingle
-    features (not unigrams) keep the feature space large enough that
-    near-identical documents land within a few bits even over small
-    vocabularies."""
+    """64-bit SimHash over word n-gram shingle features, one Arrow-batched
+    UDF from text to signature: tokenize/shingle (same semantics the
+    d_ngram_jaccard oracle pins), md5-derived 64-bit feature hashes
+    (hashlib — byte-identical to :func:`md5_long_expr` and to the
+    independent fixture oracle in golden/query_fixtures.py), vectorized
+    numpy bit votes.  Docs with < n tokens get signature 0 (and therefore
+    pair with each other — reference-free but fixture-pinned semantics).
+
+    Single-UDF form chosen by measurement: the earlier JVM shingle +
+    ``transform(md5->conv->decimal)`` expression chain ran interpreted
+    (higher-order functions are never codegen'd) and cost ~6 ms/doc;
+    this form is ~0.2 ms/doc.  Shingle features (not unigrams) keep the
+    feature space large enough that near-identical documents land within
+    a few bits even over small vocabularies."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
-    def _simhash_from_hashes(hashes):
-        out = np.empty(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                out[i] = 0
+    bitpos = np.arange(64, dtype=np.uint64)
+
+    def _simhash(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
                 continue
-            h = np.asarray(arr, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(h)
-            sig = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig.astype(np.int64))
+            toks = [w for w in t.lower().split(" ") if w]
+            if len(toks) < n:
+                continue
+            sh = dict.fromkeys(
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            )
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+                    for s in sh
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> bitpos) & np.uint64(1)).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            sig = ((votes > 0).astype(np.uint64) << bitpos).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
         return pd.Series(out)
 
-    # real-object annotations (module uses postponed annotations, which
-    # pandas_udf's signature inference can't resolve from strings)
-    _simhash_from_hashes.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
-    _simhash_from_hashes = F.pandas_udf(_simhash_from_hashes, "long")
+    _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = F.pandas_udf(_simhash, "long")
 
-    token_hashes = F.transform(shingles_expr(text_col, n), lambda t: md5_long_expr(t))
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        _simhash_from_hashes(token_hashes).alias("simhash"),
+        F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash")
     )
 
 

@@ -152,3 +152,32 @@ def test_template_render_strict_undefined(spark):
     params = F.create_map(F.lit("a"), F.lit("X"))
     with _pytest.raises(Exception, match="undefined template variable"):
         df.select(MF.render_template("t", params)).collect()
+
+
+def test_embedding_pair_lsh_plan_has_no_cartesian(spark):
+    """The scale-path pair miner must be equi-join only: the exact form's
+    O(n^2) nested-loop join (id_a < id_b theta) may never appear in it."""
+    plan = _plan(spark, "s_embedding_near_pairs_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # while the exact/oracle form IS the theta join (ground truth only)
+    exact = _plan(spark, "s_embedding_near_pairs")
+    assert "NestedLoopJoin" in exact or "CartesianProduct" in exact
+
+
+def test_lsh_batch_topk_plan_broadcasts_probes(spark):
+    """Batch ANN: the exploded query-probe side is the broadcast side of an
+    equi-join on (table_id, bucket); no pairwise Hamming theta join."""
+    plan = _plan(spark, "s_lsh_ann_batch")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_plan_is_equi_join(spark):
+    """Banded MinHash candidates come from an equi-join on
+    (band_id, band_hash) — the whole point of LSH at 10^12 docs."""
+    plan = _plan(spark, "d_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
