@@ -161,6 +161,59 @@ def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
     return rows, schema
 
 
+def mint_x_extract_images() -> tuple[list[dict], "object"]:
+    """Images-table golden: the oracle's image-normalization path
+    (``normalize_image`` — independent of the production kernel) over the
+    expected page models; payloads reported as md5."""
+    import pyarrow as pa
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    rows = []
+    for i in range(100):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            continue
+        stem = oracle.output_stem(url)
+        for page in sorted(expected, key=lambda p: p["page_idx"]):
+            for img_idx, img in enumerate(page.get("images") or []):
+                res = oracle.normalize_image(
+                    page["page_idx"], img_idx, img.get("id"), img.get("image_base64")
+                )
+                if res is None:
+                    continue
+                img_id, safe, content_type, data = res
+                rows.append(
+                    {
+                        "url": url,
+                        "page_idx": page["page_idx"],
+                        "img_idx": img_idx,
+                        "img_id": img_id,
+                        "safe_filename": safe,
+                        "rel_path": f"{stem}_images/{safe}",
+                        "content_type": content_type,
+                        "n_bytes": len(data),
+                        "payload_md5": hashlib.md5(data).hexdigest(),
+                    }
+                )
+    rows.sort(key=lambda r: (r["url"], r["page_idx"], r["img_idx"]))
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page_idx", pa.int32()),
+            ("img_idx", pa.int32()),
+            ("img_id", pa.string()),
+            ("safe_filename", pa.string()),
+            ("rel_path", pa.string()),
+            ("content_type", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("payload_md5", pa.string()),
+        ]
+    )
+    return rows, schema
+
+
 # ---------------------------------------------------------------------
 # m_image_metadata: first-principles expectations for the synthetic PNGs
 # ---------------------------------------------------------------------
@@ -389,6 +442,7 @@ def mint_s_lsh_ann_batch(
 MINTERS = {
     "x_extract_corpus": mint_x_extract_corpus,
     "x_extract_enhanced": mint_x_extract_enhanced,
+    "x_extract_images": mint_x_extract_images,
     "m_image_metadata": mint_m_image_metadata,
     "m_image_features": mint_m_image_features,
     "d_simhash_pairs": mint_d_simhash_pairs,

@@ -167,6 +167,52 @@ def assemble_one(url: str, pages: list[dict[str, Any]]) -> dict[str, Any]:
     }
 
 
+def extract_images_one(url: str, pages: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """The images OUTPUT rows for one document (A8/A14: the reference
+    SAVES every kept image under ``{stem}_images/``, ``markmuse.py:436-451``
+    — the engine's analog is an images table with the payload as a binary
+    column).  Same keep/drop rules as :func:`build_image_index` (default
+    ids, base64 repair, <100-byte reject, sanitize, 7-ext normalize)."""
+    stem = derive_stem(url)
+    rows: list[dict[str, Any]] = []
+    for page in sorted(pages, key=lambda p: p["page_idx"]):
+        images = page.get("images")
+        if not images:
+            continue
+        page_no = page["page_idx"] + 1
+        for img_idx, img in enumerate(images):
+            img_id = img.get("id")
+            if img_id is None:
+                img_id = f"img-p{page_no}-{img_idx + 1}.png"
+            b64 = img.get("image_base64")
+            if not b64:
+                continue
+            try:
+                decoded = _decode_image(b64)
+            except Exception:
+                decoded = None
+            if decoded is None:
+                continue
+            content_type, data = decoded
+            safe = _SANITIZE.sub("_", img_id)
+            if not _EXT7.search(safe):
+                safe += ".png"
+            rows.append(
+                {
+                    "url": url,
+                    "page_idx": page["page_idx"],
+                    "img_idx": img_idx,
+                    "img_id": img_id,
+                    "safe_filename": safe,
+                    "rel_path": f"{stem}_images/{safe}",
+                    "content_type": content_type,
+                    "n_bytes": len(data),
+                    "data": data,
+                }
+            )
+    return rows
+
+
 def assemble_one_enhanced(
     url: str,
     pages: list[dict[str, Any]],

@@ -214,3 +214,66 @@ def extract_markdown_enhanced(
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return joined.mapInArrow(run, ENHANCED_DDL)
+
+
+IMAGES_DDL = (
+    "url string, page_idx int, img_idx int, img_id string, "
+    "safe_filename string, rel_path string, content_type string, "
+    "n_bytes long, data binary"
+)
+
+
+def extract_images(
+    pages: DataFrame, url_col: str = "url", payload_col: str = "html"
+) -> DataFrame:
+    """The images OUTPUT table (A8/A14): one row per kept image with the
+    payload as a ``binary`` column — the Spark-native form of the
+    reference's ``{stem}_images/`` side files (markmuse.py:436-451,
+    s3_storage.py:469-492).  1->N flatten happens inside the Arrow pass
+    (a document yields its image rows directly); partition by url prefix
+    or date at the sink for 10^12-scale layouts."""
+    import pyarrow as pa
+
+    from markmuse_spark.kernel import html_extract, pdf_extract
+    from markmuse_spark.kernel.markdown_assembly import extract_images_one
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page_idx", pa.int32()),
+            ("img_idx", pa.int32()),
+            ("img_id", pa.string()),
+            ("safe_filename", pa.string()),
+            ("rel_path", pa.string()),
+            ("content_type", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("data", pa.binary()),
+        ]
+    )
+    names = schema.names
+
+    def run(batches):
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out: dict[str, list] = {n: [] for n in names}
+            for url, payload in zip(urls, payloads):
+                if not payload:
+                    continue
+                try:
+                    if payload.startswith(b"%PDF"):
+                        pgs = pdf_extract.extract_pages(payload)
+                    else:
+                        pgs = html_extract.extract_pages(payload)
+                    rows = extract_images_one(url, pgs)
+                except Exception:
+                    continue  # per-row error capture is the markdown job's
+                for r in rows:
+                    for n in names:
+                        out[n].append(r[n])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[n], type=schema.field(n).type) for n in names],
+                schema=schema,
+            )
+
+    return pages.select(url_col, payload_col).mapInArrow(run, IMAGES_DDL)

@@ -961,6 +961,34 @@ def x_extract_enhanced(spark, sf_dir):
 
 
 @_q(
+    "x_extract_images",
+    # fixture minted by the golden image-normalization oracle (independent
+    # of the production kernel; golden/query_fixtures.py)
+    "SELECT url, page_idx, img_idx, img_id, safe_filename, rel_path, "
+    "content_type, n_bytes, payload_md5 FROM "
+    f"read_parquet('{_FIXDIR}/x_extract_images.parquet') "
+    "ORDER BY url, page_idx, img_idx",
+)
+def x_extract_images(spark, sf_dir):
+    """A8/A14: the images OUTPUT table — every kept image (default ids,
+    base64 repair, <100B reject, sanitize) with payload bytes, reported
+    via md5 for the hash gate."""
+    from markmuse_spark.operators.extract import extract_images
+    from markmuse_spark.sources import corpus
+
+    pages = corpus.pages_dataframe(spark, 100, seed=42, partitions=4)
+    return (
+        extract_images(pages)
+        .select(
+            "url", "page_idx", "img_idx", "img_id", "safe_filename",
+            "rel_path", "content_type", "n_bytes",
+            F.md5(F.col("data")).alias("payload_md5"),
+        )
+        .orderBy("url", "page_idx", "img_idx")
+    )
+
+
+@_q(
     "m_image_metadata",
     # fixture minted from first principles (payload reconstructed from
     # doc_id + text, dimensions from the construction arithmetic, sha1 via
