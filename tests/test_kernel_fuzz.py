@@ -65,3 +65,42 @@ def test_truncated_pdf_never_raises(seed, cut):
     pdf = pdf_writer.write_pdf(docmodel.random_pdf_pages(rng, "en"))
     row = extract_document("https://f.example/x/d.pdf", pdf[: min(cut, len(pdf))])
     assert (row["markdown"] is None) == (row["error"] is not None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 200))
+def test_corrupted_flate_stream_is_per_row_error(seed, flip):
+    """A Flate-compressed content stream with corrupted bytes must surface
+    as a per-row error (ValueError path), never an uncaught exception."""
+    rng = random.Random(f"flate:{seed}")
+    pages = docmodel.random_pdf_pages(rng, "en")
+    for p in pages:
+        p["compress"] = True
+    from markmuse_spark.sources import pdf_writer
+
+    payload = bytearray(pdf_writer.write_pdf(pages))
+    i = payload.find(b"stream\n") + 7 + (flip % 40)
+    if i < len(payload):
+        payload[i] ^= 0xFF
+    row = extract_document("https://x/fz.pdf", bytes(payload))
+    # either it still parses (flip hit a non-stream byte) or it errors
+    assert row["error"] is None or "Error" in row["error"] or ":" in row["error"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_hex_and_tj_mutations_never_raise(seed):
+    """Random mutations inside hex strings / TJ arrays stay contained."""
+    rng = random.Random(f"hextj:{seed}")
+    pages = docmodel.random_pdf_pages(rng, "zh")
+    for p in pages:
+        p["hex"] = True
+        p["tj"] = True
+        p["compress"] = False
+    from markmuse_spark.sources import pdf_writer
+
+    payload = bytearray(pdf_writer.write_pdf(pages))
+    for _ in range(10):
+        payload[rng.randrange(len(payload))] = rng.randrange(256)
+    row = extract_document("https://x/hx.pdf", bytes(payload))
+    assert "url" in row  # never raises; error column optional
