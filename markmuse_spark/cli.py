@@ -11,11 +11,15 @@ still makes sense for a table-in/table-out engine:
     python -m markmuse_spark.cli --generate 10000 --pages /tmp/pages \
         --output /tmp/out --run-id r1
 
-Dropped reference flags and why: ``--url``/``--file`` (single-document
+Reference-flag mapping: ``--url``/``--file`` dropped (single-document
 network/local entry; the engine reads payloads already landed in the
-table, SURVEY §2 A3), ``--enhance-images`` (external LLM captioning is
-outside the deterministic contract, SURVEY §7), ``--parallel-images``
-(Spark's executor grid replaces the thread pool, A7).
+table, SURVEY §2 A3); ``--parallel-images`` dropped (Spark's executor grid
+replaces the thread pool, A7); ``--enhance-images`` becomes ``--captions``
+(A11: the deterministic caption-injecting tail with the LLM replaced by a
+caption TABLE — pass a parquet path of (url, img_id, description), or
+``fake`` for the clearly-marked deterministic captioner); ``--images-output``
+additionally writes the images table (payload bytes as a binary column —
+the ``{stem}_images/`` side files, A8/A14).
 """
 
 from __future__ import annotations
@@ -37,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--big-bytes", type=int, default=None,
                     help="size threshold for dedicated shuffle slots")
+    ap.add_argument("--captions", default=None,
+                    help="enhanced mode (A11): parquet path of (url, img_id, "
+                         "description), or 'fake' for the deterministic "
+                         "captioner")
+    ap.add_argument("--images-output", default=None,
+                    help="also write the images table (binary payloads) here")
     args = ap.parse_args(argv)
 
     from markmuse_spark.plans import pipeline
@@ -56,10 +66,27 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {}
         if args.big_bytes is not None:
             kwargs["big_bytes"] = args.big_bytes
+        if args.captions:
+            from markmuse_spark.operators.extract import deterministic_captions
+
+            kwargs["captions"] = (
+                deterministic_captions(pages)
+                if args.captions == "fake"
+                else spark.read.parquet(args.captions)
+            )
         job = pipeline.run_extraction(
             spark, pages, args.output, args.run_id,
             resume=not args.no_resume, **kwargs,
         )
+        if args.images_output:
+            from markmuse_spark.operators.extract import extract_images
+
+            (
+                extract_images(pages)
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(args.images_output)
+            )
         print(json.dumps({k: str(v) for k, v in job.items()}))
         return 0
     finally:

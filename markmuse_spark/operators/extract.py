@@ -155,6 +155,7 @@ def extract_markdown_enhanced(
     captions: DataFrame,
     url_col: str = "url",
     payload_col: str = "html",
+    metrics_acc=None,
 ) -> DataFrame:
     """A11 enhanced mode as a Spark operator: extraction + caption-injecting
     assembly in one Arrow pass.
@@ -196,6 +197,7 @@ def extract_markdown_enhanced(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        n_rows = n_err = sum_chars = sum_images = 0
         for batch in batches:
             urls = batch.column(0).to_pylist()
             payloads = batch.column(1).to_pylist()
@@ -207,11 +209,27 @@ def extract_markdown_enhanced(
                 row = extract_document_enhanced(url, payload, cap_d)
                 for j, name in enumerate(_ENH_COLS):
                     cols[j].append(row[name])
+                n_rows += 1
+                n_err += row["error"] is not None
+                sum_chars += row["n_chars"]
+                sum_images += row["n_images"]
             arrays = [
                 pa.array(c, type=schema.field(i).type) for i, c in enumerate(cols)
             ]
             arrays.append(pa.array([pid] * len(urls), type=pa.int32()))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        if metrics_acc is not None and n_rows:
+            metrics_acc.add(
+                {
+                    pid: {
+                        "url_count": n_rows,
+                        "ok_count": n_rows - n_err,
+                        "err_count": n_err,
+                        "sum_chars": sum_chars,
+                        "sum_images": sum_images,
+                    }
+                }
+            )
 
     return joined.mapInArrow(run, ENHANCED_DDL)
 

@@ -85,13 +85,21 @@ def run_extraction(
     oversub: int = DEFAULT_OVERSUB,
     resume: bool = True,
     iceberg_table: Optional[str] = None,
+    captions: Optional[DataFrame] = None,
 ) -> dict:
     """Execute one extraction run; returns the job-level metrics row.
 
     ``iceberg_table``: fully-qualified Iceberg table name to append to
     instead of the parquet run directory (needs an Iceberg catalog on the
     session; untestable in this sandbox — the parquet path is the tested
-    equivalent with _SUCCESS-marker commit semantics)."""
+    equivalent with _SUCCESS-marker commit semantics).
+
+    ``captions``: optional ``(url, img_id, description)`` DataFrame — the
+    A11 enhanced mode (the reference's ``--enhance-images``, with the LLM
+    replaced by this injected caption table).  The enhanced path joins
+    captions on url, which supplies the shuffle, so the salted
+    repartition is skipped there (giant-payload isolation is traded for
+    caption co-location; run the plain path first if skew dominates)."""
     started_at = _dt.datetime.now(_dt.timezone.utc)
     parallelism = spark.sparkContext.defaultParallelism
 
@@ -101,12 +109,17 @@ def run_extraction(
         if done is not None:
             todo = todo.join(done, "url", "left_anti")
 
-    shuffled = salted_repartition(todo, parallelism, big_bytes, oversub)
     # per-partition metrics accumulate INSIDE the extraction pass (keyed by
     # partition id, last-write-wins under task retries) so the lineage
     # sidecar needs no second scan of the committed output
     metrics_acc = spark.sparkContext.accumulator({}, PartitionMetricsParam())
-    result = extract_markdown(shuffled, metrics_acc=metrics_acc)
+    if captions is not None:
+        from markmuse_spark.operators.extract import extract_markdown_enhanced
+
+        result = extract_markdown_enhanced(todo, captions, metrics_acc=metrics_acc)
+    else:
+        shuffled = salted_repartition(todo, parallelism, big_bytes, oversub)
+        result = extract_markdown(shuffled, metrics_acc=metrics_acc)
 
     run_path = os.path.join(output_dir, "extracted", f"run_id={run_id}")
     status = "SUCCESS"

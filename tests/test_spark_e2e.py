@@ -242,3 +242,22 @@ def test_grouped_map_assembly_matches_golden(spark):
         assert g["markdown"] == want["markdown"], d["url"]
         assert g["extracted_text"] == want["extracted_text"], d["url"]
         assert g["n_images"] == len(want["image_manifest"]), d["url"]
+
+
+def test_enhanced_run_with_captions(spark, tmp_path):
+    """A11 at pipeline level: run_extraction(captions=...) extracts with
+    the caption-injecting tail; sidecar accumulates from the same pass."""
+    from markmuse_spark.operators.extract import deterministic_captions
+
+    out = str(tmp_path / "out")
+    pages = corpus.pages_dataframe(spark, 80, seed=42, partitions=4)
+    job = pipeline.run_extraction(
+        spark, pages, out, run_id="rE", captions=deterministic_captions(pages)
+    )
+    assert job["status"] == "SUCCESS" and job["url_count"] == 80
+    df = spark.read.parquet(f"{out}/extracted")
+    assert "n_enhanced" in df.columns
+    assert df.agg(F.sum("n_enhanced")).first()[0] > 0
+    # enhanced markdown carries the AI-analysis block for captioned images
+    one = df.filter(F.col("n_enhanced") > 0).select("markdown").first()
+    assert "**AI图片分析**：" in one["markdown"]
