@@ -162,13 +162,15 @@ def _paired_run(
     levels are NOT run simultaneously: measured concurrently, the wide
     level's memory traffic depresses the narrow level ~25%% and inflates
     the ratio superlinearly."""
-    small = _spark_submit(
-        n_small, corpus_path, pkg_zip, passes, f"0-{n_small - 1}"
-    )
-    big = _spark_submit(
-        n_big, corpus_path, pkg_zip, passes,
-        f"{n_small}-{n_small + n_big - 1}",
-    )
+    n_cpus = os.cpu_count() or (n_small + n_big)
+    if n_small + n_big <= n_cpus:
+        small_set = f"0-{n_small - 1}"
+        big_set = f"{n_small}-{n_small + n_big - 1}"
+    else:  # small host: overlapping 0-based sets (both still exact-budget)
+        small_set = f"0-{min(n_small, n_cpus) - 1}"
+        big_set = f"0-{min(n_big, n_cpus) - 1}"
+    small = _spark_submit(n_small, corpus_path, pkg_zip, passes, small_set)
+    big = _spark_submit(n_big, corpus_path, pkg_zip, passes, big_set)
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (n_big / n_small)
     steals = [
         p["steal_pct"]
@@ -221,16 +223,25 @@ def main() -> None:
     n_big = n_small * 4
     passes_small = int(os.environ.get("MARKMUSE_BENCH_PASSES", "3"))
     max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "4"))
+    # retry policy: a retry happens ONLY when the measured window was
+    # dirty (recorded per-pass steal above the noise floor) — a clean
+    # window's number is accepted as-is even below the 0.8 gate, so the
+    # bounded retries cannot act as a max-over-noise selector; the
+    # reported pair is the CLEANEST one (lowest max steal), not the
+    # highest-efficiency one, with every pair disclosed
+    steal_floor = float(os.environ.get("MARKMUSE_BENCH_STEAL_FLOOR", "0.75"))
     pairs: list[dict] = []
     for _ in range(max_pairs):
         pairs.append(
             _paired_run(n_small, n_big, corpus_path, pkg_zip, passes_small)
         )
-        # a clean window suffices; retry (bounded) only while steal noise
-        # keeps the measured window dirty
-        if pairs[-1]["efficiency"] >= 0.8:
+        p = pairs[-1]
+        dirty = p["max_steal_pct"] is None or p["max_steal_pct"] > steal_floor
+        if p["efficiency"] >= 0.8 or not dirty:
             break
-    best_pair = max(pairs, key=lambda p: p["efficiency"])
+    best_pair = min(
+        pairs, key=lambda p: (p["max_steal_pct"] is None, p["max_steal_pct"] or 0.0)
+    )
     run_small, run_big = best_pair["small"], best_pair["big"]
     eff = best_pair["efficiency"]
     # headline throughput: one unpinned full-width run (machine capability)
@@ -281,9 +292,11 @@ def main() -> None:
                 "warm-up excluded; MEDIAN docs/sec over an EQUAL "
                 f"{passes_small} in-JVM passes per level (equal counts + "
                 "medians avoid max-statistics inflation); pair retried up "
-                f"to {max_pairs}x under hypervisor-steal noise (per-pass "
-                "steal% from /proc/stat reported), best pair kept with all "
-                "pairs disclosed"
+                f"to {max_pairs}x ONLY while the window is dirty (max "
+                f"per-pass steal > {steal_floor}% from /proc/stat) — clean "
+                "windows are accepted as-is, so retries cannot select a "
+                "max over noise; the cleanest pair is reported with every "
+                "pair disclosed"
             ),
         },
     }

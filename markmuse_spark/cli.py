@@ -46,7 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                          "description), or 'fake' for the deterministic "
                          "captioner")
     ap.add_argument("--images-output", default=None,
-                    help="also write the images table (binary payloads) here")
+                    help="also write the images table (binary payloads) here "
+                         "— a second kernel pass over --pages by design: "
+                         "image rows need the pre-assembly page models, "
+                         "which the markdown output does not retain")
     args = ap.parse_args(argv)
 
     from markmuse_spark.plans import pipeline

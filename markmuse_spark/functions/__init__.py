@@ -165,10 +165,17 @@ def template_variables(template: Column) -> Column:
     )
 
 
-def render_template(template: Column, params: Column) -> Column:
+def render_template(
+    template: Column, params: Column, on_undefined: str = "error"
+) -> Column:
     """C18b — strict-undefined template render (jinja_prompt.py:35
-    StrictUndefined semantics) for the ``{{ var }}`` dialect: every
-    variable must exist in the ``params`` map column or the row errors.
+    StrictUndefined semantics) for the ``{{ var }}`` dialect.
+
+    ``on_undefined='error'`` (default, reference parity): a missing/null
+    variable raises and FAILS THE JOB — StrictUndefined is a contract
+    violation, not a data condition.  For per-row tolerance in a large
+    pipeline (the engine's A19 convention) pass ``on_undefined='null'``:
+    affected rows render to NULL instead.
 
     Arrow-batched pandas UDF (string assembly with per-row dict lookups is
     not expressible as a JVM column over a dynamic map)."""
@@ -176,7 +183,10 @@ def render_template(template: Column, params: Column) -> Column:
 
     import pandas as pd
 
+    if on_undefined not in ("error", "null"):
+        raise ValueError("on_undefined must be 'error' or 'null'")
     pat = _re.compile(_TEMPLATE_VAR)
+    strict = on_undefined == "error"
 
     def _render(tpls, maps):
         out = []
@@ -192,7 +202,12 @@ def render_template(template: Column, params: Column) -> Column:
                     raise ValueError(f"undefined template variable {name!r}")
                 return str(params_d[name])
 
-            out.append(pat.sub(_sub, t))
+            try:
+                out.append(pat.sub(_sub, t))
+            except ValueError:
+                if strict:
+                    raise
+                out.append(None)
         return pd.Series(out)
 
     _render.__annotations__ = {

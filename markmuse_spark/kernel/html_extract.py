@@ -440,6 +440,11 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         code = "".join(pre_buf).strip("\n")
         if code:
             blocks.append("```\n" + code + "\n```")
+    if list_stack:  # unterminated list (truncated payload): keep its lines
+        _flush_item()
+        list_stack.clear()
+        if list_lines:
+            blocks.append("\n".join(list_lines))
     _flush_text()
     if in_table:
         _flush_table()

@@ -63,6 +63,33 @@ def _decode_image(b64: str) -> Optional[tuple[str, bytes]]:
     return content_type, data
 
 
+def _normalize_image(
+    page_no: int, img_idx: int, img: dict[str, Any]
+) -> Optional[tuple[str, str, str, bytes]]:
+    """The single keep/drop pipeline for one image (default-id scheme,
+    base64 decode+repair, <100-byte reject, sanitize, 7-ext normalize) —
+    shared by the link-rewrite index AND the images output table so the
+    two can never drift apart.  Returns ``(img_id, safe_filename,
+    content_type, data)`` or ``None`` when the image is dropped."""
+    img_id = img.get("id")
+    if img_id is None:
+        img_id = f"img-p{page_no}-{img_idx + 1}.png"
+    b64 = img.get("image_base64")
+    if not b64:
+        return None
+    try:
+        decoded = _decode_image(b64)
+    except Exception:
+        decoded = None
+    if decoded is None:
+        return None
+    content_type, data = decoded
+    safe = _SANITIZE.sub("_", img_id)
+    if not _EXT7.search(safe):
+        safe += ".png"
+    return img_id, safe, content_type, data
+
+
 def build_image_index(
     pages: Iterable[dict[str, Any]], stem: str
 ) -> tuple[dict[str, str], list[dict]]:
@@ -82,22 +109,10 @@ def build_image_index(
             continue
         page_no = page["page_idx"] + 1
         for img_idx, img in enumerate(images):
-            img_id = img.get("id")
-            if img_id is None:
-                img_id = f"img-p{page_no}-{img_idx + 1}.png"
-            b64 = img.get("image_base64")
-            if not b64:
+            res = _normalize_image(page_no, img_idx, img)
+            if res is None:
                 continue
-            try:
-                decoded = _decode_image(b64)
-            except Exception:
-                decoded = None
-            if decoded is None:
-                continue
-            content_type, data = decoded
-            safe = _SANITIZE.sub("_", img_id)
-            if not _EXT7.search(safe):
-                safe += ".png"
+            img_id, safe, content_type, data = res
             target = prefix + safe
             index[img_id] = target
             if not _EXT7.search(img_id):
@@ -181,22 +196,10 @@ def extract_images_one(url: str, pages: list[dict[str, Any]]) -> list[dict[str, 
             continue
         page_no = page["page_idx"] + 1
         for img_idx, img in enumerate(images):
-            img_id = img.get("id")
-            if img_id is None:
-                img_id = f"img-p{page_no}-{img_idx + 1}.png"
-            b64 = img.get("image_base64")
-            if not b64:
+            res = _normalize_image(page_no, img_idx, img)
+            if res is None:
                 continue
-            try:
-                decoded = _decode_image(b64)
-            except Exception:
-                decoded = None
-            if decoded is None:
-                continue
-            content_type, data = decoded
-            safe = _SANITIZE.sub("_", img_id)
-            if not _EXT7.search(safe):
-                safe += ".png"
+            img_id, safe, content_type, data = res
             rows.append(
                 {
                     "url": url,

@@ -208,8 +208,10 @@ def minhash_signature(
                 mat[i, : len(arr)] = np.asarray(arr, dtype=np.int64).astype(np.uint64)
         with np.errstate(over="ignore"):
             perms = mat[:, :, None] * a[None, None, :] + b[None, None, :]
-        # padded slots must never win the min
-        perms[mat == pad] = pad
+        # padded slots must never win the min; mask by LENGTH, not by the
+        # pad value, so a genuine hash equal to 2^64-1 is not masked out
+        pad_mask = np.arange(width)[None, :] >= lens[:, None]
+        perms[pad_mask] = pad
         sig = perms.min(axis=1).view(np.int64)
         return pd.Series(list(sig))
 

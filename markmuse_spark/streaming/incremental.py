@@ -16,6 +16,7 @@ from the checkpoint on the next invocation.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -47,7 +48,8 @@ def run_incremental(
     Returns the number of rows written in this increment.  The streaming
     checkpoint gives at-least-once epoch delivery; the sink makes the
     epochs idempotent (effectively-once end-to-end) by writing each epoch
-    as its own ``epoch_id=`` partition with dynamic partition overwrite —
+    as its own ``epoch_key=<lineage>-<epoch>`` partition with dynamic
+    partition overwrite —
     a replayed epoch (crash after the parquet commit but before the
     checkpoint commit) overwrites its own partition instead of appending
     duplicate rows.
@@ -64,11 +66,25 @@ def run_incremental(
 
     counter = spark.sparkContext.accumulator(0)
 
+    # epoch ids restart at 0 for a NEW checkpoint lineage (cleaned or
+    # repointed checkpoint dir) — partitioning on epoch_id alone would let
+    # a new lineage's epoch 0 dynamically overwrite the old lineage's
+    # epoch-0 data.  Keying the partition by (lineage, epoch) keeps the
+    # overwrite idempotent WITHIN a lineage (the replay case) and
+    # append-only ACROSS lineages.
+    import hashlib as _hashlib
+
+    lineage = _hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:8]
+
     def sink(batch_df, epoch_id: int) -> None:
         # persist so the extraction kernel runs ONCE per micro-batch (the
         # count and the write share the materialized result instead of
         # re-executing the plan twice)
-        out = batch_df.withColumn("epoch_id", F.lit(epoch_id)).persist()
+        out = batch_df.withColumn(
+            "epoch_key", F.lit(f"{lineage}-{epoch_id}")
+        ).persist()
         try:
             n = out.count()
             counter.add(n)
@@ -76,7 +92,7 @@ def run_incremental(
                 (
                     out.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("epoch_id")
+                    .partitionBy("epoch_key")
                     .parquet(f"{output_dir}/extracted_stream")
                 )
         finally:

@@ -181,3 +181,38 @@ def test_minhash_lsh_plan_is_equi_join(spark):
     plan = _plan(spark, "d_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_md5_long_expr_matches_python_oracle(spark):
+    """The cross-engine feature-hash expression must equal the independent
+    Python derivation (first 8 md5 bytes, big-endian signed)."""
+    from pyspark.sql import functions as F
+
+    from markmuse_spark.golden.query_fixtures import md5_long_unsigned
+    from markmuse_spark.operators.dedup import md5_long_expr
+
+    samples = ["hello", "数据 引擎 分区", "x", "", "a b c", "café"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r[0] for r in df.select(md5_long_expr(F.col("s"))).collect()]
+    want = [
+        (md5_long_unsigned(s) + 2 ** 63) % 2 ** 64 - 2 ** 63 for s in samples
+    ]
+    assert got == want
+
+
+def test_render_template_null_mode(spark):
+    from pyspark.sql import functions as F
+
+    from markmuse_spark import functions as MF
+
+    df = spark.createDataFrame(
+        [("ok {{ a }}",), ("bad {{ missing }}",)], "t string"
+    )
+    params = F.create_map(F.lit("a"), F.lit("X"))
+    got = [
+        r[0]
+        for r in df.select(
+            MF.render_template("t", params, on_undefined="null")
+        ).collect()
+    ]
+    assert got == ["ok X", None]

@@ -113,3 +113,13 @@ def test_unclosed_tags_tolerated():
     html = b"<body><article><p>one<p>two<ul><li>a<li>b</ul><h2>head"
     page = html_extract.extract_pages(html)[0]
     assert page["markdown"] == "one\n\ntwo\n\n- a\n- b\n\n## head"
+
+
+def test_unterminated_list_keeps_rendered_lines():
+    """Truncated payload cut before </ul>: already-rendered items survive."""
+    from markmuse_spark.kernel import html_extract
+
+    md = html_extract.extract_pages(
+        b"<html><body><ul><li>alpha</li><li>beta</li>"
+    )[0]["markdown"]
+    assert "- alpha" in md and "- beta" in md

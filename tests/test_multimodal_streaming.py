@@ -153,3 +153,24 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     ).collect()
     assert sum(r["d"] for r in rows) == 150
     assert max(r["b"] for r in rows) >= 2  # state survived across batches
+
+
+def test_incremental_new_lineage_does_not_overwrite_old(spark, tmp_path):
+    """Epoch ids restart at 0 for a fresh checkpoint dir; the epoch_key
+    lineage prefix must keep the old lineage's partitions intact instead
+    of dynamically overwriting them."""
+    from markmuse_spark.streaming.incremental import run_incremental
+
+    root = str(tmp_path / "pages_root")
+    out = str(tmp_path / "out")
+    corpus.pages_dataframe(spark, 40, seed=42, partitions=2).write.mode(
+        "append"
+    ).parquet(root)
+    assert run_incremental(spark, root, out, str(tmp_path / "ckptA")) == 40
+    # operator repoints to a FRESH checkpoint (routine ops action):
+    # everything is re-drained as a new lineage with epoch ids from 0
+    assert run_incremental(spark, root, out, str(tmp_path / "ckptB")) == 40
+    got = spark.read.parquet(f"{out}/extracted_stream")
+    # both lineages' rows present — nothing silently destroyed
+    assert got.count() == 80
+    assert got.select("epoch_key").distinct().count() == 2
