@@ -5,8 +5,9 @@ corpus (plus sf0.001 ``documents`` wrapped as HTML payloads) run through the
 salted, size-bucketed extraction pipeline, summarized per language.
 
 ``queries``/``oracle_sql``: the operator registry lives in
-:mod:`markmuse_spark.queries`; entries without oracle SQL (the extraction
-kernel itself, LSH dedup, streaming) get the driver's rows-only check.
+:mod:`markmuse_spark.queries` — 45 entries, every one with oracle SQL
+(plain SQL where expressible, otherwise a ``read_parquet`` SELECT over a
+golden fixture minted by an independent pure-Python oracle).
 """
 
 from __future__ import annotations

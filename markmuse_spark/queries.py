@@ -894,7 +894,9 @@ def s_lsh_ann(spark, sf_dir):
 
 # =====================================================================
 # The extraction engine + multimodal plumbing as registry entries
-# (rows-only: the kernel and binary plumbing are not SQL-expressible)
+# (oracled via golden parquet fixtures minted by independent pure-Python
+# implementations — see golden/query_fixtures.py — since plain SQL cannot
+# re-derive the kernel/binary semantics)
 # =====================================================================
 
 @_q(
