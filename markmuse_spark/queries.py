@@ -601,6 +601,40 @@ def t_token_count(spark, sf_dir):
     )
 
 
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) — no lookarounds, so Java regex (Spark) and
+# RE2 (DuckDB) produce identical leftmost-first alternation matches
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_SQL = _BPE_PAT.replace("'", "''")
+
+
+@_q(
+    "t_bpe_tokens",
+    f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe, "
+    f"len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS n_bpe_distinct, "
+    f"round(CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE) / "
+    f"greatest(len({_sql_tokens()}), 1), 4) AS fertility "
+    "FROM documents ORDER BY doc_id",
+)
+def t_bpe_tokens(spark, sf_dir):
+    """Token counting, BPE-ish: a GPT-2-style regex pre-tokenizer next to
+    the whitespace tokenizer; ``fertility`` = regex tokens per whitespace
+    word (the classic tokenizer-cost metric for training-data sizing)."""
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(bpe).alias("n_bpe"),
+            F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+            F.round(
+                F.size(bpe).cast("double") / F.greatest(F.size(_tokens()), F.lit(1)), 4
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "t_quality_score",
     f"SELECT doc_id, n_chars, len({_sql_tokens()}) AS n_tokens, "

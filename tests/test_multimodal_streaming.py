@@ -174,3 +174,25 @@ def test_incremental_new_lineage_does_not_overwrite_old(spark, tmp_path):
     # both lineages' rows present — nothing silently destroyed
     assert got.count() == 80
     assert got.select("epoch_key").distinct().count() == 2
+
+
+def test_decode_image_pixels_pluggable_interface():
+    """The pixel-decode seam: raises the documented NotImplementedError
+    when no codec ships (this container), decodes a real 1x1 PNG when PIL
+    is present (a real cluster) — same test covers both environments."""
+    import base64
+
+    import pytest as _pytest
+
+    from markmuse_spark.operators import multimodal
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        "YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+    )
+    if multimodal._PIL_Image is None:
+        with _pytest.raises(NotImplementedError, match="codec"):
+            multimodal.decode_image_pixels(png_1x1)
+    else:  # pragma: no cover - container ships no codecs
+        img = multimodal.decode_image_pixels(png_1x1)
+        assert img.size == (1, 1)
