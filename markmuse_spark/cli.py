@@ -25,6 +25,7 @@ the ``{stem}_images/`` side files, A8/A14).
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -66,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
             ).write.mode("overwrite").parquet(args.pages)
 
         pages = spark.read.parquet(args.pages)
+        # snapshot the committed set BEFORE the run so --images-output can
+        # process exactly the urls THIS run extracts (resume parity)
+        images_todo = None
+        if args.images_output:
+            images_todo = pages
+            if not args.no_resume:
+                done = pipeline.committed_urls(spark, args.output)
+                if done is not None:
+                    images_todo = images_todo.join(done, "url", "left_anti")
         kwargs = {}
         if args.big_bytes is not None:
             kwargs["big_bytes"] = args.big_bytes
@@ -84,11 +94,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.images_output:
             from markmuse_spark.operators.extract import extract_images
 
+            # one run directory per run-id (append-style accumulation, like
+            # the extracted table) instead of overwriting prior increments
             (
-                extract_images(pages)
-                .write.mode("overwrite")
+                extract_images(images_todo)
+                .write.mode("errorifexists")
                 .option("compression", "zstd")
-                .parquet(args.images_output)
+                .parquet(os.path.join(args.images_output, f"run_id={args.run_id}"))
             )
         print(json.dumps({k: str(v) for k, v in job.items()}))
         return 0

@@ -603,8 +603,15 @@ def t_token_count(spark, sf_dir):
 
 # GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — no lookarounds, so Java regex (Spark) and
-# RE2 (DuckDB) produce identical leftmost-first alternation matches
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# RE2 (DuckDB) produce identical leftmost-first alternation matches.
+# Whitespace is an EXPLICIT class (real control characters embedded in the
+# pattern), not \s: Java's \s includes vertical tab \x0b, RE2's does not,
+# and that divergence would split the engines on \x0b-bearing text.
+_BPE_WS = " \t\n\r\f\x0b"
+_BPE_PAT = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    f"| ?[^{_BPE_WS}A-Za-z0-9]+|[{_BPE_WS}]+"
+)
 _BPE_SQL = _BPE_PAT.replace("'", "''")
 
 

@@ -71,12 +71,17 @@ def run_incremental(
     # a new lineage's epoch 0 dynamically overwrite the old lineage's
     # epoch-0 data.  Keying the partition by (lineage, epoch) keeps the
     # overwrite idempotent WITHIN a lineage (the replay case) and
-    # append-only ACROSS lineages.
+    # append-only ACROSS lineages.  The lineage id must be stable across
+    # restarts of the SAME checkpoint: normalize the location first —
+    # strip a URI scheme (file:/tmp/x == /tmp/x) and resolve scheme-less
+    # relative paths (cwd-dependent otherwise).
     import hashlib as _hashlib
+    import re as _re
 
-    lineage = _hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode("utf-8")
-    ).hexdigest()[:8]
+    loc = _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "", checkpoint_dir)
+    if not loc.startswith("/"):
+        loc = os.path.abspath(loc)
+    lineage = _hashlib.md5(loc.rstrip("/").encode("utf-8")).hexdigest()[:8]
 
     def sink(batch_df, epoch_id: int) -> None:
         # persist so the extraction kernel runs ONCE per micro-batch (the
