@@ -733,6 +733,126 @@ def t_fingerprint(spark, sf_dir):
     )
 
 
+_SH_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    + _sql_tokens()
+    + " AS t FROM documents), sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 "
+    "THEN list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks) "
+)
+
+
+@_q(
+    "t_repetition",
+    # Gopher/C4-style repetition rules: fraction of all word bigrams taken
+    # by the single most frequent bigram, and the duplicate-trigram
+    # fraction (1 - distinct/total) — the classic boilerplate/spam signals
+    "WITH toks AS (SELECT doc_id, "
+    + _sql_tokens()
+    + " AS t FROM documents), "
+    "bg AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END AS bgs, "
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END AS tgs FROM toks), "
+    "e AS (SELECT doc_id, unnest(bgs) AS g FROM bg), "
+    "c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2), "
+    "m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY 1) "
+    "SELECT bg.doc_id, "
+    "round(coalesce(CAST(m.mx AS DOUBLE) / m.tot, 0.0), 4) AS top_bigram_frac, "
+    "round(CASE WHEN len(tgs) > 0 THEN "
+    "1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) ELSE 0.0 END, 4) "
+    "AS dup_trigram_frac "
+    "FROM bg LEFT JOIN m ON bg.doc_id = m.doc_id ORDER BY bg.doc_id",
+)
+def t_repetition(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher/C4 rule family):
+    top-bigram fraction via a relational explode -> count -> per-doc max
+    (pure JVM group-bys, scale-safe), duplicate-trigram fraction via
+    distinct/total n-gram counts."""
+    t = _tokens()
+    make_bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    make_tg = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", make_bg.alias("bgs"), make_tg.alias("tgs")
+    )
+    counts = (
+        base.select("doc_id", F.explode("bgs").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+    )
+    dup = F.when(
+        F.size("tgs") > 0,
+        1.0 - F.size(F.array_distinct("tgs")).cast("double") / F.size("tgs"),
+    ).otherwise(0.0)
+    return (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(dup, 4).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "d_decontaminate",
+    # benchmark decontamination: flag corpus docs sharing any 3-gram
+    # shingle with a held-out "benchmark" set (doc_id < 5 stands in) —
+    # the n-gram-overlap rule every LLM training pipeline applies
+    _SH_SQL
+    + "SELECT c.doc_id, count(DISTINCT p.doc_id) AS n_benchmark_hits, "
+    "count(*) AS n_shared_shingles "
+    "FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 5) c "
+    "JOIN (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 5) p "
+    "USING (g) GROUP BY c.doc_id ORDER BY c.doc_id",
+)
+def d_decontaminate(spark, sf_dir):
+    """Benchmark decontamination via 3-gram shingle overlap: the probe
+    (benchmark) side is tiny and BROADCAST; corpus shingles stream
+    through a hash join — at 10^12 docs nothing shuffles but matches."""
+    from markmuse_spark.operators.dedup import _shingled
+
+    sh = _shingled(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    corpus_side = sh.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    probe = (
+        sh.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("g"))
+    )
+    return (
+        corpus_side.join(F.broadcast(probe), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_benchmark_hits"),
+            F.count("*").alias("n_shared_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # =====================================================================
 # Training-data pipeline: deduplication
 # =====================================================================
@@ -753,16 +873,6 @@ def d_exact_dedup(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "fingerprint")
         .limit(20)
     )
-
-
-_SH_SQL = (
-    "WITH toks AS (SELECT doc_id, "
-    + _sql_tokens()
-    + " AS t FROM documents), sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 "
-    "THEN list_distinct(list_transform(range(1, len(t) - 1), "
-    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
-    "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks) "
-)
 
 
 @_q(
