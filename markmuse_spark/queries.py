@@ -523,6 +523,32 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 @_q(
+    "q17_small_quantity",
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average) as the
+    # filter — the classic decorrelation case
+    "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_brand = 'Brand#1' AND l.l_quantity < "
+    "(SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_partkey = l.l_partkey)",
+)
+def q17_small_quantity(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated the way Catalyst/every
+    warehouse does it: the per-part average becomes a window (or an
+    aggregate joined back), so the fact table is scanned once —
+    no per-row subquery execution at 10^12 rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    return (
+        l.withColumn("avg_qty", avg_qty)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
     "w_topk_per_group",
     "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM ("
     "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, "
