@@ -9,40 +9,140 @@ times after one warm-up, forcing full materialization with an aggregate
 line::
 
     {"cores": .., "n_docs": .., "passes": [{"elapsed_sec": ..,
-     "docs_per_sec": .., "steal_pct": ..}, ...],
-     "docs_per_sec": <median over passes>, "best_docs_per_sec": ..}
+     "docs_per_sec": .., "steal_pct": .., "foreign_pct": ..,
+     "occupancy_pct": ..}, ...], "docs_per_sec": <median over passes>}
 
-``steal_pct`` is hypervisor steal over each pass window from
-``/proc/stat`` (machine-wide, all vcpus) — the sandbox VM shows bursty
-10-35% steal, and the per-pass numbers let the harness prove which
-windows were clean.  The median (not max) over equal pass counts is the
-comparison statistic: the expected maximum of a noisy sample grows with
-sample count, medians do not.
+Two interference signals are recorded per pass, both over THIS worker's
+pinned cpu set (``sched_getaffinity``) from ``/proc/stat``:
+
+* ``steal_pct`` — hypervisor steal (cycles the VM never got); the sandbox
+  host shows bursty steal, and per-pass numbers prove which windows were
+  clean
+* ``foreign_pct`` — cycles burned on our pinned cpus by processes OUTSIDE
+  this worker's process tree (busy jiffies on the pinned set minus this
+  JVM-tree's own utime+stime delta).  Round-2's driver window showed the
+  wide level depressed 2-3x at <1.1% steal — in-VM co-tenant load is
+  invisible to steal, so it must be measured directly.
+
+``occupancy_pct`` (our tree's share of the pinned set's capacity) is the
+positive control: an embarrassingly-parallel extraction pass should sit
+near 90%+ at both levels; a low-occupancy low-foreign pass means the level
+was blocked on something else (disclosed, not hidden).
+
+Turn-taking mode (``--turn-dir`` + ``--role``): both levels' JVMs start
+together (disjoint core sets), warm up concurrently, then alternate
+measured passes one at a time — small_0, big_0, small_1, big_1, ... —
+coordinated through marker files.  Adjacent-in-time passes see the same
+host conditions, so the harness can compare PER-ROUND ratios instead of
+two medians measured minutes apart (time-varying host capacity then
+cancels in the ratio instead of biasing it).  The idle JVM parks on its
+own pinned set (a 0.25 s poll loop + idle GC threads, ~0 cycles).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
-def _cpu_stat() -> tuple[int, int]:
-    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line."""
+def _pinned_cpus() -> set[int]:
+    try:
+        return set(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux
+        return set()
+
+
+def _percpu_stat(cpus: set[int]) -> tuple[int, int, int] | None:
+    """(total, idle+iowait, steal) jiffies summed over ``cpus``."""
+    if not cpus:
+        return None
+    tot = idle = steal = 0
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
-        return sum(vals), (vals[7] if len(vals) > 7 else 0)
-    except OSError:  # non-Linux fallback: no steal evidence
-        return 0, 0
+            for line in f:
+                if not line.startswith("cpu") or not line[3].isdigit():
+                    continue
+                parts = line.split()
+                if int(parts[0][3:]) not in cpus:
+                    continue
+                vals = [int(x) for x in parts[1:]]
+                tot += sum(vals)
+                idle += vals[3] + (vals[4] if len(vals) > 4 else 0)
+                steal += vals[7] if len(vals) > 7 else 0
+    except OSError:
+        return None
+    return tot, idle, steal
+
+
+def _java_root() -> int:
+    """The JVM ancestor of this python process (local mode: the whole
+    Spark job — driver, executor threads, python workers — lives in that
+    JVM's process tree)."""
+    pid = os.getpid()
+    for _ in range(12):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                data = f.read()
+            ppid = int(data[data.rindex(")") + 2 :].split()[1])
+            with open(f"/proc/{ppid}/comm") as f:
+                comm = f.read().strip()
+        except (OSError, ValueError):
+            break
+        if comm == "java":
+            return ppid
+        if ppid <= 1:
+            break
+        pid = ppid
+    return os.getppid()
+
+
+def _tree_jiffies(root: int) -> int | None:
+    """utime+stime summed over ``root`` and all its descendants."""
+    try:
+        stats: dict[int, int] = {}
+        children: dict[int, list[int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    data = f.read()
+            except OSError:  # raced with process exit
+                continue
+            fields = data[data.rindex(")") + 2 :].split()
+            pid = int(d)
+            stats[pid] = int(fields[11]) + int(fields[12])
+            children.setdefault(int(fields[1]), []).append(pid)
+    except OSError:
+        return None
+    total = 0
+    stack = [root]
+    seen: set[int] = set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += stats.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
 
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     m = len(s) // 2
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
+def _await_file(path: str, timeout: float = 900.0) -> None:
+    deadline = time.time() + timeout
+    while not os.path.exists(path):
+        if time.time() > deadline:
+            raise TimeoutError(f"turn-protocol wait timed out: {path}")
+        time.sleep(0.25)
 
 
 def main() -> None:
@@ -53,6 +153,10 @@ def main() -> None:
                     help="measured passes after the warm-up")
     ap.add_argument("--shuffle", action="store_true",
                     help="force the salted repartition ahead of extraction")
+    ap.add_argument("--turn-dir", default=None,
+                    help="marker-file dir for interleaved turn-taking")
+    ap.add_argument("--role", default=None, choices=["small", "big"],
+                    help="this worker's name in the turn protocol")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -98,10 +202,24 @@ def main() -> None:
     # production job amortizes to zero, and nothing else
     job(pages).agg(F.count("*")).collect()
 
+    cpus = _pinned_cpus()
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    root = _java_root()
+
+    turns = args.turn_dir is not None and args.role is not None
+    if turns:
+        ready = os.path.join(args.turn_dir, f"ready_{args.role}")
+        with open(ready, "w") as f:
+            f.write(str(os.getpid()))
+        _await_file(os.path.join(args.turn_dir, "go"))
+
     passes = []
     n_docs = n_errors = sum_chars = 0
-    for _ in range(max(1, args.passes)):
-        tot0, st0 = _cpu_stat()
+    for i in range(max(1, args.passes)):
+        if turns:
+            _await_file(os.path.join(args.turn_dir, f"turn_{i}_{args.role}"))
+        stat0 = _percpu_stat(cpus)
+        tree0 = _tree_jiffies(root)
         t0 = time.time()
         agg = job(pages).agg(
             F.count("*").alias("n"),
@@ -109,33 +227,49 @@ def main() -> None:
             F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
         ).first()
         elapsed = time.time() - t0
-        tot1, st1 = _cpu_stat()
-        steal_pct = (
-            round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
-            if tot1 > tot0
-            else None
-        )
+        stat1 = _percpu_stat(cpus)
+        tree1 = _tree_jiffies(root)
+        steal_pct = foreign_pct = occupancy_pct = None
+        if stat0 and stat1 and stat1[0] > stat0[0]:
+            tot = stat1[0] - stat0[0]
+            idle = stat1[1] - stat0[1]
+            steal_pct = round(100.0 * (stat1[2] - stat0[2]) / tot, 2)
+            if tree0 is not None and tree1 is not None:
+                ours = tree1 - tree0
+                busy = tot - idle - (stat1[2] - stat0[2])
+                foreign_pct = round(100.0 * max(0, busy - ours) / tot, 2)
+                occupancy_pct = round(100.0 * ours / tot, 2)
         n_docs, n_errors, sum_chars = agg["n"], agg["errs"], int(agg["chars"])
-        passes.append(
-            {
-                "elapsed_sec": round(elapsed, 3),
-                "docs_per_sec": round(n_docs / elapsed, 1),
-                "steal_pct": steal_pct,
-            }
-        )
+        rec = {
+            "elapsed_sec": round(elapsed, 3),
+            "docs_per_sec": round(n_docs / elapsed, 1),
+            "steal_pct": steal_pct,
+            "foreign_pct": foreign_pct,
+            "occupancy_pct": occupancy_pct,
+        }
+        passes.append(rec)
+        if turns:
+            tmp = os.path.join(args.turn_dir, f".pass_{i}_{args.role}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(
+                tmp, os.path.join(args.turn_dir, f"pass_{i}_{args.role}.json")
+            )
 
     rates = [p["docs_per_sec"] for p in passes]
     print(
         json.dumps(
             {
                 "cores": args.cores,
+                "pinned_cpus": sorted(cpus),
+                "hz": hz,
                 "n_docs": n_docs,
                 "n_errors": n_errors,
                 "sum_chars": sum_chars,
                 "passes": passes,
                 "docs_per_sec": round(_median(rates), 1),
                 "best_docs_per_sec": max(rates),
-                "elapsed_sec": min(p["elapsed_sec"] for p in passes),
+                "elapsed_sec": _median([p["elapsed_sec"] for p in passes]),
             }
         )
     )

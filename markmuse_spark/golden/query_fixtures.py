@@ -105,6 +105,53 @@ def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
     return rows, schema
 
 
+def mint_x_extract_corpus_2k() -> tuple[list[dict], "object"]:
+    """Bench-scale flagship oracle (round-3 ask): the golden assembly
+    oracle over a 2000-row seed-42 corpus, reduced to ONE aggregate row —
+    counts, char/image sums, and a corpus-level checksum (md5 over the
+    url-sorted ``url|md5`` lines) — so the Spark side must get every one
+    of 2000 multi-partition assemblies byte-right to match."""
+    import pyarrow as pa
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    lines = []
+    n_errors = sum_chars = sum_images = 0
+    for i in range(2000):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            n_errors += 1
+            lines.append(f"{url}|{hashlib.md5(b'').hexdigest()}")
+            continue
+        doc = oracle.assemble_document(url, expected)
+        sum_chars += len(doc["markdown"])
+        sum_images += len(doc["image_manifest"])
+        lines.append(
+            f"{url}|{hashlib.md5(doc['markdown'].encode('utf-8')).hexdigest()}"
+        )
+    corpus_md5 = hashlib.md5("\n".join(sorted(lines)).encode("utf-8")).hexdigest()
+    rows = [
+        {
+            "n_docs": 2000,
+            "n_errors": n_errors,
+            "sum_chars": sum_chars,
+            "sum_images": sum_images,
+            "corpus_md5": corpus_md5,
+        }
+    ]
+    schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_errors", pa.int64()),
+            ("sum_chars", pa.int64()),
+            ("sum_images", pa.int64()),
+            ("corpus_md5", pa.string()),
+        ]
+    )
+    return rows, schema
+
+
 def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
     """Enhanced-mode (A11) golden: the independent enhanced oracle over the
     expected page models, captions from the same deterministic fake the
@@ -396,9 +443,11 @@ def mint_s_lsh_ann(
             bin(int(buckets[i, t]) ^ int(buckets[qi, t])).count("1") <= hamming_radius
             for t in range(buckets.shape[1])
         ):
-            cands.append((vid, spark_round(_cosine(vecs[i], vecs[qi]))))
+            # rank on the UNROUNDED cosine (bit-identical to Spark's fold),
+            # round only the projected value — matching lsh_bucketed_topk
+            cands.append((vid, _cosine(vecs[i], vecs[qi])))
     cands.sort(key=lambda r: (-r[1], r[0]))
-    rows = [{"vec_id": v, "cosine": c} for v, c in cands[:k]]
+    rows = [{"vec_id": v, "cosine": spark_round(c)} for v, c in cands[:k]]
     schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
     return rows, schema
 
@@ -424,10 +473,12 @@ def mint_s_lsh_ann_batch(
                 bin(int(buckets[i, t]) ^ int(buckets[qi, t])).count("1") <= 1
                 for t in range(buckets.shape[1])
             ):
-                cands.append((vid, spark_round(_cosine(vecs[i], vecs[qi]))))
+                # unrounded rank, rounded projection (see mint_s_lsh_ann)
+                cands.append((vid, _cosine(vecs[i], vecs[qi])))
         cands.sort(key=lambda r: (-r[1], r[0]))
         rows.extend(
-            {"query_id": qid, "cand_id": v, "cosine": c} for v, c in cands[:k]
+            {"query_id": qid, "cand_id": v, "cosine": spark_round(c)}
+            for v, c in cands[:k]
         )
     schema = pa.schema(
         [("query_id", pa.int64()), ("cand_id", pa.int64()), ("cosine", pa.float64())]
@@ -441,6 +492,7 @@ def mint_s_lsh_ann_batch(
 
 MINTERS = {
     "x_extract_corpus": mint_x_extract_corpus,
+    "x_extract_corpus_2k": mint_x_extract_corpus_2k,
     "x_extract_enhanced": mint_x_extract_enhanced,
     "x_extract_images": mint_x_extract_images,
     "m_image_metadata": mint_m_image_metadata,

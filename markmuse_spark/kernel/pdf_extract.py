@@ -141,19 +141,32 @@ def _content_streams(payload: bytes) -> list[str]:
     ``endstream`` keyword; otherwise fall back to scanning for it.
     """
     streams: list[str] = []
-    for m in _STREAM_HDR.finditer(payload):
+    pos = 0
+    # scan position advances past each consumed stream's endstream so
+    # stream BODIES are never rescanned: Flate-compressed bytes can
+    # contain '<<...>>stream\n' by chance, and a finditer over the whole
+    # payload would mint a garbage page from it (silently shifting page
+    # indices) instead of skipping it
+    while True:
+        m = _STREAM_HDR.search(payload, pos)
+        if m is None:
+            break
         head, start = m.group(1), m.end()
         lm = _LENGTH.search(head)
         data: bytes | None = None
+        pos = m.end()
         if lm:
             end = start + int(lm.group(1))
-            if _ENDSTREAM.match(payload, end):
+            em = _ENDSTREAM.match(payload, end)
+            if em:
                 data = payload[start:end]
+                pos = em.end()
         if data is None:  # no/odd /Length: scan (uncompressed dialect only)
             idx = payload.find(b"endstream", start)
             if idx < 0:
                 continue
             data = payload[start:idx].rstrip(b"\r\n")
+            pos = idx + len(b"endstream")
         if _FLATE.search(head):
             try:
                 data = zlib.decompress(data)

@@ -190,6 +190,17 @@ def minhash_signature(
     min under any fixed total order of a random bijection is a valid
     MinHash permutation family.
     """
+    return _signature_from_shingled(
+        _shingled(docs, id_col, text_col, n), num_perm, seed
+    )
+
+
+def _signature_from_shingled(
+    sh: DataFrame, num_perm: int, seed: int
+) -> DataFrame:
+    """(doc_id, signature) from an already-shingled frame — split out so
+    :func:`minhash_lsh_pairs` can reuse ONE shingle pass for both the
+    signature and the exact-Jaccard verification stages."""
     import numpy as np
     import pandas as pd
 
@@ -218,7 +229,6 @@ def minhash_signature(
     _minhash.__annotations__ = {"hs_col": pd.Series, "return": pd.Series}
     _minhash = F.pandas_udf(_minhash, "array<long>")
 
-    sh = _shingled(docs, id_col, text_col, n)
     hashed = sh.select(
         "doc_id",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
@@ -241,9 +251,28 @@ def minhash_lsh_pairs(
     The verification joins back to the shingle arrays so the reported
     ``jaccard`` is exact (only over candidates — at 10^12 docs this is the
     whole point: pairwise work collapses to per-bucket work).
+
+    The shingled frame is computed ONCE and persisted (memory-with-disk
+    spill): three plan branches read it — the signature stage and both
+    sides of the verification join — and without the persist Spark
+    recomputes the tokenize/shingle UDF per branch (no common-subplan
+    elimination across self-joins; measured as the dominant cost of the
+    whole query in round 2).  Carrying the shingle arrays *through* the
+    banded candidate join instead would avoid the cache but shuffle
+    ~``bands``x the shingle bytes per doc — the wrong trade at 10^12 docs,
+    where candidates shuffle signatures (KBs), never shingle sets.  At
+    production scale the shingled/signature frame would be staged to a
+    table once and read by both stages; the cache is the single-session
+    equivalent.  The cache entry is left to Spark's LRU eviction (there is
+    no post-action hook to unpersist a lazily-consumed result).
     """
+    from pyspark import StorageLevel
+
     rows = num_perm // bands
-    sigs = minhash_signature(docs, id_col, text_col, n, num_perm)
+    sh = _shingled(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signature_from_shingled(sh, num_perm, seed=12345)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -270,7 +299,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingled(docs, id_col, text_col, n)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -312,10 +340,20 @@ def near_duplicates(
     the only shape that survives 10^12 documents.  ``exact=True`` switches
     to the inverted-index self-join (:func:`ngram_jaccard_pairs`), the
     ground-truth/oracle form; use it only at small scale or with ``max_df``
-    set (unbounded, every stopword shingle is a hot join key)."""
+    set (unbounded, every stopword shingle is a hot join key).
+
+    ``max_df`` applies ONLY to the exact path (it caps the inverted
+    index's hot shingles; the LSH path has no inverted index — its skew
+    control is the banded signature join itself), so supplying it with
+    ``exact=False`` raises rather than silently ignoring the cap."""
     if exact:
         return ngram_jaccard_pairs(
             docs, id_col, text_col, n, threshold, max_df=max_df
+        )
+    if max_df is not None:
+        raise ValueError(
+            "max_df is an inverted-index frequency cap; it has no effect "
+            "on the LSH path — pass exact=True to use it"
         )
     return minhash_lsh_pairs(docs, id_col, text_col, n, threshold=threshold)
 

@@ -46,7 +46,15 @@ def cosine_topk(
 
     The 1-row query side is broadcast; the scan side is one pass, no
     shuffle until the final top-k (which Spark executes as a partial
-    per-partition top-k + single merge — TakeOrderedAndProject)."""
+    per-partition top-k + single merge — TakeOrderedAndProject).
+
+    Deliberate deviation from the rank-on-unrounded rule the LSH forms
+    follow: this op is DuckDB-oracled, and bit-parity of the UNROUNDED
+    float fold across two engines is not a contract anyone offers —
+    near-tied candidates could order differently at the LIMIT boundary.
+    The rounded sort key + id tiebreak IS the deterministic cross-engine
+    ordering contract here (the fixture-oracled LSH forms rank unrounded
+    because their pure-Python replica reproduces Spark's fold exactly)."""
     # norms are per-vector quantities: compute them once on the scan side
     # (and once for the broadcast query row), never per pair
     v = vectors.select(
@@ -141,16 +149,20 @@ def lsh_bucketed_topk(
         ),
         lambda x: x,
     )
+    # rank on the UNROUNDED cosine (round only the projection); the
+    # fixture oracle's pure-Python replica uses the same strict left-fold,
+    # so the unrounded sort keys are bit-identical across both
     return (
         joined.filter(any_table_close)
         .select(
             F.col(id_col),
-            F.round(
-                cosine_expr(F.col(vec_col).cast("array<double>"), F.col("qvec")), 4
-            ).alias("cosine"),
+            cosine_expr(
+                F.col(vec_col).cast("array<double>"), F.col("qvec")
+            ).alias("_cos"),
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round("_cos", 4).alias("cosine"))
     )
 
 
@@ -282,15 +294,19 @@ def lsh_batch_topk(
         .select("query_id", "qvec", "cand_id", "cand_vec")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    cos = F.round(cosine_expr(F.col("cand_vec"), F.col("qvec")), 4)
+    # rank on the UNROUNDED cosine (rounding first lets two truly-distinct
+    # scores tie at 4 decimals and swap near-boundary order via the
+    # cand_id tiebreak); rounding is presentation-only on the projection —
+    # the same rule every other operator in this package follows
+    cos = cosine_expr(F.col("cand_vec"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id")
+        F.col("_cos").desc(), F.col("cand_id")
     )
     return (
-        cand.select("query_id", "cand_id", cos.alias("cosine"))
+        cand.select("query_id", "cand_id", cos.alias("_cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .drop("rn")
+        .select("query_id", "cand_id", F.round("_cos", 4).alias("cosine"))
     )
 
 

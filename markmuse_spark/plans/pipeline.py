@@ -41,19 +41,35 @@ DEFAULT_OVERSUB = 4
 
 
 def committed_urls(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
-    """Urls from previously *committed* runs (run dirs bearing _SUCCESS)."""
-    root = os.path.join(output_dir, "extracted")
-    if not os.path.isdir(root):
+    """Urls from previously *committed* runs (run dirs bearing _SUCCESS).
+
+    Listing goes through the Hadoop FileSystem API (resolved from the
+    run root's own scheme), NOT ``os.listdir`` — the same code path then
+    works against file://, hdfs://, s3a:// and every other configured
+    store; round 2's local-FS walk was a 100x-scale liability.  The run
+    count is small (one directory status per run), so a driver-side
+    listing is fine; at extreme run counts the ``extraction_runs``
+    lineage sidecar (A20) carries the same committed run ids and could
+    replace the listing entirely."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(output_dir, "extracted")
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
         return None
-    good = [
-        os.path.join(root, d)
-        for d in sorted(os.listdir(root))
-        if d.startswith("run_id=")
-        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
-    ]
+    good = []
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        if (
+            st.isDirectory()
+            and p.getName().startswith("run_id=")
+            and fs.exists(HPath(p, "_SUCCESS"))
+        ):
+            good.append(p.toString())
     if not good:
         return None
-    return spark.read.parquet(*good).select("url")
+    return spark.read.parquet(*sorted(good)).select("url")
 
 
 def salted_repartition(

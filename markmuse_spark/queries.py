@@ -1107,6 +1107,44 @@ def x_extract_corpus(spark, sf_dir):
 
 
 @_q(
+    "x_extract_corpus_2k",
+    # ONE aggregate row over a 2000-doc corpus: the oracle is the golden
+    # assembly oracle reduced to counts + a url-sorted corpus checksum
+    # (golden/query_fixtures.py) — the round-3 bench-scale flagship oracle
+    "SELECT n_docs, n_errors, sum_chars, sum_images, corpus_md5 FROM "
+    f"read_parquet('{_FIXDIR}/x_extract_corpus_2k.parquet')",
+)
+def x_extract_corpus_2k(spark, sf_dir):
+    """The flagship extraction at 10x the per-row oracle's scale (2000
+    docs, 32 input partitions — multi-partition assembly, every error row
+    included), checked as a single aggregate: any single byte of any of
+    the 2000 markdown outputs moves ``corpus_md5``."""
+    from markmuse_spark.operators.extract import extract_markdown
+    from markmuse_spark.sources import corpus
+
+    pages = corpus.pages_dataframe(spark, 2000, seed=42, partitions=32)
+    per = extract_markdown(pages).select(
+        "url",
+        F.md5(F.coalesce(F.col("markdown"), F.lit(""))).alias("md"),
+        "n_chars",
+        "n_images",
+        F.col("error").isNotNull().cast("long").alias("is_err"),
+    )
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_err").alias("n_errors"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_images").cast("long").alias("sum_images"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.sort_array(F.collect_list(F.concat_ws("|", "url", "md"))),
+            )
+        ).alias("corpus_md5"),
+    )
+
+
+@_q(
     "x_extract_enhanced",
     # fixture minted by the golden ENHANCED oracle (independent
     # re-implementation of markmuse.py:569-608 with injected captions)

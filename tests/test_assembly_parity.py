@@ -195,7 +195,7 @@ def test_enhanced_mode_parity_and_semantics():
         blocks = docmodel.random_page_blocks(rng, lang)
         page = docmodel.expected_page(blocks, 0)
         url = f"https://site.example/docs/enh-{i:04d}"
-        # caption only the ODD default ids so both branches are exercised
+        # caption only the EVEN-indexed ids so both branches are exercised
         captions = {
             img["id"]: f"cap {img['id']}"
             for k, img in enumerate(page["images"])
