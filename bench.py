@@ -91,6 +91,58 @@ def _median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
 
 
+def pair_dirt(p: dict) -> float:
+    """Severity key for least-dirty selection.  None (no evidence) ranks
+    DIRTIEST (inf), never cleanest — ranking an evidence-free pair as
+    clean would let a blind pair win the selection.  Spread enters the
+    tiebreak scaled so 0.1x of spread ~ 1% of steal."""
+    s = p["max_steal_pct"]
+    f = p["max_foreign_pct"]
+    spread_excess = max(0.0, (p.get("spread") or 1.0) - 1.0) * 10.0
+    return max(
+        s if s is not None else float("inf"),
+        f if f is not None else float("inf"),
+        spread_excess,
+    )
+
+
+def pair_dirty(
+    p: dict, steal_floor: float, foreign_floor: float, spread_floor: float
+) -> bool:
+    """A window is dirty when any interference signal exceeds its floor —
+    or when there is no steal evidence at all (not provably clean)."""
+    if p["max_steal_pct"] is None:
+        return True
+    return (
+        p["max_steal_pct"] > steal_floor
+        or (
+            p["max_foreign_pct"] is not None
+            and p["max_foreign_pct"] > foreign_floor
+        )
+        or (p.get("spread") or 1.0) > spread_floor
+    )
+
+
+def select_pair(
+    pairs: list[dict],
+    steal_floor: float,
+    foreign_floor: float,
+    spread_floor: float,
+) -> tuple[dict, bool]:
+    """(selected pair, was_clean).  FIRST clean pair as-is; if every pair
+    is dirty, the LEAST-DIRTY pair unconditionally — pass or fail.
+    Preferring a dirtier pair that happens to clear the efficiency gate
+    would be outcome-conditioned selection (round-2 review finding)."""
+    clean = [
+        p
+        for p in pairs
+        if not pair_dirty(p, steal_floor, foreign_floor, spread_floor)
+    ]
+    if clean:
+        return clean[0], True
+    return min(pairs, key=pair_dirt), False
+
+
 CORPUS_TAG = "v3"  # bump when the corpus generator's bytes change
 
 
@@ -128,6 +180,7 @@ def _worker_cmd(
     cpu_list: str | None,
     turn_dir: str | None = None,
     role: str | None = None,
+    reps: int = 1,
 ) -> list[str]:
     worker = os.path.join(REPO, "markmuse_spark", "bench_worker.py")
     submit = shutil.which("spark-submit") or os.path.join(
@@ -144,6 +197,7 @@ def _worker_cmd(
         "--input", corpus_path,
         "--cores", str(cores),
         "--passes", str(passes),
+        "--reps", str(reps),
     ]
     if turn_dir is not None:
         cmd += ["--turn-dir", turn_dir, "--role", role]
@@ -196,30 +250,45 @@ def _interleaved_pair(
     pin: bool = True,
 ) -> dict:
     """One scaling measurement: both levels' JVMs up at once on DISJOINT
-    pinned core sets, measured passes strictly alternating (small_i then
-    big_i), never concurrent.  Efficiency = MEDIAN over rounds of the
+    pinned core sets, measured windows strictly alternating within each
+    round, never concurrent.  Efficiency = MEDIAN over rounds of the
     per-round ratio (dps_big_i / dps_small_i) / (n_big / n_small) — each
-    ratio compares adjacent ~seconds-apart windows, so host capacity drift
-    between rounds cancels instead of biasing one level.  Per-pass steal%%
-    AND foreign-process busy%% on each level's pinned cpus are recorded as
-    cleanliness evidence (see bench_worker docstring).
+    ratio compares adjacent windows, so host capacity drift between
+    rounds cancels instead of biasing one level.  Two hard-won symmetry
+    rules (this host's effective capacity oscillates ~2x on a tens-of-
+    seconds timescale with steal AND foreign near zero — an invisible
+    hypervisor quota/frequency layer):
+
+    * the wide level runs ``n_big/n_small`` consecutive corpus scans per
+      measured window, so BOTH levels' windows cover ~equal wall time
+      and see the same share of any capacity dip (with equal-doc windows
+      the 4N window is 4x shorter and a dip lands on one level only);
+    * the within-round order alternates (small-first on even rounds,
+      big-first on odd), so monotonic drift within a round cannot push
+      every ratio the same way.
+
+    Per-pass steal%% and foreign-process busy%% on each level's pinned
+    cpus are recorded as cleanliness evidence, plus each level's
+    throughput SPREAD (max/min over its windows) — the only signal that
+    catches the invisible capacity swings.
 
     ``pin``: False on hosts too small for disjoint sets — both levels run
     unpinned and the caller discloses that in the method string (an
     unpinned pair is a weaker comparison, never a silently wrong one)."""
     small_set = f"0-{n_small - 1}" if pin else None
     big_set = f"{n_small}-{n_small + n_big - 1}" if pin else None
+    reps_big = max(1, n_big // n_small)
     turn_dir = tempfile.mkdtemp(prefix="turns_", dir=BENCH_ROOT)
     procs: list[subprocess.Popen] = []
     try:
         p_small = subprocess.Popen(
             _worker_cmd(n_small, corpus_path, pkg_zip, passes, small_set,
-                        turn_dir, "small"),
+                        turn_dir, "small", reps=1),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
         )
         p_big = subprocess.Popen(
             _worker_cmd(n_big, corpus_path, pkg_zip, passes, big_set,
-                        turn_dir, "big"),
+                        turn_dir, "big", reps=reps_big),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
         )
         procs = [p_small, p_big]
@@ -229,7 +298,8 @@ def _interleaved_pair(
         _await_file(os.path.join(turn_dir, "ready_big"), 900, procs)
         open(os.path.join(turn_dir, "go"), "w").close()
         for i in range(passes):
-            for role in ("small", "big"):
+            order = ("small", "big") if i % 2 == 0 else ("big", "small")
+            for role in order:
                 open(os.path.join(turn_dir, f"turn_{i}_{role}"), "w").close()
                 _await_file(
                     os.path.join(turn_dir, f"pass_{i}_{role}.json"), 900, procs
@@ -254,6 +324,11 @@ def _interleaved_pair(
     foreigns = [
         p["foreign_pct"] for p in all_passes if p["foreign_pct"] is not None
     ]
+
+    def _spread(level: dict) -> float:
+        rates = [p["docs_per_sec"] for p in level["passes"]]
+        return round(max(rates) / max(1e-9, min(rates)), 3)
+
     return {
         "small": small,
         "big": big,
@@ -261,6 +336,7 @@ def _interleaved_pair(
         "efficiency": round(_median(ratios), 3),
         "max_steal_pct": max(steals) if steals else None,
         "max_foreign_pct": max(foreigns) if foreigns else None,
+        "spread": max(_spread(small), _spread(big)),
     }
 
 
@@ -293,6 +369,13 @@ def main() -> None:
     )
 
     corpus_path = _ensure_corpus(spark, sf, n_docs)
+    # the scaling pair runs its own SMALLER corpus: one corpus scan at the
+    # small level is then ~15 s, so a whole alternating round fits inside
+    # one host-capacity regime (measured: this host's effective capacity
+    # swings ~2x on a tens-of-seconds timescale with near-zero steal),
+    # while the wide level's rep-multiplied window covers ~equal wall time
+    n_scaling = min(n_docs, int(os.environ.get("MARKMUSE_BENCH_SCALING_DOCS", "40000")))
+    scaling_corpus = _ensure_corpus(spark, sf, n_scaling)
 
     # ---- headline relational queries on the driver's sf tables ---------
     # warm-up (excluded): JVM bring-up, codegen compiler init, parquet
@@ -335,11 +418,14 @@ def main() -> None:
         n_small //= 2
     n_big = n_small * 4
     pin = 5 * n_small <= avail  # disjoint sets must actually exist
-    passes_small = int(os.environ.get("MARKMUSE_BENCH_PASSES", "3"))
-    max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "4"))
+    passes_small = int(os.environ.get("MARKMUSE_BENCH_PASSES", "5"))
+    max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "6"))
     # retry policy: a retry happens ONLY while the measured window is
-    # dirty (recorded per-pass steal OR foreign-busy above the floors) —
-    # the FIRST clean window's number is accepted as-is, pass or fail, so
+    # dirty — recorded per-pass steal OR foreign-busy above the floors, OR
+    # either level's throughput spread (max/min over its windows) above
+    # the spread floor, which is the one signal that catches this host's
+    # invisible capacity swings (steal ~0, foreign ~0, throughput halves).
+    # The FIRST clean window's number is accepted as-is, pass or fail, so
     # the bounded retries cannot act as a max-over-noise selector.  If
     # every window was dirty, the LEAST-DIRTY pair is reported
     # unconditionally (pass or fail — preferring a dirtier passing pair
@@ -350,31 +436,19 @@ def main() -> None:
     foreign_floor = float(
         os.environ.get("MARKMUSE_BENCH_FOREIGN_FLOOR", "2.0")
     )
+    spread_floor = float(os.environ.get("MARKMUSE_BENCH_SPREAD_FLOOR", "1.3"))
     retry_budget_sec = float(
-        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "1500")
+        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "1200")
     )
 
-    def _dirt(p: dict) -> float:
-        s = p["max_steal_pct"]
-        f = p["max_foreign_pct"]
-        return max(
-            s if s is not None else float("inf"),
-            f if f is not None else float("inf"),
-        )
-
     def _dirty(p: dict) -> bool:
-        if p["max_steal_pct"] is None:
-            return True  # no evidence => not provably clean
-        return p["max_steal_pct"] > steal_floor or (
-            p["max_foreign_pct"] is not None
-            and p["max_foreign_pct"] > foreign_floor
-        )
+        return pair_dirty(p, steal_floor, foreign_floor, spread_floor)
 
     pairs: list[dict] = []
     for attempt in range(max_pairs):
         pairs.append(
             _interleaved_pair(
-                n_small, n_big, corpus_path, pkg_zip, passes_small, pin
+                n_small, n_big, scaling_corpus, pkg_zip, passes_small, pin
             )
         )
         if not _dirty(pairs[-1]):
@@ -385,13 +459,37 @@ def main() -> None:
             break  # keep the whole bench inside the driver's patience
         if attempt < max_pairs - 1:
             time.sleep(10)  # let a co-tenant burst pass before retrying
-    clean = [p for p in pairs if not _dirty(p)]
-    # first clean pair as-is; all dirty -> least dirty, pass or fail
-    best_pair = clean[0] if clean else min(pairs, key=_dirt)
+    best_pair, pair_clean = select_pair(
+        pairs, steal_floor, foreign_floor, spread_floor
+    )
     run_small, run_big = best_pair["small"], best_pair["big"]
     eff = best_pair["efficiency"]
-    # headline throughput: one unpinned full-width run (machine capability)
-    run_full = _spark_submit(CPUS // 2, corpus_path, pkg_zip, passes=1)
+    # headline throughput: unpinned full-width runs (machine capability),
+    # same bounded retry-while-dirty rule (the quota wall shows up as
+    # double-digit steal on the wide unpinned run; report the first clean
+    # window, else the least-dirty)
+    full_tries: list[dict] = []
+    for attempt in range(3):
+        r = _spark_submit(CPUS // 2, corpus_path, pkg_zip, passes=2)
+        rates = [p["docs_per_sec"] for p in r["passes"]]
+        steals_f = [
+            p["steal_pct"] for p in r["passes"] if p["steal_pct"] is not None
+        ]
+        r["max_steal_pct"] = max(steals_f) if steals_f else None
+        r["max_foreign_pct"] = max(
+            (p["foreign_pct"] for p in r["passes"]
+             if p["foreign_pct"] is not None),
+            default=None,
+        )
+        r["spread"] = round(max(rates) / max(1e-9, min(rates)), 3)
+        full_tries.append(r)
+        if not _dirty(r) or r["max_steal_pct"] is None:
+            break
+        if time.time() - t_start > retry_budget_sec + 300:
+            break
+    run_full, _full_clean = select_pair(
+        full_tries, steal_floor, foreign_floor, spread_floor
+    )
 
     total = round(time.time() - t_start, 3)
     method = (
@@ -403,14 +501,19 @@ def main() -> None:
             else "an UNPINNED host too small for disjoint core sets "
             "(weaker comparison, disclosed)"
         )
-        + ", identical input, one full warm-up pass each (excluded); "
-        f"measured passes STRICTLY ALTERNATE (small_i then big_i, {passes_small} "
-        "rounds, never concurrent) so each per-round ratio compares "
-        "adjacent-in-time windows and host-capacity drift cancels; "
-        "efficiency = median of per-round ratios; per-pass steal% and "
-        "foreign-process busy% on each level's pinned cpus recorded; pair "
-        f"retried up to {max_pairs}x ONLY while dirty (steal > {steal_floor}% "
-        f"or foreign > {foreign_floor}%); the FIRST clean pair is reported "
+        + f", identical {n_scaling}-doc input, one full warm-up pass each "
+        "(excluded); measured windows STRICTLY ALTERNATE within each of "
+        f"{passes_small} rounds (never concurrent; order flips per round), "
+        "and the wide level runs 4N/N consecutive corpus scans per window "
+        "so both levels' windows cover ~equal wall time — each per-round "
+        "ratio then compares adjacent equal-length windows and "
+        "host-capacity drift cancels; efficiency = median of per-round "
+        "ratios; per-pass steal%, foreign-process busy% and per-level "
+        "throughput spread recorded as cleanliness evidence; pair retried "
+        f"up to {max_pairs}x ONLY while dirty (steal > {steal_floor}% or "
+        f"foreign > {foreign_floor}% or spread > {spread_floor}x — spread "
+        "catches this host's invisible capacity swings: throughput halves "
+        "at ~0 steal and ~0 foreign); the FIRST clean pair is reported "
         "as-is (pass or fail), and if every pair is dirty the LEAST-DIRTY "
         "pair is reported unconditionally — every pair disclosed in "
         "all_pairs; process tree "
@@ -426,10 +529,12 @@ def main() -> None:
         "headline_sweeps": sweeps,
         "scaling": {
             "passes_per_level": passes_small,
+            "scaling_corpus_docs": n_scaling,
             "steal_floor_pct": steal_floor,
             "foreign_floor_pct": foreign_floor,
+            "spread_floor": spread_floor,
             "selected_pair_index": pairs.index(best_pair),
-            "selected_pair_clean": bool(clean),
+            "selected_pair_clean": pair_clean,
             "all_pairs": [
                 {
                     "efficiency": p["efficiency"],
@@ -440,12 +545,13 @@ def main() -> None:
                     "passes_4n": p["big"]["passes"],
                     "max_steal_pct": p["max_steal_pct"],
                     "max_foreign_pct": p["max_foreign_pct"],
+                    "spread": p["spread"],
                 }
                 for p in pairs
             ],
             "method": method,
         },
-        "full_width_run": run_full,
+        "full_width_tries": full_tries,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1)
@@ -456,8 +562,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {
             **query_times,
-            f"extract_{n_docs}_docs_local{n_small}_pinned": run_small["elapsed_sec"],
-            f"extract_{n_docs}_docs_local{n_big}_pinned": run_big["elapsed_sec"],
+            f"extract_{n_scaling}_docs_local{n_small}_pinned": run_small["elapsed_sec"],
+            f"extract_{n_scaling}x4_docs_local{n_big}_pinned": run_big["elapsed_sec"],
             f"extract_{n_docs}_docs_local{CPUS // 2}": run_full["elapsed_sec"],
         },
         "sf": sf,
@@ -477,7 +583,8 @@ def main() -> None:
             "ratios": best_pair["ratios"],
             "max_steal_pct": best_pair["max_steal_pct"],
             "max_foreign_pct": best_pair["max_foreign_pct"],
-            "clean": bool(clean),
+            "spread": best_pair["spread"],
+            "clean": pair_clean,
             "pairs_tried": len(pairs),
             "detail": os.path.basename(DETAIL_PATH),
         },

@@ -151,6 +151,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--passes", type=int, default=1,
                     help="measured passes after the warm-up")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="consecutive corpus scans per measured pass — the "
+                    "wide scaling level sets reps=4N/N so both levels' "
+                    "measured windows cover ~equal WALL TIME and see the "
+                    "same share of host-capacity drift")
     ap.add_argument("--shuffle", action="store_true",
                     help="force the salted repartition ahead of extraction")
     ap.add_argument("--turn-dir", default=None,
@@ -221,11 +226,12 @@ def main() -> None:
         stat0 = _percpu_stat(cpus)
         tree0 = _tree_jiffies(root)
         t0 = time.time()
-        agg = job(pages).agg(
-            F.count("*").alias("n"),
-            F.sum("n_chars").alias("chars"),
-            F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
-        ).first()
+        for _rep in range(max(1, args.reps)):
+            agg = job(pages).agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
+            ).first()
         elapsed = time.time() - t0
         stat1 = _percpu_stat(cpus)
         tree1 = _tree_jiffies(root)
@@ -242,7 +248,8 @@ def main() -> None:
         n_docs, n_errors, sum_chars = agg["n"], agg["errs"], int(agg["chars"])
         rec = {
             "elapsed_sec": round(elapsed, 3),
-            "docs_per_sec": round(n_docs / elapsed, 1),
+            # docs/sec counts every rep's documents over the whole window
+            "docs_per_sec": round(n_docs * max(1, args.reps) / elapsed, 1),
             "steal_pct": steal_pct,
             "foreign_pct": foreign_pct,
             "occupancy_pct": occupancy_pct,
@@ -269,7 +276,9 @@ def main() -> None:
                 "passes": passes,
                 "docs_per_sec": round(_median(rates), 1),
                 "best_docs_per_sec": max(rates),
-                "elapsed_sec": _median([p["elapsed_sec"] for p in passes]),
+                "elapsed_sec": round(
+                    _median([p["elapsed_sec"] for p in passes]), 3
+                ),
             }
         )
     )

@@ -152,6 +152,58 @@ def mint_x_extract_corpus_2k() -> tuple[list[dict], "object"]:
     return rows, schema
 
 
+def mint_d_line_dedup() -> tuple[list[dict], "object"]:
+    """Independent replica of C4-style global line dedup over the 200-doc
+    golden markdown corpus: iterate documents in url order, keep the FIRST
+    occurrence of every distinct non-blank line (position order within a
+    document), always keep blank lines; report the cleaned text as an md5
+    plus kept/removed counts per url."""
+    import pyarrow as pa
+
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    docs = []
+    for i in range(200):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            continue  # the query filters error rows the same way
+        docs.append((url, oracle.assemble_document(url, expected)["markdown"]))
+    docs.sort(key=lambda d: d[0])
+
+    seen: set[str] = set()
+    rows = []
+    for url, md in docs:
+        kept_lines = []
+        n_removed = 0
+        for line in md.split("\n"):
+            if line == "":
+                kept_lines.append(line)
+            elif line in seen:
+                n_removed += 1
+            else:
+                seen.add(line)
+                kept_lines.append(line)
+        clean = "\n".join(kept_lines)
+        rows.append(
+            {
+                "url": url,
+                "clean_md5": hashlib.md5(clean.encode("utf-8")).hexdigest(),
+                "n_kept": len(kept_lines),
+                "n_removed": n_removed,
+            }
+        )
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("clean_md5", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+    return rows, schema
+
+
 def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
     """Enhanced-mode (A11) golden: the independent enhanced oracle over the
     expected page models, captions from the same deterministic fake the
@@ -498,6 +550,7 @@ MINTERS = {
     "m_image_metadata": mint_m_image_metadata,
     "m_image_features": mint_m_image_features,
     "d_simhash_pairs": mint_d_simhash_pairs,
+    "d_line_dedup": mint_d_line_dedup,
     "s_lsh_ann": mint_s_lsh_ann,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
 }

@@ -312,6 +312,75 @@ def minhash_lsh_pairs(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "markdown",
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication: every distinct non-blank line
+    keeps exactly ONE occurrence corpus-wide — the first in ``(id, line
+    position)`` order — and later occurrences are removed (C4 removed
+    repeated lines this way to strip cross-document boilerplate before
+    training).  Blank lines are structural, never deduplicated.
+
+    Returns ``(id, text_clean, n_kept, n_removed)`` with ``text_clean``
+    the surviving lines re-joined in original order.
+
+    Scale shape: the keeper per line comes from ``groupBy(line).agg(min(
+    struct(id, pos)))`` — a hash aggregate with map-side combine, so a
+    boilerplate line occurring in every one of 10^12 documents partially
+    aggregates on each executor instead of hot-spotting one reducer (the
+    window-function formulation, ``row_number() over (partition by
+    line)``, would shuffle every occurrence of the hottest line to a
+    single partition — exactly the skew this avoids).  The join back on
+    ``line`` is a plain equi-join AQE's skew handling covers; at extreme
+    corpus sizes join on ``xxhash64(line)`` instead to shrink shuffle
+    bytes (not done here: the text key keeps the result independently
+    oracle-able, and 64-bit birthday collisions at 10^12 lines are small
+    but not zero).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    keepers = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(
+            F.min(
+                F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))
+            ).alias("first_at")
+        )
+    )
+    marked = lines.join(keepers, "line", "left").withColumn(
+        "keep",
+        (F.col("line") == "")
+        | (
+            (F.col("first_at.i") == F.col("_id"))
+            & (F.col("first_at.p") == F.col("pos"))
+        ),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "line"))
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    # collect_list drops the nulls the when() leaves for
+                    # removed lines; pos is unique per doc so the struct
+                    # sort restores original order exactly
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def md5_long_expr(col):
     """64-bit signed feature hash from md5 (first 8 bytes, big-endian) as a
     JVM expression.  Chosen over ``xxhash64`` for SimHash because md5 is

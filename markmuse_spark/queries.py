@@ -968,6 +968,38 @@ def d_simhash_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "d_line_dedup",
+    # fixture minted by an independent pure-Python replica (url-ordered
+    # first-occurrence scan over the golden markdown corpus;
+    # golden/query_fixtures.py)
+    "SELECT url, clean_md5, n_kept, n_removed FROM "
+    f"read_parquet('{_FIXDIR}/d_line_dedup.parquet') ORDER BY url",
+)
+def d_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL line dedup over extracted markdown: every distinct
+    non-blank line keeps its first (url, position) occurrence corpus-wide;
+    later occurrences (cross-document boilerplate) are removed.  Skew-safe
+    shape: keeper = groupBy(line) min-aggregate (map-side combine), never
+    a per-line window — see operators/dedup.line_dedup."""
+    from markmuse_spark.operators.dedup import line_dedup
+    from markmuse_spark.operators.extract import extract_markdown
+    from markmuse_spark.sources import corpus
+
+    pages = corpus.pages_dataframe(spark, 200, seed=42, partitions=8)
+    docs = extract_markdown(pages).filter(F.col("error").isNull())
+    return (
+        line_dedup(docs, id_col="url", text_col="markdown")
+        .select(
+            "url",
+            F.md5(F.col("text_clean")).alias("clean_md5"),
+            "n_kept",
+            "n_removed",
+        )
+        .orderBy("url")
+    )
+
+
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================

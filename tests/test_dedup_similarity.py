@@ -148,3 +148,33 @@ def test_near_duplicates_default_is_lsh(docs, exact_pairs):
         for r in dedup.near_duplicates(docs).collect()
     }
     assert got == {(a, b, j) for (a, b), j in exact_pairs.items()}
+
+
+def test_near_duplicates_rejects_max_df_on_lsh_path(docs):
+    """max_df is an inverted-index cap; silently ignoring it on the LSH
+    path (the round-2 behavior) hid a semantic no-op from callers."""
+    with pytest.raises(ValueError, match="exact=True"):
+        dedup.near_duplicates(docs, max_df=5)
+
+
+def test_line_dedup_semantics(spark):
+    """Global first-occurrence-wins line dedup: blanks always kept,
+    duplicate non-blank lines keep only their first (id, pos) occurrence
+    — including repeats WITHIN one document."""
+    rows = [
+        ("a", "header\n\nbody a\nshared"),
+        ("b", "header\n\nbody b\nshared\nshared"),
+        ("c", "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, markdown string")
+    got = {
+        r["url"]: r
+        for r in dedup.line_dedup(df, "url", "markdown").collect()
+    }
+    assert got["a"]["text_clean"] == "header\n\nbody a\nshared"
+    assert (got["a"]["n_kept"], got["a"]["n_removed"]) == (4, 0)
+    # doc b loses 'header', both 'shared' copies; blank survives
+    assert got["b"]["text_clean"] == "\nbody b"
+    assert (got["b"]["n_kept"], got["b"]["n_removed"]) == (2, 3)
+    assert got["c"]["text_clean"] == "unique only"
+    assert got["c"]["n_removed"] == 0
