@@ -338,6 +338,11 @@ def line_dedup(
     bytes (not done here: the text key keeps the result independently
     oracle-able, and 64-bit birthday collisions at 10^12 lines are small
     but not zero).
+
+    ``docs`` is read by two plan branches (the line explode and the
+    keeper aggregate): pass a materialized table, or persist a derived
+    input first — Spark does not share subplans across self-joins, so a
+    derived input would otherwise recompute per branch.
     """
     lines = docs.select(
         F.col(id_col).alias("_id"),

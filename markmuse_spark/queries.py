@@ -759,6 +759,43 @@ def t_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "t_train_split",
+    # deterministic held-out splits by md5 bucket of the doc id — the
+    # curation op every training pipeline needs: the same document lands
+    # in the same split on every engine, every run, every cluster size
+    "WITH b AS (SELECT lang, n_chars, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 "
+    "AS bucket FROM documents) "
+    "SELECT lang, CASE WHEN bucket < 80 THEN 'train' "
+    "WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split, "
+    "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+    "FROM b GROUP BY 1, 2 ORDER BY lang, split",
+)
+def t_train_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (80/10/10) by md5 bucket
+    of the document id — no RNG, no shuffle-order dependence: the split is
+    a pure function of the id, so it is reproducible across engines, runs
+    and cluster sizes, and new documents never move old ones between
+    splits (the property random sampling lacks).  md5 rather than
+    xxhash64 so the DuckDB oracle can re-derive the same buckets."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "split")
+    )
+
+
 _SH_SQL = (
     "WITH toks AS (SELECT doc_id, "
     + _sql_tokens()
@@ -982,12 +1019,22 @@ def d_line_dedup(spark, sf_dir):
     later occurrences (cross-document boilerplate) are removed.  Skew-safe
     shape: keeper = groupBy(line) min-aggregate (map-side combine), never
     a per-line window — see operators/dedup.line_dedup."""
+    from pyspark import StorageLevel
+
     from markmuse_spark.operators.dedup import line_dedup
     from markmuse_spark.operators.extract import extract_markdown
     from markmuse_spark.sources import corpus
 
     pages = corpus.pages_dataframe(spark, 200, seed=42, partitions=8)
-    docs = extract_markdown(pages).filter(F.col("error").isNull())
+    # line_dedup joins its input against itself-derived keepers (two plan
+    # branches): a DERIVED input would re-run the whole extraction per
+    # branch, so materialize it once.  In production the input is a read
+    # of an already-extracted table and the double scan is just parquet.
+    docs = (
+        extract_markdown(pages)
+        .filter(F.col("error").isNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return (
         line_dedup(docs, id_col="url", text_col="markdown")
         .select(
