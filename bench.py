@@ -72,6 +72,7 @@ HEADLINE = [
     "s_embedding_near_pairs_lsh",
     "t_quality_score",
     "t_lang_id",
+    "t_train_split",
     "x_extract_enhanced",
 ]
 SWEEPS = int(os.environ.get("MARKMUSE_BENCH_SWEEPS", "3"))
