@@ -86,23 +86,23 @@ def _sf_from_dir(path: str) -> float:
         return 0.1
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    m = len(s) // 2
-    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+from markmuse_spark.bench_worker import _median  # one shared definition
 
 
 def pair_dirt(p: dict) -> float:
-    """Severity key for least-dirty selection.  None (no evidence) ranks
-    DIRTIEST (inf), never cleanest — ranking an evidence-free pair as
-    clean would let a blind pair win the selection.  Spread enters the
-    tiebreak scaled so 0.1x of spread ~ 1% of steal."""
+    """Severity key for least-dirty selection.  Missing STEAL evidence
+    ranks DIRTIEST (inf) — ranking an evidence-free pair as clean would
+    let a blind pair win the selection.  Missing FOREIGN evidence ranks
+    0, consistent with :func:`pair_dirty` (steal is the primary evidence;
+    foreign can be lost to a transient /proc listing race, and inf here
+    would make a 40%-steal pair beat a 0.9%-steal one).  Spread enters
+    the tiebreak scaled so 0.1x of spread ~ 1% of steal."""
     s = p["max_steal_pct"]
     f = p["max_foreign_pct"]
     spread_excess = max(0.0, (p.get("spread") or 1.0) - 1.0) * 10.0
     return max(
         s if s is not None else float("inf"),
-        f if f is not None else float("inf"),
+        f if f is not None else 0.0,
         spread_excess,
     )
 
@@ -282,16 +282,24 @@ def _interleaved_pair(
     turn_dir = tempfile.mkdtemp(prefix="turns_", dir=BENCH_ROOT)
     procs: list[subprocess.Popen] = []
     try:
-        p_small = subprocess.Popen(
-            _worker_cmd(n_small, corpus_path, pkg_zip, passes, small_set,
-                        turn_dir, "small", reps=1),
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
-        )
-        p_big = subprocess.Popen(
-            _worker_cmd(n_big, corpus_path, pkg_zip, passes, big_set,
-                        turn_dir, "big", reps=reps_big),
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
-        )
+        # stderr goes to FILES, not pipes: nobody drains a pipe during the
+        # turn loop, and one >64KB Spark stderr burst (task retries, a
+        # host log4j config at INFO) would block the JVM mid-pass and
+        # deadlock the whole protocol.  stdout stays a pipe — the worker
+        # writes only its final ~2KB JSON line, far under the buffer.
+        err_path_s = os.path.join(turn_dir, "stderr_small.log")
+        err_path_b = os.path.join(turn_dir, "stderr_big.log")
+        with open(err_path_s, "w") as ef_s, open(err_path_b, "w") as ef_b:
+            p_small = subprocess.Popen(
+                _worker_cmd(n_small, corpus_path, pkg_zip, passes, small_set,
+                            turn_dir, "small", reps=1),
+                stdout=subprocess.PIPE, stderr=ef_s, text=True, cwd=REPO,
+            )
+            p_big = subprocess.Popen(
+                _worker_cmd(n_big, corpus_path, pkg_zip, passes, big_set,
+                            turn_dir, "big", reps=reps_big),
+                stdout=subprocess.PIPE, stderr=ef_b, text=True, cwd=REPO,
+            )
         procs = [p_small, p_big]
         # both warm-ups run concurrently (disjoint sets, excluded from
         # measurement); the go marker releases the first measured turn
@@ -305,15 +313,27 @@ def _interleaved_pair(
                 _await_file(
                     os.path.join(turn_dir, f"pass_{i}_{role}.json"), 900, procs
                 )
-        out_s, err_s = p_small.communicate(timeout=300)
-        out_b, err_b = p_big.communicate(timeout=300)
+        # release both workers' teardown only after EVERY measured window
+        # has landed — an exiting JVM's shutdown runs concurrently with
+        # whatever is still measuring (see bench_worker)
+        open(os.path.join(turn_dir, "alldone"), "w").close()
+        out_s, _ = p_small.communicate(timeout=300)
+        out_b, _ = p_big.communicate(timeout=300)
+
+        def _err_tail(path: str) -> str:
+            try:
+                with open(path) as f:
+                    return f.read()[-800:]
+            except OSError:
+                return ""
+
+        small = _parse_worker(out_s, _err_tail(err_path_s), n_small)
+        big = _parse_worker(out_b, _err_tail(err_path_b), n_big)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
         shutil.rmtree(turn_dir, ignore_errors=True)
-    small = _parse_worker(out_s, err_s, n_small)
-    big = _parse_worker(out_b, err_b, n_big)
     ratios = [
         round(
             (pb["docs_per_sec"] / ps["docs_per_sec"]) / (n_big / n_small), 3
@@ -438,9 +458,13 @@ def main() -> None:
         os.environ.get("MARKMUSE_BENCH_FOREIGN_FLOOR", "2.0")
     )
     spread_floor = float(os.environ.get("MARKMUSE_BENCH_SPREAD_FLOOR", "1.3"))
+    # budgeted from the START OF THE SCALING PHASE — budgeting from bench
+    # start would let a cold-cache corpus generation + the headline sweeps
+    # eat the whole budget and silently disable dirty-window retries
     retry_budget_sec = float(
-        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "1200")
+        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "900")
     )
+    t_scaling = time.time()
 
     def _dirty(p: dict) -> bool:
         return pair_dirty(p, steal_floor, foreign_floor, spread_floor)
@@ -456,7 +480,7 @@ def main() -> None:
             break
         if pairs[-1]["max_steal_pct"] is None:
             break  # no /proc/stat evidence on this host: retries are blind
-        if time.time() - t_start > retry_budget_sec:
+        if time.time() - t_scaling > retry_budget_sec:
             break  # keep the whole bench inside the driver's patience
         if attempt < max_pairs - 1:
             time.sleep(10)  # let a co-tenant burst pass before retrying
@@ -486,7 +510,7 @@ def main() -> None:
         full_tries.append(r)
         if not _dirty(r) or r["max_steal_pct"] is None:
             break
-        if time.time() - t_start > retry_budget_sec + 300:
+        if time.time() - t_scaling > retry_budget_sec + 300:
             break
     run_full, _full_clean = select_pair(
         full_tries, steal_floor, foreign_floor, spread_floor
@@ -569,9 +593,10 @@ def main() -> None:
         },
         "sf": sf,
         "throughput": {
-            "extraction_docs_per_sec": max(
-                run_full["docs_per_sec"], run_big["docs_per_sec"]
-            ),
+            # from the full-width run ONLY: run_big now measures a warm
+            # 40k-doc pinned-8-core corpus, and mixing it into a headline
+            # reported next to run_full's n_docs would misstate provenance
+            "extraction_docs_per_sec": run_full["docs_per_sec"],
             "n_docs": run_full["n_docs"],
             "n_errors": run_full["n_errors"],
         },

@@ -69,7 +69,11 @@ def _percpu_stat(cpus: set[int]) -> tuple[int, int, int] | None:
                 if int(parts[0][3:]) not in cpus:
                     continue
                 vals = [int(x) for x in parts[1:]]
-                tot += sum(vals)
+                # fields 0-7 only (user nice system idle iowait irq softirq
+                # steal): guest/guest_nice (8-9) are ALREADY inside user —
+                # summing them double-counts guest time, inflates the total
+                # and deflates every percentage on a KVM-hosting box
+                tot += sum(vals[:8])
                 idle += vals[3] + (vals[4] if len(vals) > 4 else 0)
                 steal += vals[7] if len(vals) > 7 else 0
     except OSError:
@@ -262,6 +266,13 @@ def main() -> None:
             os.replace(
                 tmp, os.path.join(args.turn_dir, f"pass_{i}_{args.role}.json")
             )
+
+    if turns:
+        # hold the JVM alive until BOTH levels' final passes have landed:
+        # exiting now would overlap this JVM's teardown (CPU, disk, memory
+        # bandwidth) with the other level's last measured window, quietly
+        # breaking the never-concurrent invariant on every pair's last round
+        _await_file(os.path.join(args.turn_dir, "alldone"))
 
     rates = [p["docs_per_sec"] for p in passes]
     print(

@@ -344,9 +344,15 @@ def line_dedup(
     input first — Spark does not share subplans across self-joins, so a
     derived input would otherwise recompute per branch.
     """
+    # NULL text is treated as the empty document (one blank line): split
+    # of NULL is NULL and posexplode(NULL) emits NOTHING, which would
+    # silently drop the whole row from the output — a contract violation
+    # for pipelines that count or join on the result
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
     )
     keepers = (
         lines.filter(F.col("line") != "")

@@ -178,3 +178,15 @@ def test_line_dedup_semantics(spark):
     assert (got["b"]["n_kept"], got["b"]["n_removed"]) == (2, 3)
     assert got["c"]["text_clean"] == "unique only"
     assert got["c"]["n_removed"] == 0
+
+
+def test_line_dedup_null_text_is_empty_document(spark):
+    """NULL text must not vanish from the output (posexplode of a NULL
+    split emits nothing) — it is the empty document: one blank line."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", None)], "url string, markdown string"
+    )
+    got = {r["url"]: r for r in dedup.line_dedup(df, "url", "markdown").collect()}
+    assert set(got) == {"a", "b"}
+    assert got["b"]["text_clean"] == ""
+    assert (got["b"]["n_kept"], got["b"]["n_removed"]) == (1, 0)
