@@ -438,7 +438,11 @@ def main() -> None:
     while n_small > 1 and 5 * n_small > avail:
         n_small //= 2
     n_big = n_small * 4
-    pin = 5 * n_small <= avail  # disjoint sets must actually exist
+    # disjoint sets must actually exist AND taskset must be present —
+    # otherwise the method string would claim a pinning that never
+    # happened (_worker_cmd silently skips taskset when the binary is
+    # missing)
+    pin = 5 * n_small <= avail and bool(shutil.which("taskset"))
     passes_small = int(os.environ.get("MARKMUSE_BENCH_PASSES", "5"))
     max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "6"))
     # retry policy: a retry happens ONLY while the measured window is
