@@ -5,7 +5,7 @@ corpus (plus sf0.001 ``documents`` wrapped as HTML payloads) run through the
 salted, size-bucketed extraction pipeline, summarized per language.
 
 ``queries``/``oracle_sql``: the operator registry lives in
-:mod:`markmuse_spark.queries` — 52 entries, every one with oracle SQL
+:mod:`markmuse_spark.queries` — 53 entries, every one with oracle SQL
 (plain SQL where expressible, otherwise a ``read_parquet`` SELECT over a
 golden fixture minted by an independent pure-Python oracle).
 """

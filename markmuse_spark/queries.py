@@ -704,6 +704,20 @@ def t_quality_score(spark, sf_dir):
     )
 
 
+def _lang_expr():
+    """The language-ID column expression (shared by t_lang_id and the
+    composed curation pipeline)."""
+    e, d, fr_, s = _hits("en"), _hits("de"), _hits("fr"), _hits("es")
+    return (
+        F.when(F.col("text").rlike(_CJK), "zh")
+        .when((e >= d) & (e >= fr_) & (e >= s) & (e > 0), "en")
+        .when((d >= fr_) & (d >= s) & (d > 0), "de")
+        .when((fr_ >= s) & (fr_ > 0), "fr")
+        .when(s > 0, "es")
+        .otherwise("unknown")
+    )
+
+
 _LANG_SQL = (
     "CASE WHEN regexp_matches(text, '" + _CJK + "') THEN 'zh' "
     f"WHEN {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} >= "
@@ -725,18 +739,9 @@ _LANG_SQL = (
 def t_lang_id(spark, sf_dir):
     """Language-ID heuristic: CJK-range test + stopword-marker argmax with
     a fixed priority order (en > de > fr > es)."""
-    e, d, fr_, s = _hits("en"), _hits("de"), _hits("fr"), _hits("es")
-    lang = (
-        F.when(F.col("text").rlike(_CJK), "zh")
-        .when((e >= d) & (e >= fr_) & (e >= s) & (e > 0), "en")
-        .when((d >= fr_) & (d >= s) & (d > 0), "de")
-        .when((fr_ >= s) & (fr_ > 0), "fr")
-        .when(s > 0, "es")
-        .otherwise("unknown")
-    )
     return (
         _t(spark, sf_dir, "documents")
-        .select(lang.alias("lang_pred"))
+        .select(_lang_expr().alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_pred")
@@ -874,6 +879,93 @@ def t_repetition(spark, sf_dir):
                 F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 4
             ).alias("top_bigram_frac"),
             F.round(dup, 4).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "p_curation_keeplist",
+    # the composed curation pipeline: lang-ID gate -> quality floor ->
+    # Gopher repetition cap -> exact-dup survivorship, in ONE relational
+    # plan — every stage reuses the oracled building block above, and
+    # every threshold compares the UNROUNDED value (rounding is
+    # presentation-only on the projected quality column)
+    f"WITH q AS (SELECT doc_id, text, {_sql_tokens()} AS t, "
+    f"{_LANG_SQL} AS lang_pred, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    f"least(1.0, len({_sql_tokens()}) / 100.0) * "
+    "(1.0 - CAST(len(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / "
+    "greatest(len(text), 1)) AS qv FROM documents), "
+    "b AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END AS bgs FROM q), "
+    "e AS (SELECT doc_id, unnest(bgs) AS g FROM b), "
+    "c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2), "
+    "m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY 1), "
+    "k AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp) "
+    "SELECT q.doc_id, q.lang_pred, len(q.t) AS n_tokens, "
+    "round(q.qv, 4) AS quality "
+    "FROM q LEFT JOIN m ON q.doc_id = m.doc_id JOIN k ON q.fp = k.fp "
+    "WHERE q.lang_pred = 'en' AND q.qv >= 0.3 "
+    "AND coalesce(CAST(m.mx AS DOUBLE) / m.tot, 0.0) <= 0.2 "
+    "AND q.doc_id = k.keep_id ORDER BY q.doc_id",
+)
+def p_curation_keeplist(spark, sf_dir):
+    """The end-to-end curation pipeline the individual t_/d_ operators
+    exist for, composed into ONE Spark plan: keep a document iff it is
+    (1) English by the lang-ID heuristic, (2) above the composite quality
+    floor, (3) under the Gopher top-bigram repetition cap, and (4) the
+    exact-dedup survivor of its fingerprint group (min doc_id wins).
+
+    Scale shape: one scan feeds everything; the repetition stage is the
+    explode->count->max relational form (map-side combine at each
+    groupBy); dedup survivorship is a fingerprint groupBy + equi-join,
+    never a window over the full corpus; all three joins are equi-joins
+    on doc_id/fingerprint that AQE can re-plan."""
+    docs = _t(spark, sf_dir, "documents")
+    t = _tokens()
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    quality = F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (1.0 - punct)
+    from markmuse_spark.operators.dedup import normalized_fingerprint
+
+    base = docs.select(
+        "doc_id",
+        "text",
+        _lang_expr().alias("lang_pred"),
+        F.size(t).alias("n_tokens"),
+        quality.alias("qv"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    make_bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = (
+        docs.select("doc_id", F.explode(make_bg).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    top_frac = F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0))
+    return (
+        base.join(rep, "doc_id", "left")
+        .join(keep, "fp")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("qv") >= 0.3)
+            & (top_frac <= 0.2)
+            & (F.col("doc_id") == F.col("keep_id"))
+        )
+        .select(
+            "doc_id", "lang_pred", "n_tokens", F.round("qv", 4).alias("quality")
         )
         .orderBy("doc_id")
     )
