@@ -295,12 +295,14 @@ def _interleaved_pair(
                             turn_dir, "small", reps=1),
                 stdout=subprocess.PIPE, stderr=ef_s, text=True, cwd=REPO,
             )
+            procs.append(p_small)  # registered BEFORE the second spawn so
+            # the finally block reaps it if that Popen raises
             p_big = subprocess.Popen(
                 _worker_cmd(n_big, corpus_path, pkg_zip, passes, big_set,
                             turn_dir, "big", reps=reps_big),
                 stdout=subprocess.PIPE, stderr=ef_b, text=True, cwd=REPO,
             )
-        procs = [p_small, p_big]
+            procs.append(p_big)
         # both warm-ups run concurrently (disjoint sets, excluded from
         # measurement); the go marker releases the first measured turn
         _await_file(os.path.join(turn_dir, "ready_small"), 900, procs)
@@ -321,9 +323,13 @@ def _interleaved_pair(
         out_b, _ = p_big.communicate(timeout=300)
 
         def _err_tail(path: str) -> str:
+            # seek, don't read-all: a retry-looping Spark pass can write
+            # hundreds of MB of stderr and only the tail is wanted
             try:
-                with open(path) as f:
-                    return f.read()[-800:]
+                with open(path, "rb") as f:
+                    f.seek(0, os.SEEK_END)
+                    f.seek(max(0, f.tell() - 800))
+                    return f.read().decode("utf-8", "replace")
             except OSError:
                 return ""
 
@@ -591,8 +597,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {
             **query_times,
-            f"extract_{n_scaling}_docs_local{n_small}_pinned": run_small["elapsed_sec"],
-            f"extract_{n_scaling}x4_docs_local{n_big}_pinned": run_big["elapsed_sec"],
+            f"extract_{n_scaling}_docs_local{n_small}{'_pinned' if pin else ''}": run_small["elapsed_sec"],
+            f"extract_{n_scaling}x4_docs_local{n_big}{'_pinned' if pin else ''}": run_big["elapsed_sec"],
             f"extract_{n_docs}_docs_local{CPUS // 2}": run_full["elapsed_sec"],
         },
         "sf": sf,

@@ -592,6 +592,31 @@ def _hits(lang):
     return F.size(F.filter(_tokens(), lambda x: x.isin(*_STOP[lang])))
 
 
+def _bigrams_expr():
+    """Word-bigram array over ``text`` — the one definition shared by
+    t_repetition and the composed curation pipeline (a drift between them
+    would silently change what the pipeline filters)."""
+    t = _tokens()
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _quality_exprs():
+    """(punct_ratio, composite_quality) over ``text`` — shared by
+    t_quality_score and the composed curation pipeline."""
+    t = _tokens()
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    quality = F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (1.0 - punct)
+    return punct, quality
+
+
 def _sql_tokens():
     return "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
@@ -685,11 +710,8 @@ def t_quality_score(spark, sf_dir):
     composite — the boilerplate-vs-content heuristics of a webtext
     pipeline."""
     t = _tokens()
-    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast(
-        "double"
-    ) / F.greatest(F.length("text"), F.lit(1))
+    punct, quality = _quality_exprs()
     stop = _hits("en").cast("double") / F.greatest(F.size(t), F.lit(1))
-    quality = F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (1.0 - punct)
     return (
         _t(spark, sf_dir, "documents")
         .select(
@@ -841,13 +863,7 @@ def t_repetition(spark, sf_dir):
     (pure JVM group-bys, scale-safe), duplicate-trigram fraction via
     distinct/total n-gram counts."""
     t = _tokens()
-    make_bg = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    make_bg = _bigrams_expr()
     make_tg = F.when(
         F.size(t) >= 3,
         F.transform(
@@ -916,21 +932,28 @@ def p_curation_keeplist(spark, sf_dir):
     exist for, composed into ONE Spark plan: keep a document iff it is
     (1) English by the lang-ID heuristic, (2) above the composite quality
     floor, (3) under the Gopher top-bigram repetition cap, and (4) the
-    exact-dedup survivor of its fingerprint group (min doc_id wins).
+    exact-dedup survivor of its fingerprint group (min doc_id wins —
+    the ``keep_id`` relation of ``operators.dedup.exact_duplicates``,
+    expressed over the shared base so the fingerprint computes once).
 
-    Scale shape: one scan feeds everything; the repetition stage is the
-    explode->count->max relational form (map-side combine at each
+    Every stage reuses the SHARED expression helper its standalone
+    operator uses (``_lang_expr``/``_quality_exprs``/``_bigrams_expr``/
+    ``normalized_fingerprint``) — the composed pipeline cannot drift from
+    the operators it composes.  Scale shape: ONE scan computes the
+    per-doc columns into ``base``, which is persisted because THREE plan
+    branches read it (main chain, repetition explode, dedup keepers) and
+    Spark shares no subplans across self-joins; the repetition stage is
+    the explode->count->max relational form (map-side combine at each
     groupBy); dedup survivorship is a fingerprint groupBy + equi-join,
-    never a window over the full corpus; all three joins are equi-joins
-    on doc_id/fingerprint that AQE can re-plan."""
-    docs = _t(spark, sf_dir, "documents")
-    t = _tokens()
-    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast(
-        "double"
-    ) / F.greatest(F.length("text"), F.lit(1))
-    quality = F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (1.0 - punct)
+    never a window over the full corpus; all joins are equi-joins on
+    doc_id/fingerprint that AQE can re-plan."""
+    from pyspark import StorageLevel
+
     from markmuse_spark.operators.dedup import normalized_fingerprint
 
+    docs = _t(spark, sf_dir, "documents")
+    t = _tokens()
+    _punct, quality = _quality_exprs()
     base = docs.select(
         "doc_id",
         "text",
@@ -938,16 +961,9 @@ def p_curation_keeplist(spark, sf_dir):
         F.size(t).alias("n_tokens"),
         quality.alias("qv"),
         normalized_fingerprint("text").alias("fp"),
-    )
-    make_bg = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rep = (
-        docs.select("doc_id", F.explode(make_bg).alias("g"))
+        base.select("doc_id", F.explode(_bigrams_expr()).alias("g"))
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
