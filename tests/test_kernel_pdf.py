@@ -128,3 +128,44 @@ def test_bad_payloads():
         pdf_extract.extract_pages(b"not a pdf")
     with pytest.raises(ValueError):
         pdf_extract.extract_pages(b"%PDF-1.4\nno streams here")
+
+
+def test_stream_body_containing_stream_header_is_not_rescanned():
+    """A /Length-delimited stream whose BODY contains '<<...>>stream\\n'
+    bytes (the round-2 review scenario: Flate-compressed data can contain
+    anything) must yield exactly ONE page — the scanner advances past the
+    consumed endstream instead of re-matching inside the body, so no
+    phantom page and no page-index shift."""
+    decoy = b"<</Length 4>>stream\n\x00\x01\x02\x03endstream"
+    body = (
+        b"/F1 12 Tf 1 0 0 1 72 720 Tm (Real) Tj\n" + decoy + b"\n"
+    )
+    payload = (
+        b"%PDF-1.4\n1 0 obj<</Length "
+        + str(len(body)).encode()
+        + b">>stream\n"
+        + body
+        + b"\nendstream\nendobj\ntrailer\n%%EOF"
+    )
+    # the decoy bytes are inside the outer stream's body: exactly one
+    # content stream (and so one page) must come back — the old finditer
+    # scan ALSO matched the decoy header and minted a phantom page
+    pages = pdf_extract.extract_pages(payload)
+    assert len(pages) == 1
+    assert "Real" in pages[0]["markdown"]
+
+
+def test_unterminated_decoy_header_after_real_stream():
+    """A stray '<<...>>stream' header AFTER a consumed stream with no
+    endstream must be skipped without consuming the document."""
+    body = b"/F1 12 Tf 1 0 0 1 72 720 Tm (Only) Tj\n"
+    payload = (
+        b"%PDF-1.4\n1 0 obj<</Length "
+        + str(len(body)).encode()
+        + b">>stream\n"
+        + body
+        + b"\nendstream\nendobj\n<</Fake 1>>stream\nno terminator here"
+    )
+    pages = pdf_extract.extract_pages(payload)
+    assert len(pages) == 1
+    assert "Only" in pages[0]["markdown"]
