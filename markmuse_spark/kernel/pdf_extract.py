@@ -21,9 +21,12 @@ risk 2, extended round 2 toward the real-corpus baseline): plain AND
 FlateDecode-compressed content streams (``/Length``-delimited, zlib),
 ``Tf``/``Tm`` positioning, both ``Tj`` literal strings and kerned ``TJ``
 arrays (inter-word space recovered from adjustments <= -150 milli-em),
-UTF-8 bytes inside literal strings, content streams in page order.
-Real-corpus gaps that remain out of dialect: ToUnicode CMaps / multi-byte
-encodings, cross-reference streams, object streams.
+UTF-8 bytes inside literal strings, UTF-8 and BOM-prefixed UTF-16BE hex
+strings (the spec 7.9.2.2 Unicode text-string form — corpus v4), content
+streams in page order.  Real-corpus gaps that remain out of dialect:
+ToUnicode CMaps with arbitrary CID mappings, cross-reference streams,
+object streams (neither affects this extractor's linear content-stream
+scan: ObjStm cannot contain stream objects, and page dicts are ignored).
 """
 
 from __future__ import annotations
@@ -72,7 +75,10 @@ def _decode_pdf_string(raw: str) -> str:
 
 def _decode_hex_string(raw: str) -> str:
     """Hex string ``<48656C6C6F>``: whitespace-tolerant, odd length padded
-    with 0 (PDF spec 7.3.4.3); bytes are the writer's UTF-8."""
+    with 0 (PDF spec 7.3.4.3).  Bytes beginning with the U+FEFF BOM are
+    the spec 7.9.2.2 Unicode text-string form (UTF-16BE — corpus v4, the
+    encoding real producers emit for non-WinAnsi text); otherwise the
+    writer's UTF-8, with latin-1 as the never-fails fallback."""
     h = "".join(raw.split())
     if len(h) % 2:
         h += "0"
@@ -80,6 +86,11 @@ def _decode_hex_string(raw: str) -> str:
         b = bytes.fromhex(h)
     except ValueError:
         return ""
+    if b.startswith(b"\xfe\xff"):
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass  # malformed UTF-16 body: fall through to the byte paths
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:

@@ -139,23 +139,25 @@ def random_page_blocks(rng: random.Random, lang: str, rich: bool = True) -> list
             elif img_budget > 0:
                 img_budget -= 1
                 if rng.random() < 0.7:
-                    blocks.append(
-                        {
-                            "t": "img",
-                            "alt": _sentence(rng, words, 1, 4),
-                            "src": None,
-                            "b64": _make_image_payload(rng),
-                        }
-                    )
+                    img = {
+                        "t": "img",
+                        "alt": _sentence(rng, words, 1, 4),
+                        "src": None,
+                        "b64": _make_image_payload(rng),
+                    }
                 else:
-                    blocks.append(
-                        {
-                            "t": "img",
-                            "alt": _sentence(rng, words, 1, 3),
-                            "src": f"https://cdn.example/assets/photo-{rng.randrange(1000)}.jpg",
-                            "b64": None,
-                        }
-                    )
+                    img = {
+                        "t": "img",
+                        "alt": _sentence(rng, words, 1, 3),
+                        "src": f"https://cdn.example/assets/photo-{rng.randrange(1000)}.jpg",
+                        "b64": None,
+                    }
+                # ~40% of images sit inside <figure> with a <figcaption>
+                # (corpus v4): the caption becomes its own markdown block
+                # right after the image reference
+                if rng.random() < 0.4:
+                    img["caption"] = _sentence(rng, words, 3, 8)
+                blocks.append(img)
             else:
                 blocks.append({"t": "p", "spans": [("", _sentence(rng, words))]})
     return blocks
@@ -169,7 +171,9 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
     """1-5 page models in the PDF dialect (headings h1-h3, paragraphs,
     lists; ~25% two-column pages per FIXTURES.md §1; ~60% of pages carry
     FlateDecode-compressed content streams and ~40% kerned ``TJ`` arrays —
-    the real-corpus forms, see pdf_writer/pdf_extract round-2 dialect)."""
+    the real-corpus forms, see pdf_writer/pdf_extract round-2 dialect;
+    ~25% emit string operands as BOM-prefixed UTF-16BE hex strings, the
+    spec 7.9.2.2 Unicode text-string form — corpus v4)."""
     words = _WORDS_BY_LANG[lang]
     pages: list[dict] = []
     for _ in range(rng.randint(1, 5)):
@@ -177,6 +181,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
         compress = rng.random() < 0.6
         use_tj = rng.random() < 0.4
         use_hex = rng.random() < 0.3
+        use_hex16 = rng.random() < 0.25
         blocks: list[dict] = []
         n_sections = rng.randint(1, 4)
         for s in range(n_sections):
@@ -197,6 +202,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
                 "compress": compress,
                 "tj": use_tj,
                 "hex": use_hex,
+                "hex16": use_hex16,
             }
         )
     return pages
@@ -268,7 +274,14 @@ def _render_block(b: dict, rng: random.Random) -> str:
         else:
             src = b["src"]
         slash = "/" if rng.random() < 0.5 else ""
-        return f'<img src="{src}" alt="{alt}"{slash}>{ws}'
+        img = f'<img src="{src}" alt="{alt}"{slash}>'
+        if b.get("caption"):
+            return (
+                f"<figure>{_noise_ws(rng)}{img}{_noise_ws(rng)}"
+                f"<figcaption>{_esc(b['caption'])}</figcaption>"
+                f"{_noise_ws(rng)}</figure>{ws}"
+            )
+        return f"{img}{ws}"
     raise AssertionError(t)
 
 
@@ -368,6 +381,8 @@ def expected_page(blocks: list[dict], page_idx: int = 0, upto: Optional[int] = N
                 md.append(f"![{b['alt']}]({img_id})")
             else:
                 md.append(f"![{b['alt']}]({b['src']})")
+            if b.get("caption"):  # <figcaption> -> its own block
+                md.append(b["caption"])
     return {
         "page_idx": page_idx,
         "markdown": "\n\n".join(m for m in md if m),

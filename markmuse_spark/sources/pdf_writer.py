@@ -19,7 +19,9 @@ Layout rules (the spec the extractor's box-geometry heuristics must invert):
   then the right column (reading order: left column first)
 
 Non-ASCII text is emitted as escaped UTF-8 bytes inside literal strings —
-a dialect constraint, documented here and honored by the extractor.
+a dialect constraint, documented here and honored by the extractor — or,
+on ``hex16`` pages (corpus v4), as BOM-prefixed UTF-16BE hex strings,
+the spec 7.9.2.2 Unicode text-string form real producers emit.
 """
 
 from __future__ import annotations
@@ -99,12 +101,18 @@ def page_runs(page_model: dict[str, Any]) -> list[tuple[int, int, int, str]]:
     return runs
 
 
-def _hex_string(text: str) -> bytes:
-    """PDF hex string: ``<utf-8 bytes as hex>`` (spec 7.3.4.3)."""
-    return b"<%b>" % text.encode("utf-8").hex().upper().encode("ascii")
+def _hex_string(text: str, bom16: bool = False) -> bytes:
+    """PDF hex string (spec 7.3.4.3): utf-8 bytes as hex — or, with
+    ``bom16``, UTF-16BE prefixed with the U+FEFF BOM, the standard
+    Unicode text-string form (spec 7.9.2.2) real producers emit for
+    non-WinAnsi text; the extractor detects the BOM per string."""
+    raw = (
+        ("\ufeff" + text).encode("utf-16-be") if bom16 else text.encode("utf-8")
+    )
+    return b"<%b>" % raw.hex().upper().encode("ascii")
 
 
-def _tj_array(text: str, use_hex: bool) -> bytes:
+def _tj_array(text: str, use_hex: bool, bom16: bool = False) -> bytes:
     """One line as a kerned ``TJ`` array: words as separate strings with a
     -250 (milli-em) inter-word adjustment — the form real PDF generators
     emit for justified text.  The extractor must re-insert the word space
@@ -114,24 +122,29 @@ def _tj_array(text: str, use_hex: bool) -> bytes:
     for j, w in enumerate(words):
         if j:
             parts.append(b"-250")
-        parts.append(_hex_string(w) if use_hex else b"(%b)" % _escape(w))
+        parts.append(
+            _hex_string(w, bom16) if use_hex else b"(%b)" % _escape(w)
+        )
     return b"[" + b" ".join(parts) + b"]"
 
 
 def _content_stream(
-    runs: list[tuple[int, int, int, str]], use_tj: bool, use_hex: bool
+    runs: list[tuple[int, int, int, str]],
+    use_tj: bool,
+    use_hex: bool,
+    bom16: bool = False,
 ) -> bytes:
     parts = []
     for size, x, y, text in runs:
         if use_tj and " " in text:
             parts.append(
                 b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b TJ ET"
-                % (size, x, y, _tj_array(text, use_hex))
+                % (size, x, y, _tj_array(text, use_hex, bom16))
             )
         elif use_hex:
             parts.append(
                 b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
-                % (size, x, y, _hex_string(text))
+                % (size, x, y, _hex_string(text, bom16))
             )
         else:
             parts.append(
@@ -152,6 +165,9 @@ def write_pdf(pages: list[dict[str, Any]]) -> bytes:
       arrays instead of plain ``Tj`` strings
     * ``"hex": True`` — string operands emitted as ``<hex>`` strings
       (spec 7.3.4.3) instead of literal ``(...)`` strings
+    * ``"hex16": True`` — string operands emitted as UTF-16BE hex strings
+      with a leading U+FEFF BOM (the spec 7.9.2.2 Unicode text-string
+      form; corpus v4) — implies hex emission
 
     Object layout: 1 catalog, 2 pages, 3 font (fixed id, BEFORE the pages
     so every page's ``/Font << /F1 3 0 R >>`` resolves for any page count),
@@ -177,7 +193,10 @@ def write_pdf(pages: list[dict[str, Any]]) -> bytes:
             % (PAGE_W, PAGE_H, content_num)
         )
         stream = _content_stream(
-            page_runs(page), bool(page.get("tj")), bool(page.get("hex"))
+            page_runs(page),
+            bool(page.get("tj")),
+            bool(page.get("hex")) or bool(page.get("hex16")),
+            bool(page.get("hex16")),
         )
         if page.get("compress"):
             stream = zlib.compress(stream, 6)

@@ -123,3 +123,20 @@ def test_unterminated_list_keeps_rendered_lines():
         b"<html><body><ul><li>alpha</li><li>beta</li>"
     )[0]["markdown"]
     assert "- alpha" in md and "- beta" in md
+
+
+def test_figure_figcaption_becomes_caption_block():
+    """<figure>/<figcaption> (corpus v4): the image renders as usual and
+    the caption becomes its OWN markdown block right after it."""
+    from markmuse_spark.kernel import html_extract
+
+    html = (
+        b"<html><body><article><p>before</p>"
+        b'<figure> <img src="https://cdn.example/x.jpg" alt="pic">\n'
+        b"<figcaption>the caption text</figcaption> </figure>"
+        b"<p>after</p></article></body></html>"
+    )
+    md = html_extract.extract_pages(html)[0]["markdown"]
+    assert md == (
+        "before\n\n![pic](https://cdn.example/x.jpg)\n\nthe caption text\n\nafter"
+    )

@@ -169,3 +169,36 @@ def test_unterminated_decoy_header_after_real_stream():
     pages = pdf_extract.extract_pages(payload)
     assert len(pages) == 1
     assert "Only" in pages[0]["markdown"]
+
+
+def test_hex16_unicode_strings_roundtrip():
+    """hex16 pages emit BOM-prefixed UTF-16BE hex strings (spec 7.9.2.2);
+    the extractor must decode them byte-identically — including CJK text
+    that UTF-8 hex (corpus v3) also covered, now in the Unicode form."""
+    page = {
+        "columns": 1,
+        "hex16": True,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "数据 管道 标题"},
+            {"t": "p", "spans": [("", "mixed ascii and 中文 text here")]},
+        ],
+    }
+    pdf = pdf_writer.write_pdf([page])
+    assert b"FEFF" in pdf  # the BOM is visibly in the hex payload
+    got = pdf_extract.extract_pages(pdf)
+    assert got[0]["markdown"] == pdf_writer.expected_pdf_page_markdown(page)
+    assert "中文" in got[0]["markdown"]
+
+
+def test_hex16_with_tj_kerning():
+    """hex16 composes with kerned TJ arrays: per-word BOM'd hex pieces,
+    word spaces recovered from the -250 adjustments."""
+    page = {
+        "columns": 1,
+        "hex16": True,
+        "tj": True,
+        "compress": True,
+        "blocks": [{"t": "p", "spans": [("", "alpha beta gamma delta")]}],
+    }
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf([page]))
+    assert got[0]["markdown"] == "alpha beta gamma delta"
