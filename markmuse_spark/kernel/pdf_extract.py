@@ -22,15 +22,25 @@ FlateDecode-compressed content streams (``/Length``-delimited, zlib),
 ``Tf``/``Tm`` positioning, both ``Tj`` literal strings and kerned ``TJ``
 arrays (inter-word space recovered from adjustments <= -150 milli-em),
 UTF-8 bytes inside literal strings, UTF-8 and BOM-prefixed UTF-16BE hex
-strings (the spec 7.9.2.2 Unicode text-string form — corpus v4), content
-streams in page order.  Real-corpus gaps that remain out of dialect:
-ToUnicode CMaps with arbitrary CID mappings, cross-reference streams,
-object streams (neither affects this extractor's linear content-stream
-scan: ObjStm cannot contain stream objects, and page dicts are ignored).
+strings (the spec 7.9.2.2 Unicode text-string form — corpus v4).
+
+Corpus v5 makes the extractor OBJECT-GRAPH AWARE: content streams are
+selected through page objects' ``/Contents`` refs in ``/Kids`` order
+(non-content streams — XMP metadata, ToUnicode CMaps — never become
+phantom pages; the pre-v5 every-stream-is-a-page scan survives as the
+fallback for truncated/damaged files), and Type0 ``/Identity-H`` SUBSET
+fonts are supported: 2-byte CIDs assigned by charset index, resolved
+through the font's ``/ToUnicode`` CMap (``bfchar`` + ``bfrange``) —
+the dominant text form in wild PDFs.  Real-corpus gaps that remain out
+of dialect: cross-reference streams and object streams (neither holds
+content streams, so the linear object scan is unaffected), CID fonts
+WITHOUT a ToUnicode CMap (glyph-only; no text to extract without font
+embedding analysis).
 """
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 from collections import Counter
@@ -44,7 +54,7 @@ _LENGTH = re.compile(rb"/Length\s+(\d+)")
 _FLATE = re.compile(rb"/Filter\s*/FlateDecode")
 _ENDSTREAM = re.compile(rb"\r?\n?endstream")
 _OP = re.compile(
-    r"/F\d+\s+(\d+(?:\.\d+)?)\s+Tf"
+    r"/(F\d+)\s+(\d+(?:\.\d+)?)\s+Tf"
     r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
     r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
     r"|<([0-9A-Fa-f\s]*)>\s*Tj"
@@ -97,9 +107,28 @@ def _decode_hex_string(raw: str) -> str:
         return b.decode("latin-1")
 
 
-def _tj_text(body: str) -> str:
+def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
+    """Hex string under a Type0/Identity-H SUBSET font: 2-byte CIDs in
+    the font's private code space, meaningful only through its ToUnicode
+    CMap (corpus v5).  Unmapped CIDs decode to U+FFFD — a visible signal
+    of a mapping gap, never silent truncation."""
+    h = "".join(raw.split())
+    if len(h) % 2:
+        h += "0"
+    try:
+        b = bytes.fromhex(h)
+    except ValueError:
+        return ""
+    return "".join(
+        cmap.get(int.from_bytes(b[i : i + 2], "big"), "\ufffd")
+        for i in range(0, len(b) - len(b) % 2, 2)
+    )
+
+
+def _tj_text(body: str, cmap: dict[int, str] | None = None) -> str:
     """Concatenate a TJ array's string pieces, re-inserting word spaces
-    for adjustments <= -150 (the kerned-text word gap).
+    for adjustments <= -150 (the kerned-text word gap); hex pieces decode
+    through the current font's ToUnicode CMap when one applies.
 
     ``findall`` (tuples) instead of ``finditer`` (match objects): the TJ
     path runs once per kerned line — measurably cheaper.  An empty string
@@ -111,53 +140,67 @@ def _tj_text(body: str) -> str:
             if float(num) <= _TJ_SPACE_ADJ:
                 parts.append(" ")
         elif hx:
-            parts.append(_decode_hex_string(hx))
+            parts.append(
+                _decode_cids(hx, cmap) if cmap is not None
+                else _decode_hex_string(hx)
+            )
         else:
             parts.append(_decode_pdf_string(s))
     return "".join(parts)
 
 
-def _parse_runs(stream: str) -> list[tuple[float, float, float, str]]:
+def _parse_runs(
+    stream: str, cmaps: dict[str, dict[int, str]] | None = None
+) -> list[tuple[float, float, float, str]]:
+    """Text runs from one page's content.  ``cmaps`` maps the page's font
+    resource names (``F1``...) to their ToUnicode CID->text tables; a
+    ``Tf`` selecting a CMap-bearing font switches hex-string decoding to
+    the CID path until the next ``Tf`` (corpus v5 subset fonts)."""
     runs: list[tuple[float, float, float, str]] = []
     size = 10.0
     x = y = 0.0
+    cmap: dict[int, str] | None = None
     for m in _OP.finditer(stream):
-        # dispatch on lastindex (Tf->1, Tm->3, Tj->4, hex-Tj->5, TJ->6):
+        # dispatch on lastindex (Tf->2, Tm->4, Tj->5, hex-Tj->6, TJ->7):
         # one attribute read instead of 2-3 group() calls per token
         li = m.lastindex
-        if li == 4:
-            text = _decode_pdf_string(m[4])
+        if li == 5:
+            text = _decode_pdf_string(m[5])
             if text:
                 runs.append((size, x, y, text))
-        elif li == 3:
-            x, y = float(m[2]), float(m[3])
-        elif li == 1:
-            size = float(m[1])
-        elif li == 5:
-            text = _decode_hex_string(m[5])
+        elif li == 4:
+            x, y = float(m[3]), float(m[4])
+        elif li == 2:
+            size = float(m[2])
+            cmap = cmaps.get(m[1]) if cmaps else None
+        elif li == 6:
+            text = (
+                _decode_cids(m[6], cmap) if cmap is not None
+                else _decode_hex_string(m[6])
+            )
             if text:
                 runs.append((size, x, y, text))
         else:
-            text = _tj_text(m[6])
+            text = _tj_text(m[7], cmap)
             if text:
                 runs.append((size, x, y, text))
     return runs
 
 
-def _content_streams(payload: bytes) -> list[str]:
-    """All content streams, decompressed, in document order.
+def _scan_streams(payload: bytes) -> list[tuple[int, bytes, bytes, tuple[int, int]]]:
+    """Every stream in the file: ``(header_start, head_dict_bytes,
+    raw_data, body_span)`` in file order.
 
     ``/Length`` (when present and consistent) delimits the payload slice —
     required for Flate streams whose compressed bytes may contain the
     ``endstream`` keyword; otherwise fall back to scanning for it.
+    The scan position advances past each consumed stream's endstream so
+    stream BODIES are never rescanned: compressed bytes can contain
+    ``<<...>>stream`` by chance, and a whole-payload finditer would mint
+    a phantom stream from it.
     """
-    streams: list[str] = []
+    out: list[tuple[int, bytes, bytes, tuple[int, int]]] = []
     pos = 0
-    # scan position advances past each consumed stream's endstream so
-    # stream BODIES are never rescanned: Flate-compressed bytes can
-    # contain '<<...>>stream\n' by chance, and a finditer over the whole
-    # payload would mint a garbage page from it (silently shifting page
-    # indices) instead of skipping it
     while True:
         m = _STREAM_HDR.search(payload, pos)
         if m is None:
@@ -165,6 +208,7 @@ def _content_streams(payload: bytes) -> list[str]:
         head, start = m.group(1), m.end()
         lm = _LENGTH.search(head)
         data: bytes | None = None
+        end = start
         pos = m.end()
         if lm:
             end = start + int(lm.group(1))
@@ -177,14 +221,201 @@ def _content_streams(payload: bytes) -> list[str]:
             if idx < 0:
                 continue
             data = payload[start:idx].rstrip(b"\r\n")
+            end = idx
             pos = idx + len(b"endstream")
-        if _FLATE.search(head):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as exc:
-                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
-        streams.append(data.decode("latin-1"))
-    return streams
+        out.append((m.start(), head, data, (start, end)))
+    return out
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")  # \b rejects /Pages
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _blanked_objects(
+    payload: bytes, scanned: list
+) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """(payload with stream bodies blanked, [(obj_id, body_start,
+    body_end)] in file order).  Blanking keeps object/dict scanning from
+    ever reading stream bytes — a compressed body can contain anything,
+    including fake ``N 0 obj`` tokens."""
+    blanked = bytearray(payload)
+    for _hdr, _head, _data, (b0, b1) in scanned:
+        blanked[b0:b1] = b" " * (b1 - b0)
+    blanked = bytes(blanked)
+    matches = list(_OBJ_RE.finditer(blanked))
+    bounds = [
+        (
+            int(m.group(1)),
+            m.end(),
+            matches[i + 1].start() if i + 1 < len(matches) else len(blanked),
+        )
+        for i, m in enumerate(matches)
+    ]
+    return blanked, bounds
+
+
+_FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+
+
+def _parse_tounicode(cmap_text: str) -> dict[int, str]:
+    """CID -> text from a ToUnicode CMap stream (spec 9.10.3): every
+    ``bfchar`` pair and ``bfrange`` triple; values are UTF-16BE hex."""
+    table: dict[int, str] = {}
+
+    def _uni(h: str) -> str:
+        try:
+            return bytes.fromhex(h).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            return "\ufffd"
+
+    for block in _BFRANGE_RE.findall(cmap_text):
+        for lo_h, hi_h, start_h in _HEXTRIPLE_RE.findall(block):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            start = int(start_h, 16)
+            for k in range(min(hi - lo + 1, 0x10000)):
+                table[lo + k] = chr(start + k)
+    for block in _BFCHAR_RE.findall(cmap_text):
+        for cid_h, uni_h in _HEXPAIR_RE.findall(block):
+            table[int(cid_h, 16)] = _uni(uni_h)
+    return table
+
+
+def _page_graph(payload: bytes, scanned: list):
+    """Object-graph view of the document, or None when no page graph
+    parses (pre-v5 dialect and arbitrary damaged files; the caller then
+    falls back to every-stream-is-a-page, which is also how
+    partial/truncated documents keep yielding their text).
+
+    Returns ``(groups, fonts_per_page, owner, bodies)``: one stream-index
+    group per page in /Kids order, each page's ``{font_name: obj_id}``,
+    the stream-ownership map and the blanked object bodies (for resolving
+    /ToUnicode refs)."""
+    blanked, bounds = _blanked_objects(payload, scanned)
+    if not bounds:
+        return None
+    # stream index -> owning object id (the last 'N 0 obj' before it)
+    obj_starts = [b1 for _oid, b1, _b2 in bounds]
+    owner: dict[int, int] = {}
+    bodies: dict[int, bytes] = {}
+    for oid, b1, b2 in bounds:
+        bodies.setdefault(oid, blanked[b1:b2])
+    for si, (hdr_start, _h, _d, _span) in enumerate(scanned):
+        j = bisect.bisect_right(obj_starts, hdr_start) - 1
+        if j >= 0:
+            owner.setdefault(bounds[j][0], si)
+    pages: list[tuple[int, list[int], dict[str, int]]] = []
+    for oid, b1, b2 in bounds:
+        body = blanked[b1:b2]
+        if not _TYPE_PAGE_RE.search(body):
+            continue
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:  # content split across streams concatenates in order
+            cids = [int(x) for x in _REF_RE.findall(am.group(1))]
+        else:
+            om = _CONTENTS_ONE_RE.search(body)
+            cids = [int(om.group(1))] if om else []
+        if cids:
+            fonts = {
+                nm.decode("ascii"): int(fid)
+                for nm, fid in _FONT_REF_RE.findall(body)
+            }
+            pages.append((oid, cids, fonts))
+    if not pages:
+        return None
+    page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
+    order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
+    km = _KIDS_RE.search(blanked)
+    if km:
+        kid_ids = [int(x) for x in _REF_RE.findall(km.group(1))]
+        if kid_ids and all(k in page_by_id for k in kid_ids):
+            order = [page_by_id[k] for k in kid_ids]
+    groups: list[list[int]] = []
+    fonts_per_page: list[dict[str, int]] = []
+    for cids, fonts in order:
+        group = []
+        for cid in cids:
+            if cid not in owner:
+                return None  # dangling /Contents ref: fall back whole-file
+            group.append(owner[cid])
+        groups.append(group)
+        fonts_per_page.append(fonts)
+    return groups, fonts_per_page, owner, bodies
+
+
+def _decode_stream(head: bytes, data: bytes) -> str:
+    if _FLATE.search(head):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+    return data.decode("latin-1")
+
+
+def _document_pages(
+    payload: bytes,
+) -> list[tuple[str, dict[str, dict[int, str]]]]:
+    """Per page, in page order: (decompressed content, {font_name ->
+    ToUnicode CID table}).
+
+    Streams are selected through the object graph (page objects'
+    ``/Contents`` refs, pages ordered by ``/Kids``) so NON-content
+    streams — XMP metadata, ToUnicode CMaps, embedded files — never
+    become phantom pages; fonts bearing a /ToUnicode ref get their CMap
+    stream parsed once per document.  Only when no page graph parses
+    does the scan fall back to treating every stream as a page (pre-v5
+    dialect, truncated/damaged files)."""
+    scanned = _scan_streams(payload)
+    graph = _page_graph(payload, scanned)
+    if graph is None:
+        return [
+            (_decode_stream(h, d), {}) for _s, h, d, _sp in scanned
+        ]
+    groups, fonts_per_page, owner, bodies = graph
+    cmap_cache: dict[int, dict[int, str] | None] = {}
+
+    def _cmap_for(font_oid: int):
+        if font_oid not in cmap_cache:
+            cm = None
+            body = bodies.get(font_oid)
+            tm = _TOUNICODE_RE.search(body) if body is not None else None
+            if tm:
+                si = owner.get(int(tm.group(1)))
+                if si is not None:
+                    cm = _parse_tounicode(
+                        _decode_stream(scanned[si][1], scanned[si][2])
+                    )
+            cmap_cache[font_oid] = cm
+        return cmap_cache[font_oid]
+
+    pages: list[tuple[str, dict[str, dict[int, str]]]] = []
+    for group, fonts in zip(groups, fonts_per_page):
+        text = "\n".join(
+            _decode_stream(scanned[si][1], scanned[si][2]) for si in group
+        )
+        cmaps = {
+            name: cm
+            for name, foid in fonts.items()
+            if (cm := _cmap_for(foid)) is not None
+        }
+        pages.append((text, cmaps))
+    return pages
+
+
+def _content_streams(payload: bytes) -> list[str]:
+    """Per-page content only (no font info) — kept for callers and tests
+    that predate the font-aware :func:`_document_pages`."""
+    return [text for text, _cmaps in _document_pages(payload)]
 
 
 def _cluster_columns(runs: list[tuple[float, float, float, str]]) -> list[list[tuple[float, float, float, str]]]:
@@ -271,11 +502,11 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
     pages: list[dict[str, Any]] = []
-    streams = _content_streams(payload)
-    if not streams:
+    doc_pages = _document_pages(payload)
+    if not doc_pages:
         raise ValueError("no content streams")
-    for page_idx, stream in enumerate(streams):
-        runs = _parse_runs(stream)
+    for page_idx, (stream, cmaps) in enumerate(doc_pages):
+        runs = _parse_runs(stream, cmaps)
         if not runs:
             pages.append({"page_idx": page_idx, "markdown": "", "images": []})
             continue

@@ -65,7 +65,9 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
 
     if i % 5 == 4:
         pages_model = docmodel.random_pdf_pages(rng, lang)
-        payload = pdf_writer.write_pdf(pages_model)
+        # ~30% of PDFs carry an XMP metadata stream (corpus v5) — a
+        # non-content stream the extractor must not mint a page from
+        payload = pdf_writer.write_pdf(pages_model, metadata=rng.random() < 0.3)
         expected = [
             {
                 "page_idx": k,

@@ -173,7 +173,10 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
     FlateDecode-compressed content streams and ~40% kerned ``TJ`` arrays —
     the real-corpus forms, see pdf_writer/pdf_extract round-2 dialect;
     ~25% emit string operands as BOM-prefixed UTF-16BE hex strings, the
-    spec 7.9.2.2 Unicode text-string form — corpus v4)."""
+    spec 7.9.2.2 Unicode text-string form — corpus v4; ~25% use a
+    Type0/Identity-H SUBSET font whose 2-byte CIDs resolve only through
+    the document's ToUnicode CMap — corpus v5, the realest real-corpus
+    text form)."""
     words = _WORDS_BY_LANG[lang]
     pages: list[dict] = []
     for _ in range(rng.randint(1, 5)):
@@ -182,6 +185,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
         use_tj = rng.random() < 0.4
         use_hex = rng.random() < 0.3
         use_hex16 = rng.random() < 0.25
+        use_cid = rng.random() < 0.25
         blocks: list[dict] = []
         n_sections = rng.randint(1, 4)
         for s in range(n_sections):
@@ -203,6 +207,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
                 "tj": use_tj,
                 "hex": use_hex,
                 "hex16": use_hex16,
+                "cid": use_cid,
             }
         )
     return pages

@@ -154,7 +154,86 @@ def _content_stream(
     return b"\n".join(parts)
 
 
-def write_pdf(pages: list[dict[str, Any]]) -> bytes:
+def _cid_charset(pages: list[dict[str, Any]]) -> list[str]:
+    """Sorted distinct characters used on ``cid`` pages — the document's
+    subset-font charset; CID = 1 + index (a genuinely non-identity code
+    assignment, exactly what real font subsetters produce)."""
+    chars: set[str] = set()
+    for page in pages:
+        if page.get("cid"):
+            for _size, _x, _y, text in page_runs(page):
+                chars.update(text)
+    return sorted(chars)
+
+
+def _cid_hex(text: str, cid_of: dict[str, int]) -> bytes:
+    return b"<%b>" % "".join(f"{cid_of[c]:04X}" for c in text).encode("ascii")
+
+
+def _cid_content_stream(
+    runs: list[tuple[int, int, int, str]], use_tj: bool, cid_of: dict[str, int]
+) -> bytes:
+    """Content stream for a ``cid`` page: /F2 (the Type0 font), strings as
+    2-byte-CID hex; with ``tj`` the words are separate CID-hex pieces with
+    kerning adjustments (the space char is then not emitted at all — the
+    extractor must recover it from the adjustment, via the CMap path)."""
+    parts = []
+    for size, x, y, text in runs:
+        if use_tj and " " in text:
+            pieces = []
+            for j, w in enumerate(text.split(" ")):
+                if j:
+                    pieces.append(b"-250")
+                pieces.append(_cid_hex(w, cid_of))
+            parts.append(
+                b"BT /F2 %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
+                % (size, x, y, b" ".join(pieces))
+            )
+        else:
+            parts.append(
+                b"BT /F2 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
+                % (size, x, y, _cid_hex(text, cid_of))
+            )
+    return b"\n".join(parts)
+
+
+def _tounicode_cmap(charset: list[str]) -> bytes:
+    """A ToUnicode CMap (spec 9.10.3) mapping each subset CID to its
+    Unicode string, bfchar entries chunked at the spec's 100-per-block
+    limit.  Target values are UTF-16BE hex, as the spec requires."""
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (MM) /Ordering (Subset) /Supplement 0 >> def",
+        b"/CMapName /MM-Subset def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for off in range(0, len(charset), 100):
+        chunk = charset[off : off + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for k, ch in enumerate(chunk):
+            uni = ch.encode("utf-16-be").hex().upper().encode("ascii")
+            lines.append(b"<%04X> <%b>" % (off + k + 1, uni))
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"CMapName currentdict /CMap defineresource pop",
+              b"end", b"end"]
+    return b"\n".join(lines)
+
+
+_XMP_METADATA = (
+    b'<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+    b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF '
+    b'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+    b'<rdf:Description dc:title="generated"/></rdf:RDF></x:xmpmeta>\n'
+    b"<?xpacket end=\"w\"?>"
+)
+
+
+def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
     Per-page dialect knobs (in the page model):
@@ -168,36 +247,84 @@ def write_pdf(pages: list[dict[str, Any]]) -> bytes:
     * ``"hex16": True`` — string operands emitted as UTF-16BE hex strings
       with a leading U+FEFF BOM (the spec 7.9.2.2 Unicode text-string
       form; corpus v4) — implies hex emission
+    * ``"cid": True`` — the page uses /F2, a Type0 /Identity-H SUBSET
+      font (corpus v5): strings are 2-byte CIDs assigned by charset
+      index (NOT code points), decodable only through the document's
+      ToUnicode CMap stream — the realest real-corpus text form
 
-    Object layout: 1 catalog, 2 pages, 3 font (fixed id, BEFORE the pages
-    so every page's ``/Font << /F1 3 0 R >>`` resolves for any page count),
-    then per page ``i``: page object ``4+2i``, content stream ``5+2i``.
+    ``metadata``: emit an XMP metadata stream object (corpus v5) — a
+    NON-content stream the extractor must not turn into a phantom page.
+
+    Object layout: 1 catalog, 2 pages, 3 font /F1; then (when any page
+    is ``cid``) /F2 Type0 font + its ToUnicode CMap stream; then (when
+    ``metadata``) the XMP stream; then per page ``i``: page object,
+    content stream — all ids computed from what precedes the pages, and
+    every global object BEFORE the pages so references resolve for any
+    page count.
     """
     import zlib
 
+    any_cid = any(p.get("cid") for p in pages)
+    charset = _cid_charset(pages) if any_cid else []
+    cid_of = {c: k + 1 for k, c in enumerate(charset)}
+
     objects: list[bytes] = []
     n_pages = len(pages)
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
-    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    next_id = 4
+    f2_id = cmap_id = meta_id = None
+    if any_cid:
+        f2_id, cmap_id = next_id, next_id + 1
+        next_id += 2
+    if metadata:
+        meta_id = next_id
+        next_id += 1
+    first_page_id = next_id
+    kids = " ".join(f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
+    catalog = b"<< /Type /Catalog /Pages 2 0 R"
+    if meta_id is not None:
+        catalog += b" /Metadata %d 0 R" % meta_id
+    objects.append(catalog + b" >>")
     objects.append(
         b"<< /Type /Pages /Kids [%b] /Count %d >>" % (kids.encode(), n_pages)
     )
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    if any_cid:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /MMSUB+Helvetica "
+            b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cmap_id
+        )
+        cmap = _tounicode_cmap(charset)
+        objects.append(
+            b"<< /Length %d >>\nstream\n%b\nendstream" % (len(cmap), cmap)
+        )
+    if metadata:
+        objects.append(
+            b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%b\nendstream"
+            % (len(_XMP_METADATA), _XMP_METADATA)
+        )
     for i, page in enumerate(pages):
-        content_num = 5 + 2 * i
+        content_num = first_page_id + 2 * i + 1
+        font_res = b"/F1 3 0 R"
+        if page.get("cid"):
+            font_res = b"/F1 3 0 R /F2 %d 0 R" % f2_id
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
-            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, content_num)
+            b"/Resources << /Font << %b >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_res, content_num)
         )
-        stream = _content_stream(
-            page_runs(page),
-            bool(page.get("tj")),
-            bool(page.get("hex")) or bool(page.get("hex16")),
-            bool(page.get("hex16")),
-        )
+        if page.get("cid"):
+            stream = _cid_content_stream(
+                page_runs(page), bool(page.get("tj")), cid_of
+            )
+        else:
+            stream = _content_stream(
+                page_runs(page),
+                bool(page.get("tj")),
+                bool(page.get("hex")) or bool(page.get("hex16")),
+                bool(page.get("hex16")),
+            )
         if page.get("compress"):
             stream = zlib.compress(stream, 6)
             objects.append(

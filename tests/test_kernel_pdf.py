@@ -202,3 +202,94 @@ def test_hex16_with_tj_kerning():
     }
     got = pdf_extract.extract_pages(pdf_writer.write_pdf([page]))
     assert got[0]["markdown"] == "alpha beta gamma delta"
+
+
+def test_cid_subset_font_roundtrip():
+    """Type0/Identity-H SUBSET font (corpus v5): strings are 2-byte CIDs
+    assigned by charset index — meaningless without the document's
+    ToUnicode CMap, which the extractor must find through the font
+    object's /ToUnicode ref and parse."""
+    page = {
+        "columns": 1,
+        "cid": True,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "Subset Title 标题"},
+            {"t": "p", "spans": [("", "body text with unicode: naïve 中文")]},
+            {"t": "ul", "items": ["alpha", "beta"]},
+        ],
+    }
+    pdf = pdf_writer.write_pdf([page])
+    assert b"/Identity-H" in pdf and b"beginbfchar" in pdf
+    # the text's UTF-16BE code units appear exactly once — inside the
+    # CMap's bfchar table — never in the content stream (that would be
+    # identity encoding, not a subset mapping)
+    assert pdf.count("标".encode("utf-16-be").hex().upper().encode()) == 1
+    got = pdf_extract.extract_pages(pdf)
+    assert got[0]["markdown"] == pdf_writer.expected_pdf_page_markdown(page)
+    assert "中文" in got[0]["markdown"]
+
+
+def test_cid_with_tj_kerning_and_compression():
+    """CID strings compose with kerned TJ arrays and FlateDecode: word
+    spaces come from the -250 adjustments (the space char is never in the
+    stream), CIDs still resolve through the CMap."""
+    page = {
+        "columns": 1,
+        "cid": True,
+        "tj": True,
+        "compress": True,
+        "blocks": [{"t": "p", "spans": [("", "alpha beta gamma delta")]}],
+    }
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf([page]))
+    assert got[0]["markdown"] == "alpha beta gamma delta"
+
+
+def test_mixed_plain_and_cid_pages():
+    """A document mixing an /F1 literal-string page with an /F2 CID page:
+    the per-page font tables must not leak across pages."""
+    pages = [
+        {"columns": 1, "blocks": [{"t": "p", "spans": [("", "plain page one")]}]},
+        {
+            "columns": 1,
+            "cid": True,
+            "blocks": [{"t": "p", "spans": [("", "cid page two")]}],
+        },
+    ]
+    got = pdf_extract.extract_pages(pdf_writer.write_pdf(pages))
+    assert [p["markdown"] for p in got] == ["plain page one", "cid page two"]
+
+
+def test_metadata_stream_is_not_a_phantom_page():
+    """An XMP /Metadata stream (corpus v5) is a NON-content stream: page
+    count and indices must be unaffected — the pre-v5 every-stream-is-a-
+    page scan would have minted an empty phantom page from it."""
+    pages = [
+        {"columns": 1, "blocks": [{"t": "p", "spans": [("", "only page")]}]},
+    ]
+    pdf = pdf_writer.write_pdf(pages, metadata=True)
+    assert b"/Type /Metadata" in pdf and b"xmpmeta" in pdf
+    got = pdf_extract.extract_pages(pdf)
+    assert len(got) == 1
+    assert got[0]["markdown"] == "only page"
+    assert got[0]["page_idx"] == 0
+
+
+def test_cid_cmap_with_metadata_and_multipage():
+    """Everything at once: 3 pages (plain + cid + cid-tj-compressed),
+    metadata stream, CMap stream — page order by /Kids, no phantom pages,
+    every page byte-right."""
+    pages = [
+        {"columns": 1, "blocks": [
+            {"t": "h", "level": 1, "text": "One"},
+            {"t": "p", "spans": [("", "intro body")]},
+        ]},
+        {"columns": 1, "cid": True,
+         "blocks": [{"t": "p", "spans": [("", "zwei drei vier")]}]},
+        {"columns": 1, "cid": True, "tj": True, "compress": True,
+         "blocks": [{"t": "p", "spans": [("", "fünf sechs sieben acht")]}]},
+    ]
+    pdf = pdf_writer.write_pdf(pages, metadata=True)
+    got = pdf_extract.extract_pages(pdf)
+    assert [p["markdown"] for p in got] == [
+        pdf_writer.expected_pdf_page_markdown(p) for p in pages
+    ]
