@@ -107,11 +107,30 @@ def _decode_hex_string(raw: str) -> str:
         return b.decode("latin-1")
 
 
+class _CidTable(dict):
+    """CID -> text table; unmapped CIDs render as U+FFFD — a visible
+    signal of a mapping gap, never silent truncation.  A dict subclass so
+    ``str.translate`` (the C-speed decode path) resolves missing keys
+    through ``__missing__`` instead of passing them through unchanged."""
+
+    def __missing__(self, key: int) -> str:
+        return "\ufffd"
+
+
+_SURR_HI = bytes(range(0xD8, 0xE0))  # UTF-16 surrogate-range high bytes
+
+
 def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
     """Hex string under a Type0/Identity-H SUBSET font: 2-byte CIDs in
     the font's private code space, meaningful only through its ToUnicode
-    CMap (corpus v5).  Unmapped CIDs decode to U+FFFD — a visible signal
-    of a mapping gap, never silent truncation."""
+    CMap (corpus v5).
+
+    Fast path: the CID sequence is decoded as UTF-16BE (every 2-byte
+    unit becomes ``chr(cid)``) and mapped in one C-speed
+    ``str.translate`` call — valid only when no unit sits in the
+    surrogate range (a chance surrogate PAIR would merge into one astral
+    char and corrupt the keys), which the ``bytes.translate`` length
+    check rules out without a Python-level loop."""
     h = "".join(raw.split())
     if len(h) % 2:
         h += "0"
@@ -119,9 +138,18 @@ def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
         b = bytes.fromhex(h)
     except ValueError:
         return ""
+    b = b[: len(b) - (len(b) % 2)]
+    if not b:
+        return ""
+    hi = b[0::2]
+    if len(hi.translate(None, _SURR_HI)) == len(hi):
+        try:
+            return b.decode("utf-16-be").translate(cmap)
+        except UnicodeDecodeError:  # pragma: no cover - guarded above
+            pass
     return "".join(
         cmap.get(int.from_bytes(b[i : i + 2], "big"), "\ufffd")
-        for i in range(0, len(b) - len(b) % 2, 2)
+        for i in range(0, len(b), 2)
     )
 
 
@@ -271,7 +299,7 @@ _HEXTRIPLE_RE = re.compile(
 def _parse_tounicode(cmap_text: str) -> dict[int, str]:
     """CID -> text from a ToUnicode CMap stream (spec 9.10.3): every
     ``bfchar`` pair and ``bfrange`` triple; values are UTF-16BE hex."""
-    table: dict[int, str] = {}
+    table: dict[int, str] = _CidTable()
 
     def _uni(h: str) -> str:
         try:
