@@ -131,6 +131,8 @@ def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
     surrogate range (a chance surrogate PAIR would merge into one astral
     char and corrupt the keys), which the ``bytes.translate`` length
     check rules out without a Python-level loop."""
+    if not isinstance(cmap, _CidTable):  # fast/slow paths must agree on
+        cmap = _CidTable(cmap)  # unmapped CIDs regardless of caller type
     h = "".join(raw.split())
     if len(h) % 2:
         h += "0"
@@ -294,28 +296,59 @@ _HEXPAIR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 _HEXTRIPLE_RE = re.compile(
     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
 )
+# array destination form: <lo> <hi> [<d1> <d2> ...] (one target per CID —
+# the form subsetters emit for ligature runs)
+_HEXARRAY_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\]"
+)
+_HEXITEM_RE = re.compile(r"<([0-9A-Fa-f]+)>")
+
+
+def _uni16(h: str) -> str:
+    """UTF-16BE hex -> text; malformed input (odd length, lone
+    surrogates) renders as U+FFFD rather than raising or smuggling a
+    lone surrogate into output that later .encode('utf-8') would kill."""
+    try:
+        return bytes.fromhex(h).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return "\ufffd"
+
+
+def _range_target(base: str, k: int) -> str:
+    """The k-th target of a bfrange: the LAST code point of the decoded
+    base string increments (spec 9.10.3) — astral bases expressed as
+    surrogate pairs therefore step correctly through the astral plane.
+    Steps that land in the surrogate range or past U+10FFFF render as
+    U+FFFD instead of raising mid-extraction."""
+    if not base:
+        return "\ufffd"
+    val = ord(base[-1]) + k
+    if 0xD800 <= val <= 0xDFFF or val > 0x10FFFF:
+        return "\ufffd"
+    return base[:-1] + chr(val)
 
 
 def _parse_tounicode(cmap_text: str) -> dict[int, str]:
-    """CID -> text from a ToUnicode CMap stream (spec 9.10.3): every
-    ``bfchar`` pair and ``bfrange`` triple; values are UTF-16BE hex."""
+    """CID -> text from a ToUnicode CMap stream (spec 9.10.3): ``bfchar``
+    pairs plus both ``bfrange`` forms (incrementing triple and array of
+    per-CID destinations); values are UTF-16BE hex."""
     table: dict[int, str] = _CidTable()
 
-    def _uni(h: str) -> str:
-        try:
-            return bytes.fromhex(h).decode("utf-16-be")
-        except (ValueError, UnicodeDecodeError):
-            return "\ufffd"
-
     for block in _BFRANGE_RE.findall(cmap_text):
-        for lo_h, hi_h, start_h in _HEXTRIPLE_RE.findall(block):
+        for am in _HEXARRAY_RE.finditer(block):
+            lo = int(am.group(1), 16)
+            for k, dst in enumerate(_HEXITEM_RE.findall(am.group(3))):
+                table[lo + k] = _uni16(dst)
+        # strip the array entries so their items cannot fake triples
+        rest = _HEXARRAY_RE.sub("", block)
+        for lo_h, hi_h, start_h in _HEXTRIPLE_RE.findall(rest):
             lo, hi = int(lo_h, 16), int(hi_h, 16)
-            start = int(start_h, 16)
+            base = _uni16(start_h)
             for k in range(min(hi - lo + 1, 0x10000)):
-                table[lo + k] = chr(start + k)
+                table[lo + k] = _range_target(base, k)
     for block in _BFCHAR_RE.findall(cmap_text):
         for cid_h, uni_h in _HEXPAIR_RE.findall(block):
-            table[int(cid_h, 16)] = _uni(uni_h)
+            table[int(cid_h, 16)] = _uni16(uni_h)
     return table
 
 
@@ -353,21 +386,25 @@ def _page_graph(payload: bytes, scanned: list):
         else:
             om = _CONTENTS_ONE_RE.search(body)
             cids = [int(om.group(1))] if om else []
-        if cids:
-            fonts = {
-                nm.decode("ascii"): int(fid)
-                for nm, fid in _FONT_REF_RE.findall(body)
-            }
-            pages.append((oid, cids, fonts))
+        fonts = {
+            nm.decode("ascii"): int(fid)
+            for nm, fid in _FONT_REF_RE.findall(body)
+        }
+        # a page with NO /Contents is a real thing (blank separator
+        # pages): keep it as an empty page so page_idx of everything
+        # after it stays aligned with the document
+        pages.append((oid, cids, fonts))
     if not pages:
         return None
     page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
     order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
-    km = _KIDS_RE.search(blanked)
-    if km:
-        kid_ids = [int(x) for x in _REF_RE.findall(km.group(1))]
-        if kid_ids and all(k in page_by_id for k in kid_ids):
-            order = [page_by_id[k] for k in kid_ids]
+    walk = _walk_page_tree(bodies, set(page_by_id))
+    if walk is not None and set(walk) == set(page_by_id):
+        # the recursive /Kids walk reproduces exactly the parsed pages:
+        # trust its order (multi-level page trees are the wild-PDF norm;
+        # the FIRST /Kids array in the file may belong to an
+        # intermediate node and must not win by position)
+        order = [page_by_id[k] for k in walk]
     groups: list[list[int]] = []
     fonts_per_page: list[dict[str, int]] = []
     for cids, fonts in order:
@@ -379,6 +416,51 @@ def _page_graph(payload: bytes, scanned: list):
         groups.append(group)
         fonts_per_page.append(fonts)
     return groups, fonts_per_page, owner, bodies
+
+
+def _walk_page_tree(
+    bodies: dict[int, bytes], page_ids: set[int]
+) -> list[int] | None:
+    """Leaf page ids in tree order, walking /Kids recursively from the
+    catalog's /Pages root through intermediate /Type /Pages nodes.
+    Returns None when no catalog/root parses (single-/Kids documents
+    then order by the one array the caller sees via this same walk from
+    whichever node exists — and pathological cycles bail out)."""
+    root = None
+    for oid, body in bodies.items():
+        if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
+            pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", body)
+            if pm:
+                root = int(pm.group(1))
+            break
+    if root is None:
+        # no catalog: fall back to the first node bearing /Kids
+        for oid, body in bodies.items():
+            if _KIDS_RE.search(body):
+                root = oid
+                break
+    if root is None:
+        return None
+    out: list[int] = []
+    seen: set[int] = set()
+
+    def _walk(oid: int) -> None:
+        if oid in seen or len(seen) > 4096:  # cycle/bomb guard
+            return
+        seen.add(oid)
+        if oid in page_ids:
+            out.append(oid)
+            return
+        body = bodies.get(oid)
+        if body is None:
+            return
+        km = _KIDS_RE.search(body)
+        if km:
+            for ref in _REF_RE.findall(km.group(1)):
+                _walk(int(ref))
+
+    _walk(root)
+    return out or None
 
 
 def _decode_stream(head: bytes, data: bytes) -> str:
@@ -440,10 +522,6 @@ def _document_pages(
     return pages
 
 
-def _content_streams(payload: bytes) -> list[str]:
-    """Per-page content only (no font info) — kept for callers and tests
-    that predate the font-aware :func:`_document_pages`."""
-    return [text for text, _cmaps in _document_pages(payload)]
 
 
 def _cluster_columns(runs: list[tuple[float, float, float, str]]) -> list[list[tuple[float, float, float, str]]]:

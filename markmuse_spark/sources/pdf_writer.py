@@ -154,14 +154,14 @@ def _content_stream(
     return b"\n".join(parts)
 
 
-def _cid_charset(pages: list[dict[str, Any]]) -> list[str]:
+def _cid_charset(pages: list[dict[str, Any]], runs_by_page: list) -> list[str]:
     """Sorted distinct characters used on ``cid`` pages — the document's
     subset-font charset; CID = 1 + index (a genuinely non-identity code
     assignment, exactly what real font subsetters produce)."""
     chars: set[str] = set()
-    for page in pages:
+    for page, runs in zip(pages, runs_by_page):
         if page.get("cid"):
-            for _size, _x, _y, text in page_runs(page):
+            for _size, _x, _y, text in runs:
                 chars.update(text)
     return sorted(chars)
 
@@ -264,8 +264,10 @@ def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
     """
     import zlib
 
+    runs_by_page = [page_runs(p) for p in pages]  # one layout pass per
+    # page: _cid_charset and the emit loop below share these runs
     any_cid = any(p.get("cid") for p in pages)
-    charset = _cid_charset(pages) if any_cid else []
+    charset = _cid_charset(pages, runs_by_page) if any_cid else []
     cid_of = {c: k + 1 for k, c in enumerate(charset)}
 
     objects: list[bytes] = []
@@ -316,11 +318,11 @@ def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
         )
         if page.get("cid"):
             stream = _cid_content_stream(
-                page_runs(page), bool(page.get("tj")), cid_of
+                runs_by_page[i], bool(page.get("tj")), cid_of
             )
         else:
             stream = _content_stream(
-                page_runs(page),
+                runs_by_page[i],
                 bool(page.get("tj")),
                 bool(page.get("hex")) or bool(page.get("hex16")),
                 bool(page.get("hex16")),

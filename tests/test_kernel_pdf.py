@@ -293,3 +293,69 @@ def test_cid_cmap_with_metadata_and_multipage():
     assert [p["markdown"] for p in got] == [
         pdf_writer.expected_pdf_page_markdown(p) for p in pages
     ]
+
+
+def test_multilevel_page_tree_kids_order():
+    """A two-level page tree whose INTERMEDIATE /Pages node precedes the
+    root in the file: the /Kids walk must start from the catalog's root
+    and recurse — trusting the first /Kids array by file position
+    silently dropped every page outside that node."""
+    c1 = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (page one) Tj ET"
+    c2 = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (page two) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # intermediate node 3 serialized BEFORE root 2 references it
+        3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 /Parent 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        4: b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>",
+        5: b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c1), c1),
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        7: b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c2), c2),
+    }
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%b\nendobj\n" % (oid, objs[oid]) for oid in [1, 3, 2, 4, 5, 6, 7]
+    ) + b"trailer\n%%EOF"
+    got = pdf_extract.extract_pages(body)
+    assert [p["markdown"] for p in got] == ["page one", "page two"]
+
+
+def test_blank_separator_page_keeps_indices():
+    """A page object with NO /Contents (a blank separator) must stay in
+    the page list as an empty page so later pages keep their indices."""
+    c2 = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (after blank) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",  # blank: no /Contents
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c2), c2),
+    }
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%b\nendobj\n" % (oid, obj) for oid, obj in objs.items()
+    ) + b"trailer\n%%EOF"
+    got = pdf_extract.extract_pages(body)
+    assert len(got) == 2
+    assert got[0]["markdown"] == "" and got[0]["page_idx"] == 0
+    assert got[1]["markdown"] == "after blank" and got[1]["page_idx"] == 1
+
+
+def test_bfrange_astral_and_array_targets():
+    """bfrange targets per spec 9.10.3: an astral base expressed as a
+    surrogate pair steps through the astral plane; the array form maps
+    one destination per CID (ligatures); a step into the surrogate range
+    renders U+FFFD instead of raising or leaking a lone surrogate."""
+    cmap = (
+        "2 beginbfrange\n"
+        "<0001> <0003> <D83DDE00>\n"   # emoji 😀 😁 😂
+        "<0010> <0011> [<0066> <00660069>]\n"  # 'f', 'fi'
+        "endbfrange\n"
+        "1 beginbfrange\n<0020> <0021> <D7FF>\nendbfrange\n"
+    )
+    table = pdf_extract._parse_tounicode(cmap)
+    assert table[1] == "\U0001F600" and table[3] == "\U0001F602"
+    assert table[0x10] == "f" and table[0x11] == "fi"
+    assert table[0x20] == "퟿".encode("utf-16-be").decode("utf-16-be")
+    assert table[0x21] == "�"  # D7FF+1 = D800: surrogate -> FFFD
+    # everything placed in a page must survive utf-8 encoding
+    for v in table.values():
+        v.encode("utf-8")
