@@ -398,12 +398,15 @@ def _page_graph(payload: bytes, scanned: list):
         return None
     page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
     order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
-    walk = _walk_page_tree(bodies, set(page_by_id))
-    if walk is not None and set(walk) == set(page_by_id):
-        # the recursive /Kids walk reproduces exactly the parsed pages:
-        # trust its order (multi-level page trees are the wild-PDF norm;
-        # the FIRST /Kids array in the file may belong to an
-        # intermediate node and must not win by position)
+    walk, from_catalog = _walk_page_tree(bodies, set(page_by_id))
+    if walk and (from_catalog or set(walk) == set(page_by_id)):
+        # a CATALOG-rooted walk is authoritative (spec): pages it does
+        # not reach are orphans or superseded by an incremental update
+        # and are rightly excluded; a guessed root (no catalog parsed)
+        # is trusted only when it reproduces exactly the parsed pages.
+        # Either way the recursive walk — not the first /Kids array by
+        # file position — provides the order (multi-level page trees
+        # are the wild-PDF norm).
         order = [page_by_id[k] for k in walk]
     groups: list[list[int]] = []
     fonts_per_page: list[dict[str, int]] = []
@@ -420,27 +423,30 @@ def _page_graph(payload: bytes, scanned: list):
 
 def _walk_page_tree(
     bodies: dict[int, bytes], page_ids: set[int]
-) -> list[int] | None:
-    """Leaf page ids in tree order, walking /Kids recursively from the
-    catalog's /Pages root through intermediate /Type /Pages nodes.
-    Returns None when no catalog/root parses (single-/Kids documents
-    then order by the one array the caller sees via this same walk from
-    whichever node exists — and pathological cycles bail out)."""
+) -> tuple[list[int], bool]:
+    """(leaf page ids in tree order, rooted_at_catalog), walking /Kids
+    recursively from the catalog's /Pages root through intermediate
+    /Type /Pages nodes; pathological cycles bail out.  The LAST catalog
+    wins: incrementally-updated PDFs append a newer catalog at the end
+    of the file, and its page tree supersedes the original's (bodies
+    iterates in file order).  With no catalog, the first /Kids-bearing
+    node stands in as a GUESSED root (the caller then demands the walk
+    reproduce every parsed page before trusting it)."""
     root = None
+    from_catalog = False
     for oid, body in bodies.items():
         if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
             pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", body)
             if pm:
                 root = int(pm.group(1))
-            break
+                from_catalog = True
     if root is None:
-        # no catalog: fall back to the first node bearing /Kids
         for oid, body in bodies.items():
             if _KIDS_RE.search(body):
                 root = oid
                 break
     if root is None:
-        return None
+        return [], False
     out: list[int] = []
     seen: set[int] = set()
 
@@ -460,7 +466,7 @@ def _walk_page_tree(
                 _walk(int(ref))
 
     _walk(root)
-    return out or None
+    return out, from_catalog
 
 
 def _decode_stream(head: bytes, data: bytes) -> str:

@@ -359,3 +359,28 @@ def test_bfrange_astral_and_array_targets():
     # everything placed in a page must survive utf-8 encoding
     for v in table.values():
         v.encode("utf-8")
+
+
+def test_incremental_update_last_catalog_wins():
+    """An incrementally-updated PDF appends a NEWER catalog whose page
+    tree supersedes the original's — the walk must start from the last
+    catalog in the file, not the first."""
+    c1 = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (old tree) Tj ET"
+    c2 = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (new tree) Tj ET"
+    parts = [b"%PDF-1.4\n"]
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c1), c1)),
+        # --- appended incremental update: new catalog + new tree ---
+        (5, b"<< /Type /Catalog /Pages 6 0 R >>"),
+        (6, b"<< /Type /Pages /Kids [7 0 R] /Count 1 >>"),
+        (7, b"<< /Type /Page /Parent 6 0 R /Contents 8 0 R >>"),
+        (8, b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c2), c2)),
+    ]
+    for oid, obj in objs:
+        parts.append(b"%d 0 obj\n%b\nendobj\n" % (oid, obj))
+    parts.append(b"trailer\n%%EOF")
+    got = pdf_extract.extract_pages(b"".join(parts))
+    assert [p["markdown"] for p in got] == ["new tree"]
