@@ -17,6 +17,12 @@ Conventions (driver contract, ``__spark_entry__.py``):
 
 SURVEY §2 mapping is noted per entry (B-ops = control-plane relational
 surface, A-ops = pipeline dataflow, C-ops = scalar library).
+
+The driver-exported registry (``QUERIES``/``ORACLE``) is capped at 50
+entries — the driver's CORRECTNESS artifact budget (round 3 registered 53
+and exactly the last 3 went unchecked).  Redundant forms whose relation
+is driver-checked through another entry live in ``EXTRA_QUERIES``/
+``EXTRA_ORACLE`` and are oracled by pytest instead.
 """
 
 from __future__ import annotations
@@ -45,12 +51,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# Registry budget: the driver's CORRECTNESS artifact holds AT MOST 50
+# entries (round 3 registered 53 and exactly the last 3 went unchecked), so
+# ``QUERIES`` — what ``__spark_entry__.queries()`` exports — is kept at
+# exactly 50.  Near-duplicate forms whose relation is already driver-checked
+# through another entry live in ``EXTRA_QUERIES`` instead: same
+# (callable, oracle SQL) contract, exercised by the pytest oracle gate
+# (tests/test_queries_oracle.py) every run, just not exported to the driver.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLE: dict[str, str] = {}
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _qx(name: str, sql: str | None = None):
+    """Register into the pytest-only EXTRA registry (driver-budget overflow)."""
+
+    def deco(fn):
+        EXTRA_QUERIES[name] = fn
+        if sql is not None:
+            EXTRA_ORACLE[name] = sql
         return fn
 
     return deco
@@ -296,6 +324,29 @@ def a21_resume_anti_join(spark, sf_dir):
 # C. scalar function library (SURVEY §2.C) — exercised on live matches
 # =====================================================================
 
+# C13 inputs for the merged scalar query: 16 extensions cycling by doc_id
+# (the 15 mapped types + one octet-stream default) — shared between the
+# Spark expression and the DuckDB oracle string so they cannot drift
+_C13_EXTS = [
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff", ".tif",
+    ".md", ".html", ".txt", ".pdf", ".json", ".js", ".css", ".exe",
+]
+
+
+def _c13_sql() -> str:
+    """(ext, content_type) SQL fragments over ``doc_id`` — CASE chain built
+    from the SAME ``CONTENT_TYPES`` map the Spark function uses."""
+    from markmuse_spark.functions import CONTENT_TYPES
+
+    lst = ",".join(f"'{e}'" for e in _C13_EXTS)
+    ext = f"([{lst}])[CAST(doc_id % 16 AS INTEGER) + 1]"
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in CONTENT_TYPES.items())
+    return (
+        f"{ext} AS ext, CASE {ext} {whens} "
+        "ELSE 'application/octet-stream' END AS content_type"
+    )
+
+
 @_q(
     "c_scalar_kernel",
     "SELECT doc_id, "
@@ -305,19 +356,28 @@ def a21_resume_anti_join(spark, sf_dir):
     "CASE WHEN lower('doc-' || doc_id || '.PDF') LIKE '%.pdf' "
     "THEN replace('doc-' || doc_id || '.PDF', '.pdf', '') "
     "ELSE 'pdf_from_url' END AS out_stem, "
-    "regexp_replace(regexp_replace('![alt](x.png) ' || text, '!\\[.*?\\]\\(.*?\\)', '', 'g'), '[#*_`~]', '', 'g') AS plain "
+    "regexp_replace(regexp_replace('![alt](x.png) ' || text, '!\\[.*?\\]\\(.*?\\)', '', 'g'), '[#*_`~]', '', 'g') AS plain, "
+    f"{_c13_sql()} "
     "FROM documents WHERE doc_id <= 100",
 )
 def c_scalar_kernel(spark, sf_dir):
-    """C4/C8/C9/C12/C2+C3: the scalar kernel rules on live matches —
+    """C4/C8/C9/C12/C2+C3/C13: the scalar kernel rules on live matches —
     url->id (markmuse.py:573-577), sanitize (:393), default id (:390),
     stem derivation (:704-720, bug-compat all-occurrence replace),
-    image-link + format strip (:477-479)."""
+    image-link + format strip (:477-479), extension->MIME map
+    (s3_storage.py:375-395; folded in here so every C-row stays
+    driver-checked within the 50-entry registry budget)."""
+    from markmuse_spark import functions as MF
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     url = F.concat(F.lit("https://cdn.example/a/b/img-"), F.col("doc_id"), F.lit(".png"))
     weird = F.concat(F.lit("we?ird:d*oc-"), F.col("doc_id"), F.lit(".png"))
     upname = F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".PDF"))
     md = F.concat(F.lit("![alt](x.png) "), F.col("text"))
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _C13_EXTS]),
+        (F.col("doc_id") % 16).cast("int") + 1,
+    )
     return d.select(
         "doc_id",
         F.regexp_extract(url, r"([^/]+)$", 1).alias("img_id"),
@@ -334,10 +394,12 @@ def c_scalar_kernel(spark, sf_dir):
         F.regexp_replace(
             F.regexp_replace(md, r"!\[.*?\]\(.*?\)", ""), r"[#*_`~]", ""
         ).alias("plain"),
+        ext.alias("ext"),
+        MF.content_type_for_extension(ext).alias("content_type"),
     )
 
 
-@_q(
+@_qx(
     "c13_content_type",
     "SELECT ext, CASE ext "
     "WHEN '.jpg' THEN 'image/jpeg' WHEN '.jpeg' THEN 'image/jpeg' "
@@ -354,24 +416,15 @@ def c_scalar_kernel(spark, sf_dir):
     "ORDER BY ext",
 )
 def c13_content_type(spark, sf_dir):
-    """C13: extension->MIME map (s3_storage.py:375-395)."""
-    exts = [
-        ".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff", ".tif",
-        ".md", ".html", ".txt", ".pdf", ".json", ".js", ".css", ".exe",
-    ]
-    mime = {
-        ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
-        ".gif": "image/gif", ".webp": "image/webp", ".bmp": "image/bmp",
-        ".tiff": "image/tiff", ".tif": "image/tiff", ".md": "text/markdown",
-        ".html": "text/html", ".txt": "text/plain", ".pdf": "application/pdf",
-        ".json": "application/json", ".js": "application/javascript",
-        ".css": "text/css",
-    }
-    df = spark.createDataFrame([(e,) for e in exts], "ext string")
-    expr = F.lit("application/octet-stream")
-    for k, v in reversed(list(mime.items())):
-        expr = F.when(F.col("ext") == k, v).otherwise(expr)
-    return df.select("ext", expr.alias("content_type")).orderBy("ext")
+    """C13 standalone form (s3_storage.py:375-395) — the driver-facing
+    check now rides ``c_scalar_kernel``; this literal-table variant stays
+    pytest-oracled in the EXTRA registry."""
+    from markmuse_spark import functions as MF
+
+    df = spark.createDataFrame([(e,) for e in _C13_EXTS], "ext string")
+    return df.select(
+        "ext", MF.content_type_for_extension(F.col("ext")).alias("content_type")
+    ).orderBy("ext")
 
 
 @_q(
@@ -1176,7 +1229,7 @@ def s_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
-@_q(
+@_qx(
     "s_embedding_near_pairs",
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -1187,7 +1240,10 @@ def s_cosine_topk(spark, sf_dir):
     "sqrt(list_dot_product(b.e, b.e))) >= 0.45 ORDER BY id_a, id_b",
 )
 def s_embedding_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs)."""
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).  EXTRA
+    registry: the driver already checks this exact relation through
+    ``s_embedding_near_pairs_lsh`` (whose oracle is this same all-pairs
+    SQL); the O(n^2) ground-truth form stays pytest-oracled."""
     from markmuse_spark.operators.similarity import embedding_near_pairs
 
     return embedding_near_pairs(
@@ -1240,7 +1296,7 @@ def s_lsh_ann_batch(spark, sf_dir):
     ).orderBy("query_id", F.col("cosine").desc(), "cand_id")
 
 
-@_q(
+@_qx(
     "s_lsh_ann",
     # fixture minted by an independent pure-Python replica of the spec
     # (seeded numpy planes, Hamming-radius probe, strict left-fold cosine;
@@ -1250,7 +1306,10 @@ def s_lsh_ann_batch(spark, sf_dir):
 )
 def s_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate top-10 (random-hyperplane signatures,
-    Hamming-radius-1 probe, exact re-rank of candidates)."""
+    Hamming-radius-1 probe, exact re-rank of candidates).  EXTRA
+    registry: ``s_lsh_ann_batch`` drives the same signature/probe/re-rank
+    machinery through the driver; the single-query broadcast form stays
+    pytest-oracled against its own independent fixture."""
     from markmuse_spark.operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from markmuse_spark import functions as MF
 from markmuse_spark.golden import oracle
-from markmuse_spark.queries import QUERIES
+from markmuse_spark.queries import EXTRA_QUERIES, QUERIES as _DRIVER_QUERIES
+
+QUERIES = {**_DRIVER_QUERIES, **EXTRA_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.01"
 

@@ -10,7 +10,12 @@ import math
 import duckdb
 import pytest
 
-from markmuse_spark.queries import ORACLE, QUERIES
+from markmuse_spark.queries import EXTRA_ORACLE, EXTRA_QUERIES, ORACLE, QUERIES
+
+# the pytest gate covers BOTH registries: the 50 driver-exported entries
+# and the EXTRA entries consolidated out of the driver's 50-entry budget
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLE = {**ORACLE, **EXTRA_ORACLE}
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
@@ -53,10 +58,19 @@ def _normalize(df_pandas):
     return cols, sorted(rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_driver_registry_fits_correctness_budget():
+    # the driver's CORRECTNESS artifact holds at most 50 entries (r3:
+    # 53 registered, exactly the last 3 unchecked) — every exported entry
+    # must get a row, so the exported registry must fit the budget
+    assert len(QUERIES) <= 50, sorted(QUERIES)
+    assert set(ORACLE) <= set(QUERIES)
+    assert not (set(EXTRA_QUERIES) & set(QUERIES))
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE))
 def test_query_matches_oracle(spark, duck, name):
-    got = QUERIES[name](spark, SF_DIR).toPandas()
-    want = duck.execute(ORACLE[name]).fetch_df()
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    want = duck.execute(ALL_ORACLE[name]).fetch_df()
     got_cols, got_rows = _normalize(got)
     want_cols, want_rows = _normalize(want)
     assert got_cols == want_cols, f"{name}: column names differ"
@@ -67,8 +81,8 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_all_queries_runnable(spark):
     # rows-only queries (no oracle) must still execute and return a schema
-    for name, fn in sorted(QUERIES.items()):
-        if name in ORACLE:
+    for name, fn in sorted(ALL_QUERIES.items()):
+        if name in ALL_ORACLE:
             continue
         df = fn(spark, SF_DIR)
         assert df.columns, name
