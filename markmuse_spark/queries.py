@@ -587,15 +587,23 @@ def q5_regional_revenue(spark, sf_dir):
 )
 def q17_small_quantity(spark, sf_dir):
     """Correlated scalar subquery, decorrelated the way Catalyst/every
-    warehouse does it: the per-part average becomes a window (or an
-    aggregate joined back), so the fact table is scanned once —
-    no per-row subquery execution at 10^12 rows."""
+    warehouse does it: the per-part average becomes a window over the
+    fact rows of the surviving parts — no per-row subquery execution at
+    10^12 rows.
+
+    Plan order matters at scale: the selective broadcast join against the
+    Brand#1 parts runs FIRST, then the per-partkey window over the joined
+    (already ~25x smaller) frame.  The join keeps every lineitem of each
+    surviving partkey, so the window sees exactly the same peer groups —
+    identical result — but the full fact table is never shuffled by
+    l_partkey (windowing first would shuffle 100% of lineitem and then
+    discard ~96% of it at the join)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
     return (
-        l.withColumn("avg_qty", avg_qty)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )

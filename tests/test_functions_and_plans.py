@@ -108,6 +108,19 @@ def test_q1_partial_aggregation(spark):
     assert "*(" in plan
 
 
+def test_q17_window_runs_above_broadcast_join(spark):
+    """The per-partkey average window must run over the ALREADY-JOINED
+    (Brand#1-filtered) frame, not the full fact table: in the plan tree
+    string the Window node prints ABOVE the BroadcastHashJoin it consumes
+    (children are indented below their parent), so windowing-first would
+    put the join line before the window line."""
+    plan = _plan(spark, "q17_small_quantity")
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+    win_at = plan.index("Window")
+    join_at = plan.index("BroadcastHashJoin")
+    assert win_at < join_at, plan
+
+
 def test_cosine_topk_no_sort_shuffle(spark):
     plan = _plan(spark, "s_cosine_topk")
     assert "TakeOrderedAndProject" in plan
