@@ -365,19 +365,30 @@ def _page_graph(payload: bytes, scanned: list):
     blanked, bounds = _blanked_objects(payload, scanned)
     if not bounds:
         return None
-    # stream index -> owning object id (the last 'N 0 obj' before it)
+    # duplicate object ids resolve LAST-DEFINITION-WINS everywhere: real
+    # incremental updates re-emit objects under the SAME number, and the
+    # appended definition supersedes the original (spec 7.5.6).  Plain
+    # assignment in file order does it; dict insertion order keeps each
+    # id at its first file position, carrying its latest body.
+    last_span: dict[int, tuple[int, int]] = {}
+    for oid, b1, b2 in bounds:
+        last_span[oid] = (b1, b2)
+    bodies: dict[int, bytes] = {
+        oid: blanked[b1:b2] for oid, (b1, b2) in last_span.items()
+    }
+    # stream index -> owning object id, restricted to each id's LATEST
+    # definition: a stream inside a superseded definition must not shadow
+    # (or survive alongside) the update's stream
     obj_starts = [b1 for _oid, b1, _b2 in bounds]
     owner: dict[int, int] = {}
-    bodies: dict[int, bytes] = {}
-    for oid, b1, b2 in bounds:
-        bodies.setdefault(oid, blanked[b1:b2])
     for si, (hdr_start, _h, _d, _span) in enumerate(scanned):
         j = bisect.bisect_right(obj_starts, hdr_start) - 1
         if j >= 0:
-            owner.setdefault(bounds[j][0], si)
+            oid, b1, b2 = bounds[j]
+            if last_span[oid] == (b1, b2):
+                owner[oid] = si
     pages: list[tuple[int, list[int], dict[str, int]]] = []
-    for oid, b1, b2 in bounds:
-        body = blanked[b1:b2]
+    for oid, body in bodies.items():
         if not _TYPE_PAGE_RE.search(body):
             continue
         am = _CONTENTS_ARR_RE.search(body)
@@ -398,15 +409,20 @@ def _page_graph(payload: bytes, scanned: list):
         return None
     page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
     order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
-    walk, from_catalog = _walk_page_tree(bodies, set(page_by_id))
-    if walk and (from_catalog or set(walk) == set(page_by_id)):
+    walk, from_catalog, truncated = _walk_page_tree(bodies, set(page_by_id))
+    if walk and not truncated and (
+        from_catalog or set(walk) == set(page_by_id)
+    ):
         # a CATALOG-rooted walk is authoritative (spec): pages it does
         # not reach are orphans or superseded by an incremental update
         # and are rightly excluded; a guessed root (no catalog parsed)
         # is trusted only when it reproduces exactly the parsed pages.
-        # Either way the recursive walk — not the first /Kids array by
-        # file position — provides the order (multi-level page trees
-        # are the wild-PDF norm).
+        # A walk that hit the node cap is authoritative for NOTHING —
+        # trusting it would silently drop every page it never reached,
+        # so file order stands in (damaged-file behavior).  Either way
+        # the tree walk — not the first /Kids array by file position —
+        # provides the order (multi-level page trees are the wild-PDF
+        # norm).
         order = [page_by_id[k] for k in walk]
     groups: list[list[int]] = []
     fonts_per_page: list[dict[str, int]] = []
@@ -421,17 +437,25 @@ def _page_graph(payload: bytes, scanned: list):
     return groups, fonts_per_page, owner, bodies
 
 
+_WALK_NODE_CAP = 4096
+
+
 def _walk_page_tree(
     bodies: dict[int, bytes], page_ids: set[int]
-) -> tuple[list[int], bool]:
-    """(leaf page ids in tree order, rooted_at_catalog), walking /Kids
-    recursively from the catalog's /Pages root through intermediate
-    /Type /Pages nodes; pathological cycles bail out.  The LAST catalog
+) -> tuple[list[int], bool, bool]:
+    """(leaf page ids in tree order, rooted_at_catalog, truncated),
+    walking /Kids depth-first from the catalog's /Pages root through
+    intermediate /Type /Pages nodes.  The walk is ITERATIVE (explicit
+    stack): a deep /Kids chain must hit the node cap and report
+    ``truncated`` — a recursive walk would hit CPython's ~1000-frame
+    recursion limit long before a 4096-node cap and turn a bomb guard
+    into dead code.  Cycles are skipped via ``seen``.  The LAST catalog
     wins: incrementally-updated PDFs append a newer catalog at the end
     of the file, and its page tree supersedes the original's (bodies
-    iterates in file order).  With no catalog, the first /Kids-bearing
-    node stands in as a GUESSED root (the caller then demands the walk
-    reproduce every parsed page before trusting it)."""
+    iterates in file order with last-definition bodies).  With no
+    catalog, the first /Kids-bearing node stands in as a GUESSED root
+    (the caller then demands the walk reproduce every parsed page
+    before trusting it)."""
     root = None
     from_catalog = False
     for oid, body in bodies.items():
@@ -446,27 +470,32 @@ def _walk_page_tree(
                 root = oid
                 break
     if root is None:
-        return [], False
+        return [], False, False
     out: list[int] = []
     seen: set[int] = set()
-
-    def _walk(oid: int) -> None:
-        if oid in seen or len(seen) > 4096:  # cycle/bomb guard
-            return
+    stack: list[int] = [root]
+    truncated = False
+    while stack:
+        oid = stack.pop()
+        if oid in seen:
+            continue
+        if len(seen) >= _WALK_NODE_CAP:
+            truncated = True
+            break
         seen.add(oid)
         if oid in page_ids:
             out.append(oid)
-            return
+            continue
         body = bodies.get(oid)
         if body is None:
-            return
+            continue
         km = _KIDS_RE.search(body)
         if km:
-            for ref in _REF_RE.findall(km.group(1)):
-                _walk(int(ref))
-
-    _walk(root)
-    return out, from_catalog
+            # push reversed so kids pop left-to-right (document order)
+            stack.extend(
+                int(ref) for ref in reversed(_REF_RE.findall(km.group(1)))
+            )
+    return out, from_catalog, truncated
 
 
 def _decode_stream(head: bytes, data: bytes) -> str:

@@ -384,3 +384,68 @@ def test_incremental_update_last_catalog_wins():
     parts.append(b"trailer\n%%EOF")
     got = pdf_extract.extract_pages(b"".join(parts))
     assert [p["markdown"] for p in got] == ["new tree"]
+
+
+def test_incremental_update_reemits_same_object_ids():
+    """Real incremental updates re-emit objects under the SAME object
+    number (spec 7.5.6): the appended definitions of the page tree, page
+    and content stream must supersede the originals — first-definition
+    resolution would extract the stale text, and the superseded
+    definition's stream must not survive as the page's content."""
+    c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (stale text) Tj ET"
+    c_new = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (updated text) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c_old), c_old)),
+        # --- incremental update: objects 3 and 4 re-emitted in place ---
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%b\nendstream" % (len(c_new), c_new)),
+    ]
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%b\nendobj\n" % (oid, obj) for oid, obj in objs
+    ) + b"trailer\n%%EOF"
+    got = pdf_extract.extract_pages(body)
+    assert [p["markdown"] for p in got] == ["updated text"]
+
+
+def test_deep_kids_chain_is_iterative_and_falls_back():
+    """A /Kids chain deeper than the 4096-node cap: the iterative walk
+    must terminate via the cap (a recursive walk dies at CPython's
+    ~1000-frame limit first), and the TRUNCATED walk must not be trusted
+    — file-order pages stand in, so the deep page's text survives
+    instead of being silently dropped."""
+    depth = 5000
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (deep page) Tj ET"
+    parts = [b"%PDF-1.4\n", b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"]
+    for i in range(depth):  # node (2+i) -> kid (3+i)
+        parts.append(
+            b"%d 0 obj\n<< /Type /Pages /Kids [%d 0 R] /Count 1 >>\nendobj\n"
+            % (2 + i, 3 + i)
+        )
+    page_id, content_id = 2 + depth, 3 + depth
+    parts.append(
+        b"%d 0 obj\n<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>\nendobj\n"
+        % (page_id, 1 + depth, content_id)
+    )
+    parts.append(
+        b"%d 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (content_id, len(content), content)
+    )
+    parts.append(b"trailer\n%%EOF")
+    got = pdf_extract.extract_pages(b"".join(parts))
+    assert [p["markdown"] for p in got] == ["deep page"]
+
+
+def test_truncated_walk_reports_truncation():
+    """The walk itself must report cap-termination so callers can refuse
+    a partial order (unit form of the fallback contract above)."""
+    bodies = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    for i in range(2, 4200):
+        bodies[i] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % (i + 1)
+    bodies[4200] = b"<< /Type /Page >>"
+    walk, from_catalog, truncated = pdf_extract._walk_page_tree(
+        bodies, {4200}
+    )
+    assert from_catalog and truncated and walk == []
