@@ -31,11 +31,20 @@ phantom pages; the pre-v5 every-stream-is-a-page scan survives as the
 fallback for truncated/damaged files), and Type0 ``/Identity-H`` SUBSET
 fonts are supported: 2-byte CIDs assigned by charset index, resolved
 through the font's ``/ToUnicode`` CMap (``bfchar`` + ``bfrange``) —
-the dominant text form in wild PDFs.  Real-corpus gaps that remain out
-of dialect: cross-reference streams and object streams (neither holds
-content streams, so the linear object scan is unaffected), CID fonts
-WITHOUT a ToUnicode CMap (glyph-only; no text to extract without font
-embedding analysis).
+the dominant text form in wild PDFs.
+
+Corpus v6 closes the CROSS-REFERENCE-STREAM gap (PDF 1.5+, the
+modern-default file form): the trailer fields live in a ``/Type /XRef``
+stream object's dict, resolved by :func:`_trailer_root` (last
+``startxref`` wins — each incremental update appends its own, so no
+/Prev chaining is needed for /Root), and the binary entry table decodes
+per spec 7.5.8 (:func:`_parse_xref_stream`); the damaged-file fallback
+never mints a phantom page from it.  Real-corpus gaps that remain out
+of dialect (documented permanent exclusions): OBJECT streams (/ObjStm
+packing — holds no content streams, so the linear object scan is
+unaffected; an ObjStm-packed page tree falls back to every-stream-is-a-
+page like any damaged file) and CID fonts WITHOUT a ToUnicode CMap
+(glyph-only; no text to extract without font embedding analysis).
 """
 
 from __future__ import annotations
@@ -259,6 +268,9 @@ def _scan_streams(payload: bytes) -> list[tuple[int, bytes, bytes, tuple[int, in
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")  # \b rejects /Pages
+_TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
@@ -352,6 +364,88 @@ def _parse_tounicode(cmap_text: str) -> dict[int, str]:
     return table
 
 
+def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
+    """Entries of a PDF 1.5 cross-reference stream (spec 7.5.8):
+    ``{obj_id: (type, field2, field3)}`` — fixed-width big-endian rows per
+    ``/W``; subsection starts/counts from ``/Index`` (default ``[0 /Size]``).
+    A zero width means the field is absent: the TYPE field then defaults
+    to 1 (in-use at offset), other fields to 0.  Malformed tails stop the
+    decode rather than raising — xref entries are navigation metadata and
+    the object scan never depends on them."""
+    if _FLATE.search(head):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return {}
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", head)
+    if not wm:
+        return {}
+    try:
+        widths = [int(x) for x in wm.group(1).split()]
+    except ValueError:
+        return {}
+    if not widths or sum(widths) <= 0:
+        return {}
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        sections = list(zip(nums[0::2], nums[1::2]))
+    else:
+        sm = re.search(rb"/Size\s+(\d+)", head)
+        sections = [(0, int(sm.group(1)) if sm else len(data) // sum(widths))]
+    out: dict[int, tuple[int, ...]] = {}
+    rowlen = sum(widths)
+    pos = 0
+    for start, count in sections:
+        for k in range(count):
+            if pos + rowlen > len(data):
+                return out
+            row, pos = data[pos : pos + rowlen], pos + rowlen
+            fields: list[int] = []
+            o = 0
+            for fi, w in enumerate(widths):
+                if w == 0:
+                    fields.append(1 if fi == 0 else 0)
+                else:
+                    fields.append(int.from_bytes(row[o : o + w], "big"))
+                    o += w
+            out[start + k] = tuple(fields)
+    return out
+
+
+def _trailer_root(payload: bytes) -> int | None:
+    """The catalog object id from the file's trailer, following the LAST
+    ``startxref`` (each incremental update appends its own, so the last
+    one is the newest section — its ``/Root`` supersedes all ``/Prev``
+    history without chaining).  Handles both trailer forms: the classic
+    ``xref`` table followed by a ``trailer`` dict, and the PDF 1.5
+    cross-reference STREAM whose own dict carries the trailer fields
+    (corpus v6 — the modern-default form).  Returns None for files with
+    no/damaged trailer; the caller falls back to scanning object bodies
+    for the catalog."""
+    last = None
+    for last in _STARTXREF_RE.finditer(payload):
+        pass
+    if last is None:
+        return None
+    off = int(last.group(1))
+    if not 0 <= off < len(payload):
+        return None
+    window = payload[off : off + 4096].lstrip()
+    if window.startswith(b"xref"):
+        # the trailer dict belonging to THIS table is the first 'trailer'
+        # keyword after the table start
+        tm = re.compile(rb"trailer").search(payload, off)
+        src = payload[tm.end() : tm.end() + 2048] if tm else b""
+    else:
+        om = _OBJ_RE.match(window)
+        if om is None or not _TYPE_XREF_RE.search(window[:2048]):
+            return None
+        src = window[: window.find(b"stream")] if b"stream" in window else window
+    rm = _ROOT_RE.search(src)
+    return int(rm.group(1)) if rm else None
+
+
 def _page_graph(payload: bytes, scanned: list):
     """Object-graph view of the document, or None when no page graph
     parses (pre-v5 dialect and arbitrary damaged files; the caller then
@@ -409,7 +503,9 @@ def _page_graph(payload: bytes, scanned: list):
         return None
     page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
     order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
-    walk, from_catalog, truncated = _walk_page_tree(bodies, set(page_by_id))
+    walk, from_catalog, truncated = _walk_page_tree(
+        bodies, set(page_by_id), catalog_hint=_trailer_root(payload)
+    )
     if walk and not truncated and (
         from_catalog or set(walk) == set(page_by_id)
     ):
@@ -441,7 +537,9 @@ _WALK_NODE_CAP = 4096
 
 
 def _walk_page_tree(
-    bodies: dict[int, bytes], page_ids: set[int]
+    bodies: dict[int, bytes],
+    page_ids: set[int],
+    catalog_hint: int | None = None,
 ) -> tuple[list[int], bool, bool]:
     """(leaf page ids in tree order, rooted_at_catalog, truncated),
     walking /Kids depth-first from the catalog's /Pages root through
@@ -455,15 +553,29 @@ def _walk_page_tree(
     iterates in file order with last-definition bodies).  With no
     catalog, the first /Kids-bearing node stands in as a GUESSED root
     (the caller then demands the walk reproduce every parsed page
-    before trusting it)."""
+    before trusting it).
+
+    ``catalog_hint``: the catalog object id resolved from the file's
+    trailer (classic table or PDF 1.5 cross-reference stream — see
+    :func:`_trailer_root`).  The trailer is the spec's authoritative
+    root pointer, so it is preferred over the body scan whenever its
+    catalog actually parses to a /Pages root."""
     root = None
     from_catalog = False
-    for oid, body in bodies.items():
-        if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
-            pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", body)
+    if catalog_hint is not None:
+        hb = bodies.get(catalog_hint)
+        if hb is not None:
+            pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", hb)
             if pm:
                 root = int(pm.group(1))
                 from_catalog = True
+    if root is None:
+        for oid, body in bodies.items():
+            if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
+                pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", body)
+                if pm:
+                    root = int(pm.group(1))
+                    from_catalog = True
     if root is None:
         for oid, body in bodies.items():
             if _KIDS_RE.search(body):
@@ -523,8 +635,13 @@ def _document_pages(
     scanned = _scan_streams(payload)
     graph = _page_graph(payload, scanned)
     if graph is None:
+        # damaged-file fallback: every stream is a page — EXCEPT
+        # cross-reference streams, whose binary entry tables are
+        # navigation metadata, never content (corpus v6)
         return [
-            (_decode_stream(h, d), {}) for _s, h, d, _sp in scanned
+            (_decode_stream(h, d), {})
+            for _s, h, d, _sp in scanned
+            if not _TYPE_XREF_RE.search(h)
         ]
     groups, fonts_per_page, owner, bodies = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}

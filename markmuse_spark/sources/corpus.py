@@ -66,8 +66,15 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
     if i % 5 == 4:
         pages_model = docmodel.random_pdf_pages(rng, lang)
         # ~30% of PDFs carry an XMP metadata stream (corpus v5) — a
-        # non-content stream the extractor must not mint a page from
-        payload = pdf_writer.write_pdf(pages_model, metadata=rng.random() < 0.3)
+        # non-content stream the extractor must not mint a page from;
+        # ~35% are PDF 1.5 cross-reference-STREAM files (corpus v6, the
+        # modern-default form): trailer fields live in a /Type /XRef
+        # stream's dict and the extractor resolves /Root through it
+        payload = pdf_writer.write_pdf(
+            pages_model,
+            metadata=rng.random() < 0.3,
+            xref_stream=rng.random() < 0.35,
+        )
         expected = [
             {
                 "page_idx": k,

@@ -233,7 +233,11 @@ _XMP_METADATA = (
 )
 
 
-def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
+def write_pdf(
+    pages: list[dict[str, Any]],
+    metadata: bool = False,
+    xref_stream: bool = False,
+) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
     Per-page dialect knobs (in the page model):
@@ -254,6 +258,16 @@ def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
 
     ``metadata``: emit an XMP metadata stream object (corpus v5) — a
     NON-content stream the extractor must not turn into a phantom page.
+
+    ``xref_stream``: emit a PDF 1.5 CROSS-REFERENCE STREAM (corpus v6)
+    instead of the classic xref table + ``trailer`` dict: a final
+    ``/Type /XRef`` stream object holding the FlateDecode-compressed
+    binary entry table (``/W [1 4 2]``: 1-byte type, 4-byte offset,
+    2-byte generation, big-endian; spec 7.5.8) with the trailer fields
+    (``/Size /Root``) in its own dict, and ``startxref`` pointing at it.
+    This is the modern-default file form — the extractor must resolve
+    ``/Root`` through it and must never mint a phantom page from the
+    binary entry data.
 
     Object layout: 1 catalog, 2 pages, 3 font /F1; then (when any page
     is ``cid``) /F2 Type0 font + its ToUnicode CMap stream; then (when
@@ -338,20 +352,39 @@ def write_pdf(pages: list[dict[str, Any]], metadata: bool = False) -> bytes:
                 b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
             )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
+    out = bytearray(header + b"%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
         offsets.append(len(out))
         out += b"%d 0 obj\n%b\nendobj\n" % (i, obj)
     xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
-    )
+    if xref_stream:
+        # spec 7.5.8: entries are fixed-width binary rows (/W widths,
+        # big-endian); object 0 is the type-0 free-list head, every real
+        # object a type-1 (uncompressed-at-offset) entry, and the xref
+        # stream object indexes ITSELF (its offset is known before the
+        # entry bytes are built)
+        xref_id = len(objects) + 1
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
+        for off in offsets[1:] + [xref_at]:
+            rows.append(b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        entries = zlib.compress(b"".join(rows), 6)
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, len(entries), entries)
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    else:
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_at)
+        )
     return bytes(out)
 
 

@@ -449,3 +449,79 @@ def test_truncated_walk_reports_truncation():
         bodies, {4200}
     )
     assert from_catalog and truncated and walk == []
+
+
+def test_xref_stream_file_extracts_identically():
+    """Corpus v6: the same page models written with a PDF 1.5
+    cross-reference stream must extract byte-identically to the classic
+    xref-table form, across the whole dialect (compression, TJ, hex16,
+    CID subset fonts, metadata decoys)."""
+    for seed in range(12):
+        rng = random.Random(seed)
+        pages = docmodel.random_pdf_pages(rng, "en")
+        classic = pdf_writer.write_pdf(pages, metadata=seed % 3 == 0)
+        modern = pdf_writer.write_pdf(
+            pages, metadata=seed % 3 == 0, xref_stream=True
+        )
+        assert classic != modern and modern.startswith(b"%PDF-1.5")
+        got_c = pdf_extract.extract_pages(classic)
+        got_m = pdf_extract.extract_pages(modern)
+        assert got_m == got_c
+        assert [p["markdown"] for p in got_m] == [
+            pdf_writer.expected_pdf_page_markdown(p) for p in pages
+        ]
+
+
+def test_trailer_root_both_forms():
+    """/Root resolves through the classic trailer dict AND through the
+    xref stream's dict (spec 7.5.8); a trailerless body returns None."""
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "hello world"}]}]
+    classic = pdf_writer.write_pdf(pages)
+    modern = pdf_writer.write_pdf(pages, xref_stream=True)
+    assert pdf_extract._trailer_root(classic) == 1
+    assert pdf_extract._trailer_root(modern) == 1
+    assert pdf_extract._trailer_root(b"%PDF-1.4\nno trailer here") is None
+
+
+def test_parse_xref_stream_entries_match_object_offsets():
+    """The decoded type-1 entries must point at the actual byte offsets
+    of each 'N 0 obj' header in the file — genuine W-width big-endian
+    decoding, not just a /Root grab."""
+    import re as _re
+
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "offsets check"}]}]
+    pdf = pdf_writer.write_pdf(pages, xref_stream=True)
+    scanned = pdf_extract._scan_streams(pdf)
+    xref = next(s for s in scanned if pdf_extract._TYPE_XREF_RE.search(s[1]))
+    entries = pdf_extract._parse_xref_stream(xref[1], xref[2])
+    real = {
+        int(m.group(1)): m.start()
+        for m in _re.finditer(rb"(\d+) 0 obj\b", pdf)
+    }
+    assert entries[0][0] == 0  # free-list head
+    for oid, off in real.items():
+        typ, off_got, gen = entries[oid]
+        assert (typ, off_got, gen) == (1, off, 0), (oid, entries[oid])
+    # every real object plus the xref stream itself is indexed
+    assert set(entries) == {0, *real}
+
+
+def test_parse_xref_stream_zero_width_type_defaults_to_one():
+    head = b"/Type /XRef /W [0 2 1] /Index [5 2] /Size 7"
+    data = bytes([0, 16, 0]) + bytes([0, 32, 0])
+    entries = pdf_extract._parse_xref_stream(head, data)
+    assert entries == {5: (1, 16, 0), 6: (1, 32, 0)}
+
+
+def test_damaged_xref_stream_file_has_no_phantom_page():
+    """A truncated v6 file that loses its page graph falls back to
+    every-stream-is-a-page — but the xref stream's binary entries must
+    never become a phantom page."""
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "real content"}]}]
+    pdf = pdf_writer.write_pdf(pages, xref_stream=True)
+    # sever the page graph: break every /Type /Page marker so no page
+    # objects parse and the fallback path runs
+    damaged = pdf.replace(b"/Type /Page ", b"/Typ0 /Page ")
+    got = pdf_extract.extract_pages(damaged)
+    assert len(got) == 1
+    assert "real content" in got[0]["markdown"]
