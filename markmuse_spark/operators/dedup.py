@@ -263,15 +263,16 @@ def minhash_lsh_pairs(
     where candidates shuffle signatures (KBs), never shingle sets.  At
     production scale the shingled/signature frame would be staged to a
     table once and read by both stages; the cache is the single-session
-    equivalent.  The cache entry is left to Spark's LRU eviction (there is
-    no post-action hook to unpersist a lazily-consumed result).
+    equivalent.  The persist is TRACKED: one-shot jobs leave it to LRU
+    eviction (CacheManager also dedupes identical re-built plans), and a
+    long-lived session wraps calls in
+    :func:`markmuse_spark.plans.cache.cache_scope` to unpersist after
+    consuming the result.
     """
-    from pyspark import StorageLevel
+    from markmuse_spark.plans.cache import tracked_persist
 
     rows = num_perm // bands
-    sh = _shingled(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = tracked_persist(_shingled(docs, id_col, text_col, n))
     sigs = _signature_from_shingled(sh, num_perm, seed=12345)
     band_arr = F.array(
         *[
@@ -454,13 +455,29 @@ def simhash(
     (higher-order functions are never codegen'd) and cost ~6 ms/doc;
     this form is ~0.2 ms/doc.  Shingle features (not unigrams) keep the
     feature space large enough that near-identical documents land within
-    a few bits even over small vocabularies."""
+    a few bits even over small vocabularies.
+
+    The per-shingle work is one ``md5(...).digest()`` C call (the
+    irreducible parity floor — md5 is what hashlib, DuckDB and the
+    fixture oracle all reproduce); everything downstream is vectorized
+    per document: one ``np.frombuffer`` over the concatenated digests
+    replaces per-shingle ``int.from_bytes``, and ``np.unpackbits`` +
+    a single int32 row-sum replace the uint64 broadcast shift (measured
+    7x faster than the shift for the bit matrix; ~17% off the whole
+    UDF).  Full-batch ``reduceat``/``cumsum`` segment forms were
+    measured SLOWER than this per-doc loop (0.7-1.4s vs 0.41s for 5k
+    docs) and allocate O(batch_shingles x 64) — rejected."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    bitpos = np.arange(64, dtype=np.uint64)
+    md5 = hashlib.md5
+    # unpackbits is MSB-first per byte, so column k of the bit matrix is
+    # bit (63-k) of the big-endian 64-bit feature hash: pack the
+    # signature back with DESCENDING weights to keep byte-identical
+    # parity with the md5_long_expr / fixture-oracle bit convention
+    w_desc = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
 
     def _simhash(texts):
         out = np.zeros(len(texts), dtype=np.int64)
@@ -473,16 +490,11 @@ def simhash(
             sh = dict.fromkeys(
                 " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
             )
-            hs = np.array(
-                [
-                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-                    for s in sh
-                ],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> bitpos) & np.uint64(1)).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            sig = ((votes > 0).astype(np.uint64) << bitpos).sum(dtype=np.uint64)
+            buf = b"".join(md5(s.encode("utf-8")).digest() for s in sh)
+            u8 = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)[:, :8]
+            bits = np.unpackbits(u8, axis=1)
+            votes = bits.sum(axis=0, dtype=np.int32) * 2 - len(sh)
+            sig = ((votes > 0).astype(np.uint64) * w_desc).sum(dtype=np.uint64)
             out[i] = sig.astype(np.int64)
         return pd.Series(out)
 
@@ -502,8 +514,17 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded: with 8 x 8-bit
     bands, any pair within Hamming<=7 shares at least one exact band
-    (pigeonhole) — candidates via band equi-join, verified exactly."""
-    sig = simhash(docs, id_col, text_col)
+    (pigeonhole) — candidates via band equi-join, verified exactly.
+
+    The signature frame is persisted (tracked — see
+    :mod:`markmuse_spark.plans.cache`): BOTH sides of the band self-join
+    read it, and Spark shares no subplans across self-joins, so without
+    the persist the simhash UDF runs twice over the corpus (measured
+    ~0.7 s per extra pass at sf0.1 — the same double-compute minhash_lsh
+    fixed in round 3)."""
+    from markmuse_spark.plans.cache import tracked_persist
+
+    sig = tracked_persist(simhash(docs, id_col, text_col))
     bands = sig.select(
         "doc_id",
         "simhash",

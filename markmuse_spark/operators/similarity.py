@@ -84,26 +84,42 @@ def lsh_signatures(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH signatures (``array<long>``, one
     bucket id per table).
 
-    Planes are a seeded numpy ``(dim, n_tables*n_planes)`` matrix broadcast
-    into the UDF closure; all signatures come from one vectorized matmul
-    per Arrow batch — no per-row Python.  Multiple independent tables are
-    the standard recall amplifier (OR over tables) when neighbor cosines
-    are modest."""
+    Planes are a seeded numpy ``(dim, n_tables*n_planes)`` matrix built
+    INSIDE the UDF from the observed vector width of each Arrow batch
+    (``dim`` is an optional override, kept for callers that want to fail
+    fast on width drift): generation is a pure function of ``(seed,
+    dim)``, so every batch on every executor derives the identical
+    matrix — vectors of any width work without caller plumbing.  All
+    signatures come from one vectorized matmul per Arrow batch — no
+    per-row Python.  Multiple independent tables are the standard recall
+    amplifier (OR over tables) when neighbor cosines are modest."""
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_tables * n_planes))
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+    plane_cache: dict[int, "np.ndarray"] = {}
+
+    def _planes(d: int):
+        p = plane_cache.get(d)
+        if p is None:
+            rng = np.random.default_rng(seed)
+            p = plane_cache[d] = rng.standard_normal((d, n_tables * n_planes))
+        return p
 
     def _sig(vecs):
+        if len(vecs) == 0:  # empty Arrow batch: nothing to infer from
+            return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) > 0  # (batch, tables*planes)
+        if dim is not None and mat.shape[1] != dim:
+            raise ValueError(
+                f"expected {dim}-dim vectors, got {mat.shape[1]}"
+            )
+        bits = (mat @ _planes(mat.shape[1])) > 0  # (batch, tables*planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
 
@@ -173,7 +189,7 @@ def lsh_pair_candidates(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from a ``(table_id, bucket)`` EQUI-join over
     hyperplane-LSH signatures — the scale shape for embedding pair mining.
@@ -211,7 +227,7 @@ def embedding_near_pairs_lsh(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed near-duplicate pair mining: LSH candidates (equi-join),
     exact-cosine verification of candidates only — output is a subset of
@@ -254,7 +270,7 @@ def lsh_batch_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch ANN: many queries at once via a grouped ``(table_id, bucket)``
     probe — the join form :func:`lsh_bucketed_topk`'s docstring promises.

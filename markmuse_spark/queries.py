@@ -1007,22 +1007,25 @@ def p_curation_keeplist(spark, sf_dir):
     the explode->count->max relational form (map-side combine at each
     groupBy); dedup survivorship is a fingerprint groupBy + equi-join,
     never a window over the full corpus; all joins are equi-joins on
-    doc_id/fingerprint that AQE can re-plan."""
-    from pyspark import StorageLevel
-
+    doc_id/fingerprint that AQE can re-plan.  The persist is tracked
+    (:mod:`markmuse_spark.plans.cache`) so long-lived sessions can
+    release it via ``cache_scope``."""
     from markmuse_spark.operators.dedup import normalized_fingerprint
+    from markmuse_spark.plans.cache import tracked_persist
 
     docs = _t(spark, sf_dir, "documents")
     t = _tokens()
     _punct, quality = _quality_exprs()
-    base = docs.select(
-        "doc_id",
-        "text",
-        _lang_expr().alias("lang_pred"),
-        F.size(t).alias("n_tokens"),
-        quality.alias("qv"),
-        normalized_fingerprint("text").alias("fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            "text",
+            _lang_expr().alias("lang_pred"),
+            F.size(t).alias("n_tokens"),
+            quality.alias("qv"),
+            normalized_fingerprint("text").alias("fp"),
+        )
+    )
     rep = (
         base.select("doc_id", F.explode(_bigrams_expr()).alias("g"))
         .groupBy("doc_id", "g")
@@ -1188,10 +1191,9 @@ def d_line_dedup(spark, sf_dir):
     later occurrences (cross-document boilerplate) are removed.  Skew-safe
     shape: keeper = groupBy(line) min-aggregate (map-side combine), never
     a per-line window — see operators/dedup.line_dedup."""
-    from pyspark import StorageLevel
-
     from markmuse_spark.operators.dedup import line_dedup
     from markmuse_spark.operators.extract import extract_markdown
+    from markmuse_spark.plans.cache import tracked_persist
     from markmuse_spark.sources import corpus
 
     pages = corpus.pages_dataframe(spark, 200, seed=42, partitions=8)
@@ -1199,10 +1201,8 @@ def d_line_dedup(spark, sf_dir):
     # branches): a DERIVED input would re-run the whole extraction per
     # branch, so materialize it once.  In production the input is a read
     # of an already-extracted table and the double scan is just parquet.
-    docs = (
-        extract_markdown(pages)
-        .filter(F.col("error").isNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    docs = tracked_persist(
+        extract_markdown(pages).filter(F.col("error").isNull())
     )
     return (
         line_dedup(docs, id_col="url", text_col="markdown")

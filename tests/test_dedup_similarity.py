@@ -190,3 +190,71 @@ def test_line_dedup_null_text_is_empty_document(spark):
     assert set(got) == {"a", "b"}
     assert got["b"]["text_clean"] == ""
     assert (got["b"]["n_kept"], got["b"]["n_removed"]) == (1, 0)
+
+
+def test_cache_scope_releases_tracked_persists(docs):
+    """Long-lived-session lifecycle: every frame an operator persists
+    inside a cache_scope (minhash's shingled frame, simhash's signature
+    frame) must be registered while cached and unpersisted at exit."""
+    from markmuse_spark.plans.cache import cache_scope
+
+    with cache_scope() as reg:
+        dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        dedup.simhash_near_pairs(docs).collect()
+        assert len(reg) == 2
+        assert all(df.storageLevel.useMemory for df in reg)
+    assert all(not df.storageLevel.useMemory for df in reg)
+    assert all(not df.storageLevel.useDisk for df in reg)
+
+
+def test_cache_scope_nests_and_is_optional(docs):
+    """Outside any scope tracked_persist behaves exactly like persist
+    (nothing to release eagerly); nested scopes release independently."""
+    from markmuse_spark.plans.cache import cache_scope, tracked_persist
+
+    df = tracked_persist(docs.select("doc_id"))  # no active scope
+    assert df.storageLevel.useMemory
+    df.unpersist()
+    with cache_scope() as outer:
+        tracked_persist(docs.select("doc_id", "text"))
+        with cache_scope() as inner:
+            idf = tracked_persist(docs.select("text"))
+            assert inner == [idf]
+        assert not idf.storageLevel.useMemory  # inner released first
+        assert len(outer) == 1 and outer[0].storageLevel.useMemory
+    assert not outer[0].storageLevel.useMemory
+
+
+def test_lsh_dim_inferred_from_batch(spark):
+    """Vectors of any width work without caller plumbing: 16-dim vectors
+    flow through signatures / pair mining / batch ANN, and the LSH pair
+    miner still finds exactly the exact-threshold pairs; an explicit
+    wrong `dim` override fails fast."""
+    import numpy as np
+    import pytest as _pytest
+
+    from markmuse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:  # planted near-dups of base
+            v = base + rng.standard_normal(16) * 0.12
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = sim.lsh_signatures(df).collect()
+    assert all(len(r["buckets"]) == 8 for r in sigs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_pairs(df, threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_pairs_lsh(df, threshold=0.8).collect()
+    }
+    assert exact and got == exact
+    with _pytest.raises(Exception, match="expected 64-dim"):
+        sim.lsh_signatures(df, dim=64).collect()
