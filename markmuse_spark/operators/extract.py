@@ -156,6 +156,7 @@ def extract_markdown_enhanced(
     url_col: str = "url",
     payload_col: str = "html",
     metrics_acc=None,
+    salt_parallelism: int | None = None,
 ) -> DataFrame:
     """A11 enhanced mode as a Spark operator: extraction + caption-injecting
     assembly in one Arrow pass.
@@ -164,7 +165,21 @@ def extract_markdown_enhanced(
     a (separate) captioning job.  It is grouped to one map per url and
     joined on url; at 10^12 rows this is a shuffle join co-partitioned on
     url (captions are small per url, never a cross product).  Pages without
-    captions take the left-outer path (nothing enhanced, refs verbatim)."""
+    captions take the left-outer path (nothing enhanced, refs verbatim).
+
+    ``salt_parallelism``: when set, the JOINED frame is re-shuffled with
+    the same size-aware salted slot rule the plain path uses (giant
+    payloads get a slot of their own, small docs share
+    ``4 * salt_parallelism`` salted slots) so one 100 MB payload cannot
+    straggle the caption join's url-hash partitioning.  This is a SECOND
+    shuffle on top of the join's — MEASURED on the adversarial corpus
+    (20k docs, ~100x-median stragglers at 0.1% frequency, local[8]):
+    plain join 2.6-3.0 s vs salted 3.4 s, i.e. the extra shuffle costs
+    ~25% and buys nothing at this skew (each url-hash partition holds
+    thousands of docs, so one 100x doc adds only ~5% to its partition).
+    Default off; enable when single payloads approach a partition's
+    whole compute budget (payload_bytes x docs_per_partition skew math,
+    not this corpus's)."""
     import pyarrow as pa
 
     from pyspark.sql import functions as F
@@ -191,6 +206,12 @@ def extract_markdown_enhanced(
         ).alias("_captions")
     )
     joined = pages.select(url_col, payload_col).join(cap_map, url_col, "left")
+    if salt_parallelism is not None:
+        from markmuse_spark.plans.pipeline import salted_repartition
+
+        joined = salted_repartition(
+            joined, salt_parallelism, payload_col=payload_col, url_col=url_col
+        )
 
     def run(batches):
         from pyspark import TaskContext
