@@ -396,12 +396,17 @@ def main() -> None:
     )
 
     corpus_path = _ensure_corpus(spark, sf, n_docs)
-    # the scaling pair runs its own SMALLER corpus: one corpus scan at the
-    # small level is then ~15 s, so a whole alternating round fits inside
-    # one host-capacity regime (measured: this host's effective capacity
-    # swings ~2x on a tens-of-seconds timescale with near-zero steal),
-    # while the wide level's rep-multiplied window covers ~equal wall time
-    n_scaling = min(n_docs, int(os.environ.get("MARKMUSE_BENCH_SCALING_DOCS", "40000")))
+    # the scaling pair runs its own SMALLER corpus.  Window sizing is the
+    # round-4 lever for a first-CLEAN pair: this host's effective capacity
+    # swings ~2x on a tens-of-seconds timescale with near-zero steal, and
+    # round 3's ~15 s windows (40k docs) each sat inside ONE capacity
+    # regime — adjacent windows then disagreed up to the full swing and
+    # the spread gate (1.3) rarely cleared even though every ratio was
+    # fine.  80k docs makes each measured window ~30 s so a window
+    # AVERAGES ACROSS regimes instead of sampling one: per-window rates
+    # converge toward the mean and spread drops.  The wide level's
+    # rep-multiplied window covers ~equal wall time as always.
+    n_scaling = min(n_docs, int(os.environ.get("MARKMUSE_BENCH_SCALING_DOCS", "80000")))
     scaling_corpus = _ensure_corpus(spark, sf, n_scaling)
 
     # ---- headline relational queries on the driver's sf tables ---------
@@ -470,9 +475,13 @@ def main() -> None:
     spread_floor = float(os.environ.get("MARKMUSE_BENCH_SPREAD_FLOOR", "1.3"))
     # budgeted from the START OF THE SCALING PHASE — budgeting from bench
     # start would let a cold-cache corpus generation + the headline sweeps
-    # eat the whole budget and silently disable dirty-window retries
+    # eat the whole budget and silently disable dirty-window retries.
+    # 1200 s: with the longer (~30 s) round-4 windows a pair takes ~5-6
+    # min, so this allows up to 4 pairs before giving the least-dirty —
+    # a bigger retry budget than round 3's in wall terms, spent on fewer,
+    # longer, lower-spread windows
     retry_budget_sec = float(
-        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "900")
+        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "1200")
     )
     t_scaling = time.time()
 

@@ -388,7 +388,10 @@ def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
         return {}
     im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
     if im:
-        nums = [int(x) for x in im.group(1).split()]
+        try:
+            nums = [int(x) for x in im.group(1).split()]
+        except ValueError:  # malformed /Index: no-raise contract
+            return {}
         sections = list(zip(nums[0::2], nums[1::2]))
     else:
         sm = re.search(rb"/Size\s+(\d+)", head)
@@ -413,7 +416,7 @@ def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     return out
 
 
-def _trailer_root(payload: bytes) -> int | None:
+def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
     """The catalog object id from the file's trailer, following the LAST
     ``startxref`` (each incremental update appends its own, so the last
     one is the newest section — its ``/Root`` supersedes all ``/Prev``
@@ -422,28 +425,60 @@ def _trailer_root(payload: bytes) -> int | None:
     cross-reference STREAM whose own dict carries the trailer fields
     (corpus v6 — the modern-default form).  Returns None for files with
     no/damaged trailer; the caller falls back to scanning object bodies
-    for the catalog."""
+    for the catalog.
+
+    ``blanked`` must be the STREAM-BLANKED byte view (the same invariant
+    every other token scan in this module holds): compressed stream
+    bodies can contain fake ``startxref``/``/Root`` look-alikes, and on
+    a truncated file those would otherwise hijack the root.  ``scanned``
+    (the raw stream list) lets the xref-stream branch decode the actual
+    entry table (:func:`_parse_xref_stream`) and CROSS-CHECK the /Root
+    claim: when the table decodes, the root must have an in-use (type-1)
+    entry whose offset lands on ``root 0 obj`` — a hint that fails its
+    own xref is distrusted (None -> body-scan fallback)."""
     last = None
-    for last in _STARTXREF_RE.finditer(payload):
+    for last in _STARTXREF_RE.finditer(blanked):
         pass
     if last is None:
         return None
     off = int(last.group(1))
-    if not 0 <= off < len(payload):
+    if not 0 <= off < len(blanked):
         return None
-    window = payload[off : off + 4096].lstrip()
-    if window.startswith(b"xref"):
+    window = blanked[off : off + 4096].lstrip()
+    is_stream_form = not window.startswith(b"xref")
+    if not is_stream_form:
         # the trailer dict belonging to THIS table is the first 'trailer'
         # keyword after the table start
-        tm = re.compile(rb"trailer").search(payload, off)
-        src = payload[tm.end() : tm.end() + 2048] if tm else b""
+        tm = re.compile(rb"trailer").search(blanked, off)
+        src = blanked[tm.end() : tm.end() + 2048] if tm else b""
     else:
         om = _OBJ_RE.match(window)
         if om is None or not _TYPE_XREF_RE.search(window[:2048]):
             return None
         src = window[: window.find(b"stream")] if b"stream" in window else window
     rm = _ROOT_RE.search(src)
-    return int(rm.group(1)) if rm else None
+    if rm is None:
+        return None
+    root = int(rm.group(1))
+    if is_stream_form:
+        xs = next(
+            (
+                s
+                for s in scanned
+                if off <= s[0] < off + 4096 and _TYPE_XREF_RE.search(s[1])
+            ),
+            None,
+        )
+        if xs is not None:
+            entries = _parse_xref_stream(xs[1], xs[2])
+            if entries:  # undecodable table: keep the dict's /Root as-is
+                ent = entries.get(root)
+                if ent is None or ent[0] != 1:
+                    return None
+                hm = _OBJ_RE.match(blanked, ent[1])
+                if hm is None or int(hm.group(1)) != root:
+                    return None
+    return root
 
 
 def _page_graph(payload: bytes, scanned: list):
@@ -504,7 +539,7 @@ def _page_graph(payload: bytes, scanned: list):
     page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
     order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
     walk, from_catalog, truncated = _walk_page_tree(
-        bodies, set(page_by_id), catalog_hint=_trailer_root(payload)
+        bodies, set(page_by_id), catalog_hint=_trailer_root(blanked, scanned)
     )
     if walk and not truncated and (
         from_catalog or set(walk) == set(page_by_id)

@@ -77,6 +77,18 @@ def cosine_topk(
     )
 
 
+def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
+    """Vector width from the first row (one tiny driver-side action).
+
+    Multi-input LSH operators MUST resolve one dim up front and pass it
+    to every :func:`lsh_signatures` call: letting each side infer its own
+    width would let mismatched query/corpus vectors join across
+    incompatible hash spaces and yield NULL cosines instead of the loud
+    shape error a width bug deserves."""
+    row = vectors.select(vec_col).first()
+    return len(row[0]) if row is not None and row[0] is not None else None
+
+
 def lsh_signatures(
     vectors: DataFrame,
     n_tables: int = 8,
@@ -151,7 +163,8 @@ def lsh_bucketed_topk(
     This is the broadcast-query form (one query, scan-side filter).  The
     batch form at 10^12 vectors groups by ``(table, bucket)`` and joins
     queries to probe buckets — same signatures, different join shape."""
-    sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col)
+    dim = _vec_dim(vectors, vec_col)  # pin one width for every batch
+    sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
     q = sigs.filter(F.col(id_col) == query_id).select(
         F.col("buckets").alias("qbuckets"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
@@ -283,6 +296,12 @@ def lsh_batch_topk(
     re-ranked with a per-query top-k window."""
     from pyspark.sql import Window
 
+    if dim is None:
+        # ONE width, resolved from the data side and enforced on BOTH
+        # signature passes: per-side inference would join mismatched
+        # query/corpus widths across incompatible hash spaces (NULL
+        # cosines) instead of raising the shape error the bug deserves
+        dim = _vec_dim(vectors, vec_col)
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
     data = sigs.select(
         F.col(id_col).alias("cand_id"),

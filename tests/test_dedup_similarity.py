@@ -258,3 +258,26 @@ def test_lsh_dim_inferred_from_batch(spark):
     assert exact and got == exact
     with _pytest.raises(Exception, match="expected 64-dim"):
         sim.lsh_signatures(df, dim=64).collect()
+
+
+def test_lsh_batch_topk_mismatched_widths_fail_loudly(spark):
+    """Query vectors of a different width than the corpus must raise a
+    shape/width error — never join across incompatible hash spaces and
+    return NULL cosines (the silent-wrongness mode the width pinning
+    exists to prevent)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from markmuse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    data = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="expected 64-dim|shapes|dimension"):
+        sim.lsh_batch_topk(data, queries, k=3).collect()

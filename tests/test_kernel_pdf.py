@@ -472,15 +472,79 @@ def test_xref_stream_file_extracts_identically():
         ]
 
 
+def _root_of(payload: bytes):
+    """Production calling convention: blanked bytes + raw stream list."""
+    scanned = pdf_extract._scan_streams(payload)
+    blanked, _ = pdf_extract._blanked_objects(payload, scanned)
+    return pdf_extract._trailer_root(blanked, scanned)
+
+
 def test_trailer_root_both_forms():
     """/Root resolves through the classic trailer dict AND through the
     xref stream's dict (spec 7.5.8); a trailerless body returns None."""
     pages = [{"columns": 1, "blocks": [{"t": "p", "text": "hello world"}]}]
     classic = pdf_writer.write_pdf(pages)
     modern = pdf_writer.write_pdf(pages, xref_stream=True)
-    assert pdf_extract._trailer_root(classic) == 1
-    assert pdf_extract._trailer_root(modern) == 1
-    assert pdf_extract._trailer_root(b"%PDF-1.4\nno trailer here") is None
+    assert _root_of(classic) == 1
+    assert _root_of(modern) == 1
+    assert _root_of(b"%PDF-1.4\nno trailer here") is None
+
+
+def test_trailer_root_ignores_tokens_inside_stream_bodies():
+    """A compressed stream body containing fake 'startxref N' bytes must
+    not hijack the root: the scan runs over the stream-blanked view (the
+    same invariant every other token scan in the kernel holds)."""
+    decoy = b"garbage startxref 1 more %%EOF"
+    stream_obj = b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n" % (
+        len(decoy),
+        decoy,
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + stream_obj
+    )
+    # no real trailer: the decoy startxref is the only candidate, and it
+    # must be invisible because it sits inside a stream body
+    assert _root_of(body + b"%%EOF") is None
+    got = pdf_extract.extract_pages(body + b"%%EOF")
+    assert len(got) == 1  # body-scan fallback still roots the page tree
+
+
+def test_trailer_root_distrusts_lying_xref_entries():
+    """An xref STREAM whose decoded entry table contradicts its own /Root
+    claim (no in-use entry at the recorded offset) is distrusted: the
+    hint returns None and the body scan takes over."""
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "check me"}]}]
+    pdf = bytearray(pdf_writer.write_pdf(pages, xref_stream=True))
+    # corrupt the root's recorded offset inside the compressed entry
+    # table: re-encode the table with object 1's offset pointing at 0
+    import re as _re
+    import zlib as _z
+
+    scanned = pdf_extract._scan_streams(bytes(pdf))
+    xref = next(s for s in scanned if pdf_extract._TYPE_XREF_RE.search(s[1]))
+    rows = bytearray(_z.decompress(xref[2]))
+    rows[7 * 1 + 1 : 7 * 1 + 5] = (0).to_bytes(4, "big")  # obj 1 -> offset 0
+    bad = _z.compress(bytes(rows), 6)
+    start, end = xref[3]
+    new = bytes(pdf[:start]) + bad + bytes(pdf[end:])
+    new = _re.sub(
+        rb"/Length %d" % len(xref[2]), rb"/Length %d" % len(bad), new
+    )
+    assert _root_of(new) is None
+    # extraction still succeeds via the catalog body scan
+    got = pdf_extract.extract_pages(new)
+    assert [p["markdown"] for p in got] == [
+        pdf_writer.expected_pdf_page_markdown(p) for p in pages
+    ]
+
+
+def test_parse_xref_stream_malformed_index_returns_empty():
+    head = b"/Type /XRef /W [1 4 2] /Index [5 x] /Size 7"
+    assert pdf_extract._parse_xref_stream(head, b"\x01\x00\x00\x00\x10\x00\x00") == {}
 
 
 def test_parse_xref_stream_entries_match_object_offsets():
