@@ -39,12 +39,14 @@ stream object's dict, resolved by :func:`_trailer_root` (last
 ``startxref`` wins — each incremental update appends its own, so no
 /Prev chaining is needed for /Root), and the binary entry table decodes
 per spec 7.5.8 (:func:`_parse_xref_stream`); the damaged-file fallback
-never mints a phantom page from it.  Real-corpus gaps that remain out
-of dialect (documented permanent exclusions): OBJECT streams (/ObjStm
-packing — holds no content streams, so the linear object scan is
-unaffected; an ObjStm-packed page tree falls back to every-stream-is-a-
-page like any damaged file) and CID fonts WITHOUT a ToUnicode CMap
-(glyph-only; no text to extract without font embedding analysis).
+never mints a phantom page from it.  Corpus v7 closes the OBJECT-STREAM
+gap: ``/Type /ObjStm`` streams (spec 7.5.7 — how modern producers pack
+the whole page tree, so no catalog/pages/page object exists top-level)
+are unpacked by :func:`_parse_objstm` and merged into the object graph
+by file position, so last-definition-wins holds across top-level and
+packed definitions alike.  The one remaining documented exclusion: CID
+fonts WITHOUT a ToUnicode CMap (glyph-only; no text to extract without
+font embedding analysis).
 """
 
 from __future__ import annotations
@@ -269,6 +271,7 @@ def _scan_streams(payload: bytes) -> list[tuple[int, bytes, bytes, tuple[int, in
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")  # \b rejects /Pages
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+_TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
@@ -416,6 +419,44 @@ def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     return out
 
 
+def _parse_objstm(head: bytes, data: bytes) -> list[tuple[int, bytes]]:
+    """Objects packed in a ``/Type /ObjStm`` stream (spec 7.5.7):
+    ``[(obj_id, body_bytes), ...]`` in packing order.  The stream opens
+    with ``/N`` integer pairs ``objnum offset`` (offsets relative to
+    ``/First``), followed by the concatenated object bodies — how real
+    modern producers serialize the whole page tree, so these objects
+    never appear as top-level ``N 0 obj`` definitions at all.  Packed
+    objects may not carry streams (spec), so they contribute bodies to
+    the object graph but never stream ownership.  Malformed input
+    yields ``[]`` (the caller's graph then degrades exactly like any
+    damaged file)."""
+    if _FLATE.search(head):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return []
+    nm = re.search(rb"/N\s+(\d+)", head)
+    fm = re.search(rb"/First\s+(\d+)", head)
+    if not nm or not fm:
+        return []
+    n, first = int(nm.group(1)), int(fm.group(1))
+    if not 0 <= first <= len(data):
+        return []
+    try:
+        nums = [int(x) for x in data[:first].split()[: 2 * n]]
+    except ValueError:
+        return []
+    pairs = list(zip(nums[0::2], nums[1::2]))
+    out: list[tuple[int, bytes]] = []
+    end_all = len(data) - first
+    for k, (oid, off) in enumerate(pairs):
+        end = pairs[k + 1][1] if k + 1 < len(pairs) else end_all
+        if not 0 <= off <= end <= end_all:
+            break  # malformed tail: keep the objects that parsed
+        out.append((oid, data[first + off : first + end]))
+    return out
+
+
 def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
     """The catalog object id from the file's trailer, following the LAST
     ``startxref`` (each incremental update appends its own, so the last
@@ -473,11 +514,15 @@ def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
             entries = _parse_xref_stream(xs[1], xs[2])
             if entries:  # undecodable table: keep the dict's /Root as-is
                 ent = entries.get(root)
-                if ent is None or ent[0] != 1:
+                if ent is None or ent[0] not in (1, 2):
                     return None
-                hm = _OBJ_RE.match(blanked, ent[1])
-                if hm is None or int(hm.group(1)) != root:
-                    return None
+                if ent[0] == 1:
+                    hm = _OBJ_RE.match(blanked, ent[1])
+                    if hm is None or int(hm.group(1)) != root:
+                        return None
+                # type-2 (packed in an ObjStm) has no file offset to
+                # cross-check; the caller still demands the hinted
+                # catalog parse to a /Pages root before trusting it
     return root
 
 
@@ -498,13 +543,29 @@ def _page_graph(payload: bytes, scanned: list):
     # incremental updates re-emit objects under the SAME number, and the
     # appended definition supersedes the original (spec 7.5.6).  Plain
     # assignment in file order does it; dict insertion order keeps each
-    # id at its first file position, carrying its latest body.
+    # id at its first file position, carrying its latest body.  Object
+    # definitions come from TWO sources merged by file position: the
+    # top-level ``N 0 obj`` scan, and objects unpacked from ``/ObjStm``
+    # streams (corpus v7 — modern producers pack the entire page tree
+    # there, so no page/catalog object exists top-level at all); an
+    # ObjStm's objects are "defined" at the ObjStm's own file position,
+    # so an appended update ObjStm supersedes earlier definitions and
+    # vice versa.
     last_span: dict[int, tuple[int, int]] = {}
     for oid, b1, b2 in bounds:
         last_span[oid] = (b1, b2)
-    bodies: dict[int, bytes] = {
-        oid: blanked[b1:b2] for oid, (b1, b2) in last_span.items()
-    }
+    defs: list[tuple[int, int, bytes]] = [
+        (b1, oid, blanked[b1:b2]) for oid, b1, b2 in bounds
+    ]
+    for hdr_start, head, data, _span in scanned:
+        if _TYPE_OBJSTM_RE.search(head):
+            defs.extend(
+                (hdr_start, oid, body) for oid, body in _parse_objstm(head, data)
+            )
+    defs.sort(key=lambda d: d[0])
+    bodies: dict[int, bytes] = {}
+    for _pos, oid, body in defs:
+        bodies[oid] = body
     # stream index -> owning object id, restricted to each id's LATEST
     # definition: a stream inside a superseded definition must not shadow
     # (or survive alongside) the update's stream
@@ -671,12 +732,13 @@ def _document_pages(
     graph = _page_graph(payload, scanned)
     if graph is None:
         # damaged-file fallback: every stream is a page — EXCEPT
-        # cross-reference streams, whose binary entry tables are
-        # navigation metadata, never content (corpus v6)
+        # cross-reference streams (binary entry tables, corpus v6) and
+        # object streams (packed dictionaries, corpus v7): both are
+        # structure, never content
         return [
             (_decode_stream(h, d), {})
             for _s, h, d, _sp in scanned
-            if not _TYPE_XREF_RE.search(h)
+            if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
         ]
     groups, fonts_per_page, owner, bodies = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}

@@ -69,11 +69,15 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # non-content stream the extractor must not mint a page from;
         # ~35% are PDF 1.5 cross-reference-STREAM files (corpus v6, the
         # modern-default form): trailer fields live in a /Type /XRef
-        # stream's dict and the extractor resolves /Root through it
+        # stream's dict and the extractor resolves /Root through it;
+        # ~20% additionally pack the ENTIRE page tree into a /ObjStm
+        # object stream (corpus v7 — no catalog/pages/page object exists
+        # top-level; the extractor must unpack it to see the graph)
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=rng.random() < 0.3,
             xref_stream=rng.random() < 0.35,
+            object_streams=rng.random() < 0.2,
         )
         expected = [
             {

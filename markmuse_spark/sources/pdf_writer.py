@@ -237,6 +237,7 @@ def write_pdf(
     pages: list[dict[str, Any]],
     metadata: bool = False,
     xref_stream: bool = False,
+    object_streams: bool = False,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -268,6 +269,18 @@ def write_pdf(
     This is the modern-default file form — the extractor must resolve
     ``/Root`` through it and must never mint a phantom page from the
     binary entry data.
+
+    ``object_streams`` (corpus v7, implies ``xref_stream``): pack every
+    NON-stream object — catalog, pages node, page dicts, font dicts —
+    into one FlateDecode ``/Type /ObjStm`` stream (spec 7.5.7: an
+    integer-pair header ``objnum offset`` per object, ``/First`` bytes
+    in, then the object bodies), indexed from the xref stream via
+    TYPE-2 entries ``(2, objstm_id, index)``.  This is how real modern
+    producers serialize the page tree: none of the objects the page
+    walk needs exist as top-level ``N 0 obj`` definitions, so a linear
+    object scan alone sees only content streams — the extractor must
+    unpack the ObjStm to reconstruct the graph.  Stream-bearing objects
+    (content, CMap, metadata) stay top-level as the spec requires.
 
     Object layout: 1 catalog, 2 pages, 3 font /F1; then (when any page
     is ``cid``) /F2 Type0 font + its ToUnicode CMap stream; then (when
@@ -352,8 +365,60 @@ def write_pdf(
                 b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
             )
 
+    if object_streams:
+        xref_stream = True  # ObjStm entries are only addressable from one
     header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
     out = bytearray(header + b"%\xe2\xe3\xcf\xd3\n")
+
+    def _t1(off: int) -> bytes:  # type-1: in use at byte offset
+        return b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+
+    if object_streams:
+        # split by stream-ness: packed objects may not carry streams
+        # (spec 7.5.7), so content/CMap/metadata objects stay top-level
+        packed = [
+            (i, obj) for i, obj in enumerate(objects, 1) if b"stream\n" not in obj
+        ]
+        top = [
+            (i, obj) for i, obj in enumerate(objects, 1) if b"stream\n" in obj
+        ]
+        objstm_id = len(objects) + 1
+        xref_id = len(objects) + 2
+        hdr_parts: list[bytes] = []
+        body_parts: list[bytes] = []
+        off = 0
+        for oid, obj in packed:
+            hdr_parts.append(b"%d %d" % (oid, off))
+            body_parts.append(obj + b"\n")
+            off += len(obj) + 1
+        stm_hdr = b" ".join(hdr_parts) + b"\n"
+        stm = stm_hdr + b"".join(body_parts)
+        stm_z = zlib.compress(stm, 6)
+        entry: dict[int, bytes] = {}  # obj id -> xref row
+        for k, (oid, _obj) in enumerate(packed):  # type-2: in ObjStm
+            entry[oid] = b"\x02" + objstm_id.to_bytes(4, "big") + k.to_bytes(2, "big")
+        for oid, obj in top:
+            entry[oid] = _t1(len(out))
+            out += b"%d 0 obj\n%b\nendobj\n" % (oid, obj)
+        entry[objstm_id] = _t1(len(out))
+        out += (
+            b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (objstm_id, len(packed), len(stm_hdr), len(stm_z), stm_z)
+        )
+        xref_at = len(out)
+        entry[xref_id] = _t1(xref_at)
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
+        rows += [entry[i] for i in range(1, xref_id + 1)]
+        entries = zlib.compress(b"".join(rows), 6)
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, len(entries), entries)
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(out)
+
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
         offsets.append(len(out))
@@ -368,7 +433,7 @@ def write_pdf(
         xref_id = len(objects) + 1
         rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
         for off in offsets[1:] + [xref_at]:
-            rows.append(b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+            rows.append(_t1(off))
         entries = zlib.compress(b"".join(rows), 6)
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "

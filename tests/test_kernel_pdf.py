@@ -589,3 +589,101 @@ def test_damaged_xref_stream_file_has_no_phantom_page():
     got = pdf_extract.extract_pages(damaged)
     assert len(got) == 1
     assert "real content" in got[0]["markdown"]
+
+
+def test_objstm_file_extracts_identically():
+    """Corpus v7: the same page models with the entire page tree packed
+    into a /ObjStm object stream must extract byte-identically — and the
+    packed form must genuinely have NO top-level page objects (the
+    property that forces the unpack path)."""
+    for seed in range(10):
+        rng = random.Random(seed)
+        pages = docmodel.random_pdf_pages(rng, "en")
+        classic = pdf_writer.write_pdf(pages, metadata=seed % 2 == 0)
+        packed = pdf_writer.write_pdf(
+            pages, metadata=seed % 2 == 0, object_streams=True
+        )
+        got = pdf_extract.extract_pages(packed)
+        assert got == pdf_extract.extract_pages(classic)
+        assert [p["markdown"] for p in got] == [
+            pdf_writer.expected_pdf_page_markdown(p) for p in pages
+        ]
+        scanned = pdf_extract._scan_streams(packed)
+        blanked, bounds = pdf_extract._blanked_objects(packed, scanned)
+        assert not any(
+            pdf_extract._TYPE_PAGE_RE.search(blanked[b1:b2])
+            for _oid, b1, b2 in bounds
+        ), "page object leaked to top level: the test would prove nothing"
+
+
+def test_objstm_update_supersedes_packed_definition():
+    """Last-definition-wins must hold ACROSS sources: a top-level object
+    appended after the ObjStm (an incremental update) supersedes the
+    packed definition of the same id."""
+    import zlib as _z
+
+    c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (packed text) Tj ET"
+    c_new = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (updated text) Tj ET"
+    # ObjStm packs catalog(1), pages(2), page(3) pointing at stream 4
+    packed_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    hdr, bodies_b, off = [], [], 0
+    for oid, b in packed_objs:
+        hdr.append(b"%d %d" % (oid, off))
+        bodies_b.append(b + b"\n")
+        off += len(b) + 1
+    stm_hdr = b" ".join(hdr) + b"\n"
+    stm = _z.compress(stm_hdr + b"".join(bodies_b), 6)
+    parts = [b"%PDF-1.5\n"]
+    parts.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(c_old), c_old)
+    )
+    parts.append(
+        b"5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(stm_hdr), len(stm), stm)
+    )
+    base = b"".join(parts)
+    assert [p["markdown"] for p in pdf_extract.extract_pages(base + b"%%EOF")] == [
+        "packed text"
+    ]
+    # incremental update: re-emit page 3 + content 4 TOP-LEVEL after it
+    upd = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(c_new), c_new)
+    )
+    got = pdf_extract.extract_pages(base + upd + b"%%EOF")
+    assert [p["markdown"] for p in got] == ["updated text"]
+
+
+def test_objstm_never_a_phantom_page():
+    """A damaged v7 file falling back to every-stream-is-a-page must not
+    mint a page from the ObjStm's packed dictionaries."""
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "real v7 content"}]}]
+    pdf = pdf_writer.write_pdf(pages, object_streams=True)
+    damaged = pdf.replace(b"/Type /Page ", b"/Typ0 /Page ")
+    got = pdf_extract.extract_pages(damaged)
+    assert len(got) == 1
+    assert "real v7 content" in got[0]["markdown"]
+
+
+def test_parse_objstm_malformed_inputs():
+    assert pdf_extract._parse_objstm(b"/Type /ObjStm", b"junk") == []
+    assert pdf_extract._parse_objstm(
+        b"/Type /ObjStm /N 1 /First 99", b"short"
+    ) == []
+    assert pdf_extract._parse_objstm(
+        b"/Type /ObjStm /N 1 /First 4", b"1 x\n<<>>"
+    ) == []
+    # well-formed uncompressed: two packed dicts (bodies 9 bytes each)
+    data = b"7 0 9 9\n<< /A >>\n<< /B >>\n"
+    got = pdf_extract._parse_objstm(b"/Type /ObjStm /N 2 /First 8", data)
+    assert [(o, b.strip()) for o, b in got] == [
+        (7, b"<< /A >>"),
+        (9, b"<< /B >>"),
+    ]
