@@ -367,6 +367,18 @@ def _parse_tounicode(cmap_text: str) -> dict[int, str]:
     return table
 
 
+def _inflate(head: bytes, data: bytes) -> bytes | None:
+    """Stream data after the (optional) FlateDecode filter; None when the
+    compressed body is corrupt — the shared no-raise prologue of the two
+    structure-stream parsers (xref and ObjStm)."""
+    if _FLATE.search(head):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data
+
+
 def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     """Entries of a PDF 1.5 cross-reference stream (spec 7.5.8):
     ``{obj_id: (type, field2, field3)}`` — fixed-width big-endian rows per
@@ -375,11 +387,9 @@ def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     to 1 (in-use at offset), other fields to 0.  Malformed tails stop the
     decode rather than raising — xref entries are navigation metadata and
     the object scan never depends on them."""
-    if _FLATE.search(head):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return {}
+    data = _inflate(head, data)
+    if data is None:
+        return {}
     wm = re.search(rb"/W\s*\[([^\]]*)\]", head)
     if not wm:
         return {}
@@ -430,11 +440,9 @@ def _parse_objstm(head: bytes, data: bytes) -> list[tuple[int, bytes]]:
     the object graph but never stream ownership.  Malformed input
     yields ``[]`` (the caller's graph then degrades exactly like any
     damaged file)."""
-    if _FLATE.search(head):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return []
+    data = _inflate(head, data)
+    if data is None:
+        return []
     nm = re.search(rb"/N\s+(\d+)", head)
     fm = re.search(rb"/First\s+(\d+)", head)
     if not nm or not fm:
@@ -564,18 +572,23 @@ def _page_graph(payload: bytes, scanned: list):
             )
     defs.sort(key=lambda d: d[0])
     bodies: dict[int, bytes] = {}
-    for _pos, oid, body in defs:
+    last_pos: dict[int, int] = {}
+    for pos, oid, body in defs:
         bodies[oid] = body
+        last_pos[oid] = pos
     # stream index -> owning object id, restricted to each id's LATEST
-    # definition: a stream inside a superseded definition must not shadow
-    # (or survive alongside) the update's stream
+    # definition ACROSS BOTH SOURCES: a stream inside a superseded
+    # top-level definition must not shadow (or survive alongside) the
+    # update's stream — including when the superseding definition is a
+    # packed (non-stream) ObjStm body, in which case the id simply has
+    # no stream and a /Contents ref to it falls back whole-file
     obj_starts = [b1 for _oid, b1, _b2 in bounds]
     owner: dict[int, int] = {}
     for si, (hdr_start, _h, _d, _span) in enumerate(scanned):
         j = bisect.bisect_right(obj_starts, hdr_start) - 1
         if j >= 0:
             oid, b1, b2 = bounds[j]
-            if last_span[oid] == (b1, b2):
+            if last_span[oid] == (b1, b2) and last_pos[oid] == b1:
                 owner[oid] = si
     pages: list[tuple[int, list[int], dict[str, int]]] = []
     for oid, body in bodies.items():

@@ -663,13 +663,67 @@ def test_objstm_update_supersedes_packed_definition():
 
 def test_objstm_never_a_phantom_page():
     """A damaged v7 file falling back to every-stream-is-a-page must not
-    mint a page from the ObjStm's packed dictionaries."""
+    mint a page from the ObjStm's packed dictionaries.  The damage
+    corrupts the ObjStm's COMPRESSED BODY (the page dicts live inside
+    it, so no plain-text edit can reach them): the graph then fails to
+    parse and the fallback path runs — where the ObjStm and XRef streams
+    must both be excluded."""
     pages = [{"columns": 1, "blocks": [{"t": "p", "text": "real v7 content"}]}]
     pdf = pdf_writer.write_pdf(pages, object_streams=True)
-    damaged = pdf.replace(b"/Type /Page ", b"/Typ0 /Page ")
+    scanned = pdf_extract._scan_streams(pdf)
+    objstm = next(
+        s for s in scanned if pdf_extract._TYPE_OBJSTM_RE.search(s[1])
+    )
+    start, end = objstm[3]
+    damaged = pdf[:start] + b"\x00" * (end - start) + pdf[end:]
+    # the corrupted ObjStm kills the page graph entirely...
+    assert pdf_extract._page_graph(
+        damaged, pdf_extract._scan_streams(damaged)
+    ) is None
     got = pdf_extract.extract_pages(damaged)
+    # ...and the fallback yields exactly the content stream's page:
+    # neither the zeroed ObjStm nor the xref stream becomes a page
     assert len(got) == 1
     assert "real v7 content" in got[0]["markdown"]
+
+
+def test_objstm_packed_redefinition_disowns_stale_stream():
+    """An appended update ObjStm that redefines a stream-bearing id with
+    a packed NON-stream body must disown the superseded stream: a page
+    whose /Contents still points at that id then has no stream, and the
+    whole file degrades to the fallback rather than silently extracting
+    the stale superseded text as a graph-ordered page."""
+    import zlib as _z
+
+    c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (stale stream) Tj ET"
+    base_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    parts = [b"%PDF-1.5\n"]
+    for oid, obj in base_objs:
+        parts.append(b"%d 0 obj\n%b\nendobj\n" % (oid, obj))
+    parts.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(c_old), c_old)
+    )
+    # update ObjStm redefines object 4 as a plain (non-stream) dict
+    packed = b"<< /Superseded true >>"
+    stm_hdr = b"4 0\n"
+    stm = _z.compress(stm_hdr + packed + b"\n", 6)
+    parts.append(
+        b"5 0 obj\n<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(stm_hdr), len(stm), stm)
+    )
+    payload = b"".join(parts) + b"%%EOF"
+    scanned = pdf_extract._scan_streams(payload)
+    # object 4's stream is disowned (its definition is superseded), so
+    # the dangling /Contents ref collapses the graph to the fallback
+    assert pdf_extract._page_graph(payload, scanned) is None
+    got = pdf_extract.extract_pages(payload)
+    assert [p["markdown"] for p in got] == ["stale stream"]  # fallback page
 
 
 def test_parse_objstm_malformed_inputs():
