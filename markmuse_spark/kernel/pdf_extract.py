@@ -559,9 +559,6 @@ def _page_graph(payload: bytes, scanned: list):
     # ObjStm's objects are "defined" at the ObjStm's own file position,
     # so an appended update ObjStm supersedes earlier definitions and
     # vice versa.
-    last_span: dict[int, tuple[int, int]] = {}
-    for oid, b1, b2 in bounds:
-        last_span[oid] = (b1, b2)
     defs: list[tuple[int, int, bytes]] = [
         (b1, oid, blanked[b1:b2]) for oid, b1, b2 in bounds
     ]
@@ -577,18 +574,20 @@ def _page_graph(payload: bytes, scanned: list):
         bodies[oid] = body
         last_pos[oid] = pos
     # stream index -> owning object id, restricted to each id's LATEST
-    # definition ACROSS BOTH SOURCES: a stream inside a superseded
-    # top-level definition must not shadow (or survive alongside) the
-    # update's stream — including when the superseding definition is a
-    # packed (non-stream) ObjStm body, in which case the id simply has
-    # no stream and a /Contents ref to it falls back whole-file
+    # definition ACROSS BOTH SOURCES (definition positions are unique, so
+    # ``last_pos[oid] == b1`` says this top-level definition is the
+    # globally newest one): a stream inside a superseded top-level
+    # definition must not shadow (or survive alongside) the update's
+    # stream — including when the superseding definition is a packed
+    # (non-stream) ObjStm body, in which case the id simply has no
+    # stream and a /Contents ref to it falls back whole-file
     obj_starts = [b1 for _oid, b1, _b2 in bounds]
     owner: dict[int, int] = {}
     for si, (hdr_start, _h, _d, _span) in enumerate(scanned):
         j = bisect.bisect_right(obj_starts, hdr_start) - 1
         if j >= 0:
-            oid, b1, b2 = bounds[j]
-            if last_span[oid] == (b1, b2) and last_pos[oid] == b1:
+            oid, b1, _b2 = bounds[j]
+            if last_pos[oid] == b1:
                 owner[oid] = si
     pages: list[tuple[int, list[int], dict[str, int]]] = []
     for oid, body in bodies.items():

@@ -616,38 +616,44 @@ def test_objstm_file_extracts_identically():
         ), "page object leaked to top level: the test would prove nothing"
 
 
-def test_objstm_update_supersedes_packed_definition():
-    """Last-definition-wins must hold ACROSS sources: a top-level object
-    appended after the ObjStm (an incremental update) supersedes the
-    packed definition of the same id."""
+def _mk_objstm(oid: int, objs: list) -> bytes:
+    """One /ObjStm object: spec 7.5.7 integer-pair header + packed bodies."""
     import zlib as _z
 
-    c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (packed text) Tj ET"
-    c_new = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (updated text) Tj ET"
-    # ObjStm packs catalog(1), pages(2), page(3) pointing at stream 4
-    packed_objs = [
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
-    ]
     hdr, bodies_b, off = [], [], 0
-    for oid, b in packed_objs:
-        hdr.append(b"%d %d" % (oid, off))
+    for o, b in objs:
+        hdr.append(b"%d %d" % (o, off))
         bodies_b.append(b + b"\n")
         off += len(b) + 1
     stm_hdr = b" ".join(hdr) + b"\n"
     stm = _z.compress(stm_hdr + b"".join(bodies_b), 6)
-    parts = [b"%PDF-1.5\n"]
-    parts.append(
-        b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
-        % (len(c_old), c_old)
-    )
-    parts.append(
-        b"5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode "
+    return (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
         b"/Length %d >>\nstream\n%b\nendstream\nendobj\n"
-        % (len(stm_hdr), len(stm), stm)
+        % (oid, len(objs), len(stm_hdr), len(stm), stm)
     )
-    base = b"".join(parts)
+
+
+def test_objstm_update_supersedes_packed_definition():
+    """Last-definition-wins must hold ACROSS sources: a top-level object
+    appended after the ObjStm (an incremental update) supersedes the
+    packed definition of the same id."""
+    c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (packed text) Tj ET"
+    c_new = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (updated text) Tj ET"
+    # ObjStm packs catalog(1), pages(2), page(3) pointing at stream 4
+    base = (
+        b"%PDF-1.5\n"
+        + b"4 0 obj\n<< /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+        % (len(c_old), c_old)
+        + _mk_objstm(
+            5,
+            [
+                (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            ],
+        )
+    )
     assert [p["markdown"] for p in pdf_extract.extract_pages(base + b"%%EOF")] == [
         "packed text"
     ]
@@ -693,8 +699,6 @@ def test_objstm_packed_redefinition_disowns_stale_stream():
     whose /Contents still points at that id then has no stream, and the
     whole file degrades to the fallback rather than silently extracting
     the stale superseded text as a graph-ordered page."""
-    import zlib as _z
-
     c_old = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (stale stream) Tj ET"
     base_objs = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
@@ -709,14 +713,7 @@ def test_objstm_packed_redefinition_disowns_stale_stream():
         % (len(c_old), c_old)
     )
     # update ObjStm redefines object 4 as a plain (non-stream) dict
-    packed = b"<< /Superseded true >>"
-    stm_hdr = b"4 0\n"
-    stm = _z.compress(stm_hdr + packed + b"\n", 6)
-    parts.append(
-        b"5 0 obj\n<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode "
-        b"/Length %d >>\nstream\n%b\nendstream\nendobj\n"
-        % (len(stm_hdr), len(stm), stm)
-    )
+    parts.append(_mk_objstm(5, [(4, b"<< /Superseded true >>")]))
     payload = b"".join(parts) + b"%%EOF"
     scanned = pdf_extract._scan_streams(payload)
     # object 4's stream is disowned (its definition is superseded), so
