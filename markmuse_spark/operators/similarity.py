@@ -213,9 +213,18 @@ def lsh_pair_candidates(
     vectors bucket sizes are bounded by choosing ``n_planes`` ~ log2(n /
     target_bucket_size), so the join output is ~n * bucket_size * n_tables,
     not n^2."""
+    if dim is None:
+        dim = _vec_dim(vectors, vec_col)  # pin one width for every batch
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
-    b = sigs.select(
-        F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
+    # both sides of the self-join read the exploded bucket frame, and
+    # Spark shares no subplans across self-joins: persist (tracked) so
+    # the signature UDF + explode run once, not per side
+    from markmuse_spark.plans.cache import tracked_persist
+
+    b = tracked_persist(
+        sigs.select(
+            F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
+        )
     )
     a_, b_ = b.alias("a"), b.alias("b")
     return (
