@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -251,6 +252,18 @@ def minhash_lsh_pairs(
     The verification joins back to the shingle arrays so the reported
     ``jaccard`` is exact (only over candidates — at 10^12 docs this is the
     whole point: pairwise work collapses to per-bucket work).
+
+    ``max_band_size``: degenerate-bucket guard (the banded analog of
+    ``max_df``, same shape as the hyperplane miner's
+    ``max_bucket_size``).  A boilerplate-identical cluster of m docs
+    shares every band hash and yields O(m^2) candidate rows PER BAND
+    with nothing bounding it; with the cap set, (band_id, band_hash)
+    groups larger than the cap are counted over a persisted band frame,
+    dropped via broadcast anti-join, and logged.  Default off (exported
+    oracles run uncapped); pairs all of whose shared bands are oversized
+    are lost — for a true duplicate CLUSTER that loss is usually
+    acceptable (exact dedup catches identical docs first), which is why
+    the cap composes with :func:`exact_duplicates` upstream.
 
     The shingled frame is computed ONCE and persisted (memory-with-disk
     spill): three plan branches read it — the signature stage and both
@@ -288,8 +301,30 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
     )
+    if max_band_size is not None:
+        from markmuse_spark.operators.similarity import _drop_oversized_buckets
+
+        # the guard's size aggregate + anti-join probe are a second and
+        # third reader of the band frame, so it gets its own persist
+        # (the signature UDF upstream would otherwise run per branch)
+        banded = _drop_oversized_buckets(
+            tracked_persist(banded),
+            ["band_id", "band_hash"],
+            max_band_size,
+            "minhash_lsh_pairs",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
+    # candidate dedup is folded into the exchange that feeds the verify
+    # join: repartitioning on doc_a alone still satisfies the duplicate-
+    # elimination aggregate's clustering requirement (equal (doc_a,doc_b)
+    # rows co-locate under any hash of doc_a), and the aggregate's output
+    # partitioning then ALSO satisfies the first verification join's
+    # requirement — one exchange where `.distinct()` before the join cost
+    # two (pair-key exchange + join-key exchange).  The trade: band-
+    # collision duplicates (<= `bands` rows per pair, 16 bytes each) ride
+    # the shuffle instead of being combined map-side — cheaper than a
+    # whole extra exchange of the deduped pair set at every scale.
     cand = (
         a.join(
             b,
@@ -298,7 +333,8 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .repartition(F.col("doc_a"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

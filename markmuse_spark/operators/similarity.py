@@ -78,15 +78,20 @@ def cosine_topk(
 
 
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
-    """Vector width from the first row (one tiny driver-side action).
+    """Vector width from the first NON-NULL row (one tiny driver-side
+    action; the isNotNull filter matters — a leading NULL row would
+    otherwise silently disable the pinning and reopen the per-side
+    inference mode the pin exists to prevent).  Returns None only when
+    the frame has no non-null vector at all, in which case every
+    downstream signature batch is empty anyway.
 
     Multi-input LSH operators MUST resolve one dim up front and pass it
     to every :func:`lsh_signatures` call: letting each side infer its own
     width would let mismatched query/corpus vectors join across
     incompatible hash spaces and yield NULL cosines instead of the loud
     shape error a width bug deserves."""
-    row = vectors.select(vec_col).first()
-    return len(row[0]) if row is not None and row[0] is not None else None
+    row = vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return len(row[0]) if row is not None else None
 
 
 def lsh_signatures(
@@ -115,6 +120,7 @@ def lsh_signatures(
 
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     plane_cache: dict[int, "np.ndarray"] = {}
+    seen_dim: dict[str, int] = {}  # per-python-worker cross-batch memory
 
     def _planes(d: int):
         p = plane_cache.get(d)
@@ -131,6 +137,21 @@ def lsh_signatures(
             raise ValueError(
                 f"expected {dim}-dim vectors, got {mat.shape[1]}"
             )
+        if dim is None:
+            # cross-batch raggedness guard: with no explicit pin, the
+            # FIRST batch's width becomes this worker's pin and a later
+            # batch with a different width raises instead of silently
+            # hashing into an incompatible plane space (within-batch
+            # raggedness already raises inside np.vstack).  The memory is
+            # per python worker — the strongest check possible without
+            # caller plumbing; multi-input operators resolve one dim via
+            # _vec_dim and pass it explicitly, which checks globally.
+            prev = seen_dim.setdefault("d", mat.shape[1])
+            if prev != mat.shape[1]:
+                raise ValueError(
+                    f"vector width changed across batches: {prev} then "
+                    f"{mat.shape[1]}; pass dim= to pin one width"
+                )
         bits = (mat @ _planes(mat.shape[1])) > 0  # (batch, tables*planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
@@ -195,6 +216,38 @@ def lsh_bucketed_topk(
     )
 
 
+def _drop_oversized_buckets(
+    frame: DataFrame, keys: list[str], cap: int, op_name: str
+) -> DataFrame:
+    """Drop every group of ``frame`` whose member count exceeds ``cap``,
+    logging how many groups were dropped (drop-and-log, never silent).
+
+    Shared by the LSH pair miners' degenerate-bucket guards.  ``frame``
+    must already be persisted by the caller: the size aggregate and the
+    anti-join probe both read it, and the count action below would
+    otherwise recompute the signature pass.  The hot-group set is tiny by
+    construction (groups holding more than ``cap`` of n rows number at
+    most n/cap), so it broadcasts."""
+    import logging
+
+    hot = (
+        frame.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    n_hot = hot.count()  # reads the persisted frame: one cheap aggregate
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "%s: dropping %d bucket(s) larger than max_bucket_size=%d "
+            "before pair mining (degenerate-bucket guard; pairs confined "
+            "to dropped buckets are lost)",
+            op_name, n_hot, cap,
+        )
+        return frame.join(F.broadcast(hot), keys, "left_anti")
+    return frame
+
+
 def lsh_pair_candidates(
     vectors: DataFrame,
     n_tables: int = 32,
@@ -203,6 +256,7 @@ def lsh_pair_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from a ``(table_id, bucket)`` EQUI-join over
     hyperplane-LSH signatures — the scale shape for embedding pair mining.
@@ -212,7 +266,22 @@ def lsh_pair_candidates(
     its bucket key; pairwise work happens only within buckets.  At 10^12
     vectors bucket sizes are bounded by choosing ``n_planes`` ~ log2(n /
     target_bucket_size), so the join output is ~n * bucket_size * n_tables,
-    not n^2."""
+    not n^2.
+
+    ``n_planes`` bounds the EXPECTED bucket size; it does not bound a
+    DATA-DEPENDENT degenerate bucket — zero vectors (which land in one
+    bucket in every table) or a boilerplate-identical document cluster
+    produce one O(bucket^2) hot bucket that no plane count fixes.
+    ``max_bucket_size`` is the cap for that case (the bucket-space
+    analog of the inverted index's ``max_df``): per-(table, bucket)
+    member counts are taken over the already-persisted bucket frame
+    (one cheap aggregate, no extra scan of the vectors), oversized
+    buckets are dropped via a broadcast anti-join before the self-join,
+    and the drop is LOGGED with the bucket count — never silent.
+    Semantics change (pairs whose every shared bucket is oversized are
+    lost), so the default is off and the exported oracles run uncapped;
+    at 100 TB a cap ~100x the expected bucket size costs ~0 recall and
+    bounds the worst bucket's join output."""
     if dim is None:
         dim = _vec_dim(vectors, vec_col)  # pin one width for every batch
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
@@ -226,6 +295,10 @@ def lsh_pair_candidates(
             F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
         )
     )
+    if max_bucket_size is not None:
+        b = _drop_oversized_buckets(
+            b, ["table_id", "bucket"], max_bucket_size, "lsh_pair_candidates"
+        )
     a_, b_ = b.alias("a"), b.alias("b")
     return (
         a_.join(
@@ -250,10 +323,13 @@ def embedding_near_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bucketed near-duplicate pair mining: LSH candidates (equi-join),
     exact-cosine verification of candidates only — output is a subset of
     the exact all-pairs result by construction; recall is the LSH knob.
+    ``max_bucket_size`` passes through to :func:`lsh_pair_candidates`'s
+    degenerate-bucket guard (off by default; see there).
 
     Parameter honesty: a hyperplane agrees on a cos-0.45 pair with
     p = 1 - acos(0.45)/pi ~ 0.65 vs 0.5 for a random pair, so near the
@@ -263,7 +339,8 @@ def embedding_near_pairs_lsh(
     ``n_planes`` 12-16 there.  The SHAPE (equi-join on (table, bucket),
     never a theta join) is what survives 10^12 rows."""
     cand = lsh_pair_candidates(
-        vectors, n_tables, n_planes, seed, id_col, vec_col, dim
+        vectors, n_tables, n_planes, seed, id_col, vec_col, dim,
+        max_bucket_size=max_bucket_size,
     )
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
@@ -293,6 +370,7 @@ def lsh_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_broadcast_probes: int = 500_000,
 ) -> DataFrame:
     """Batch ANN: many queries at once via a grouped ``(table_id, bucket)``
     probe — the join form :func:`lsh_bucketed_topk`'s docstring promises.
@@ -302,7 +380,19 @@ def lsh_batch_topk(
     only an exact equi-join — no per-pair Hamming evaluation, no broadcast
     of the full query set's signatures beyond the exploded probe keys.
     Candidates are deduped per (query, candidate) and exact-cosine
-    re-ranked with a per-query top-k window."""
+    re-ranked with a per-query top-k window.
+
+    ``max_broadcast_probes``: the probe frame holds ``n_queries *
+    n_tables * (n_planes + 1)`` rows EACH CARRYING the query vector —
+    broadcasting it unconditionally would let a large query batch blow
+    the driver/executor broadcast memory with nothing failing over.  The
+    query side is therefore counted up front (one tiny action on a frame
+    whose whole point is to be bounded) and the probe join falls back to
+    a plain shuffle join above the cap — same rows, same result, shuffle
+    cost instead of broadcast memory.  The default (500k probe rows,
+    i.e. ~7k queries at the default 8x9 expansion with ~KB vectors ~
+    hundreds of MB broadcast) is sized against Spark's default broadcast
+    limits; lower it when query vectors are wide."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -332,8 +422,12 @@ def lsh_batch_topk(
             "query_id", "qvec", "table_id", F.explode(probes).alias("bucket")
         )
     )
+    n_probe_rows = queries.count() * n_tables * (n_planes + 1)
+    probe_side = (
+        F.broadcast(qprobe) if n_probe_rows <= max_broadcast_probes else qprobe
+    )
     cand = (
-        data.join(F.broadcast(qprobe), ["table_id", "bucket"])
+        data.join(probe_side, ["table_id", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "qvec", "cand_id", "cand_vec")
         .dropDuplicates(["query_id", "cand_id"])

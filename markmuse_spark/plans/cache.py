@@ -20,6 +20,17 @@ behavior); inside a scope the frame is registered and unpersisted at
 scope exit.  Scopes nest (inner scopes release first) and are
 thread-local, so concurrent sessions/threads cannot release each
 other's caches.
+
+CONTRACT — a scope must enclose both the persist AND every action that
+consumes it: registration is with the innermost active scope, so a
+frame persisted inside a nested helper scope is unpersisted at that
+inner scope's exit, before any action the OUTER caller runs against it
+(the action still succeeds — Spark recomputes an unpersisted frame —
+but the persist bought nothing).  The operators in this package persist
+and are consumed within one call, so wrapping the call site (as the
+bench harness does per query) satisfies the contract; only a helper
+that opens its own scope around a persist it returns lazily would
+violate it.
 """
 
 from __future__ import annotations

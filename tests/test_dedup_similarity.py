@@ -281,3 +281,137 @@ def test_lsh_batch_topk_mismatched_widths_fail_loudly(spark):
     )
     with _pytest.raises(Exception, match="expected 64-dim|shapes|dimension"):
         sim.lsh_batch_topk(data, queries, k=3).collect()
+
+
+def test_lsh_pair_candidates_bucket_cap_bounds_degenerate_bucket(spark):
+    """Zero vectors land in bucket 0 of EVERY table — one data-dependent
+    hot bucket that no n_planes choice bounds.  With max_bucket_size set,
+    the degenerate bucket is dropped (pairs confined to it disappear,
+    output stays bounded) while pairs living in healthy buckets survive."""
+    import numpy as np
+
+    from markmuse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [0.0] * 8) for i in range(200)]  # the degenerate cluster
+    for i in range(200, 220):  # planted near-dup pairs in healthy buckets
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in v + rng.standard_normal(8) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = sim.lsh_pair_candidates(df).collect()
+    assert sum(1 for r in uncapped if r["id_a"] < 200 and r["id_b"] < 200) == (
+        200 * 199
+    ) // 2  # the quadratic blowup the cap exists to stop
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in sim.lsh_pair_candidates(df, max_bucket_size=100).collect()
+    }
+    assert not any(a < 200 and b < 200 for a, b in capped)
+    planted = {(i, i + 1000) for i in range(200, 220)}
+    assert planted <= capped  # healthy-bucket pairs unaffected by the cap
+
+
+def test_minhash_band_cap_bounds_identical_cluster(spark):
+    """A boilerplate-identical cluster shares every band hash; with
+    max_band_size set its O(m^2) candidates are dropped-and-logged while
+    ordinary near-dup pairs (tiny band groups) are untouched."""
+    from markmuse_spark.operators import dedup as dd
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, boiler) for i in range(120)]
+    rows += [(1000, near_a), (1001, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5, max_band_size=50).collect()
+    }
+    assert (1000, 1001) in capped  # healthy pair survives
+    assert not any(a < 120 and b < 120 for a, b in capped)
+
+    uncapped = dd.minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert uncapped == (120 * 119) // 2 + 1  # the blowup, for contrast
+
+
+def test_lsh_batch_topk_large_query_side_takes_shuffle_join(spark, vectors):
+    """Above max_broadcast_probes the probe join must not carry a
+    broadcast hint: with auto-broadcast disabled the plan goes through a
+    shuffle join and returns the identical result — the fail-over the
+    unconditional broadcast lacked."""
+    from markmuse_spark.operators import similarity as sim
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    want = {
+        (r["query_id"], r["cand_id"], r["cosine"])
+        for r in sim.lsh_batch_topk(vectors, queries, k=5).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = sim.lsh_batch_topk(vectors, queries, k=5, max_broadcast_probes=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        got = {(r["query_id"], r["cand_id"], r["cosine"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
+def test_vec_dim_skips_leading_null(spark):
+    """A NULL vector in row one must not disable width pinning (ADVICE
+    round 4): the pin comes from the first NON-NULL vector."""
+    from markmuse_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).sortWithinPartitions("vec_id")
+    assert sim._vec_dim(df, "embedding") == 4
+    empty = df.filter(F.col("vec_id") < 0)
+    assert sim._vec_dim(empty, "embedding") is None
+
+
+def test_lsh_signatures_cross_batch_width_drift_raises(spark):
+    """With dim unset, a worker pins the first batch's width and a later
+    batch of a DIFFERENT width must raise — not hash into an incompatible
+    plane space (ADVICE round 4)."""
+    import pytest as _pytest
+
+    from markmuse_spark.operators import similarity as sim
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1)
+        with _pytest.raises(Exception, match="width changed across batches"):
+            sim.lsh_signatures(df).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_minhash_candidate_dedup_folds_into_verify_exchange(docs):
+    """Plan pin for the round-5 fold: the candidate stream crosses exactly
+    ONE exchange (repartition on doc_a) with the duplicate-elimination
+    aggregate running on top of it — `.distinct()` before the verify join
+    cost a second full pair-key exchange."""
+    plan = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_COL" in plan
+    import re as _re
+
+    # exchanges of the two-column candidate key (doc_a, doc_b) must not
+    # exist; the only hashpartitioning exchanges are the doc_a repartition
+    # and whatever the verify joins need on the shingle side
+    assert not _re.search(r"hashpartitioning\(doc_a#\d+L, doc_b", plan)
