@@ -28,7 +28,9 @@ def extract_document(url: str, payload: Optional[bytes]) -> dict[str, Any]:
     try:
         if payload is None or len(payload) == 0:
             raise ValueError("empty payload")
-        if payload.startswith(b"%PDF"):
+        # slice-compare, not startswith: payload may be a zero-copy
+        # memoryview of the Arrow batch (PEP 3118 equality with bytes)
+        if payload[:4] == b"%PDF":
             pages = pdf_extract.extract_pages(payload)
         else:
             pages = html_extract.extract_pages(payload)
@@ -71,7 +73,7 @@ def extract_document_enhanced(
     try:
         if payload is None or len(payload) == 0:
             raise ValueError("empty payload")
-        if payload.startswith(b"%PDF"):
+        if payload[:4] == b"%PDF":  # bytes-like; see extract_document
             pages = pdf_extract.extract_pages(payload)
         else:
             pages = html_extract.extract_pages(payload)

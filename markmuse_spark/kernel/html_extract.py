@@ -145,7 +145,10 @@ class _PageBuilder:
 
 
 def extract_pages(payload: bytes) -> list[dict[str, Any]]:
-    """Extract the page list (ocr_pages shape) from one HTML payload.
+    """Extract the page list (ocr_pages shape) from one HTML payload
+    (``bytes`` or any buffer — the Spark operator passes zero-copy
+    memoryview slices of the Arrow batch, and ``str(buf, enc)`` decodes
+    straight from the buffer with no intermediate ``bytes`` copy).
 
     Raises ``ValueError`` for empty/undecodable payloads (callers surface
     this as the per-row ``error`` column; one bad document never fails the
@@ -154,10 +157,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     if not payload:
         raise ValueError("empty payload")
     try:
-        text = payload.decode("utf-8")
+        text = str(payload, "utf-8")
     except UnicodeDecodeError:
         # Common-Crawl reality: mislabeled encodings; latin-1 never fails
-        text = payload.decode("latin-1")
+        text = str(payload, "latin-1")
 
     page = _PageBuilder(0)
     blocks = page.blocks

@@ -866,6 +866,13 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     """Extract the page list (ocr_pages shape) from one PDF payload."""
     if not payload:
         raise ValueError("empty payload")
+    if not isinstance(payload, bytes):
+        # the Spark operator hands zero-copy memoryview slices of the
+        # Arrow batch; this kernel's byte surgery (bytes.find, bytearray
+        # blanking, stored slices) wants real bytes, so the PDF path —
+        # ~20% of a web corpus — materializes its payload exactly once
+        # here (the HTML path never copies; see html_extract)
+        payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
     pages: list[dict[str, Any]] = []

@@ -261,3 +261,33 @@ def test_enhanced_run_with_captions(spark, tmp_path):
     # enhanced markdown carries the AI-analysis block for captioned images
     one = df.filter(F.col("n_enhanced") > 0).select("markdown").first()
     assert "**AI图片分析**：" in one["markdown"]
+
+
+def test_binary_views_are_zero_copy_and_null_safe():
+    """The Arrow payload accessor must slice the batch's data buffer
+    (no per-cell bytes copy) and round-trip nulls/empties/content
+    byte-identically with to_pylist()."""
+    import pyarrow as pa
+
+    from markmuse_spark.operators.extract import _binary_views
+
+    cells = [b"%PDF-1.4 junk", None, b"", b"<html>x</html>" * 100, b"\x00\xff"]
+    col = pa.array(cells, type=pa.binary())
+    views = _binary_views(col)
+    assert [None if v is None else bytes(v) for v in views] == col.to_pylist()
+    live = [v for v in views if v]
+    assert all(isinstance(v, memoryview) for v in live)
+    # zero-copy: every live view shares the column's single data buffer
+    buf = col.buffers()[2]
+    base = pa.foreign_buffer(buf.address, buf.size)  # address identity proxy
+    assert sum(len(v) for v in live) == buf.size
+    # sliced batches must honor the array offset
+    sl = col.slice(2, 3)
+    assert [
+        None if v is None else bytes(v) for v in _binary_views(sl)
+    ] == sl.to_pylist()
+    # and the kernel dispatch accepts the views directly
+    from markmuse_spark.kernel.extract import extract_document
+
+    row = extract_document("https://x.example/a", memoryview(b"<p>hi</p>"))
+    assert row["error"] is None and "hi" in row["markdown"]
