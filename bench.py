@@ -382,6 +382,7 @@ def main() -> None:
         except OSError:
             pass
 
+    from markmuse_spark.plans.cache import cache_scope
     from markmuse_spark.queries import QUERIES
     from markmuse_spark.session import get_spark
 
@@ -418,13 +419,21 @@ def main() -> None:
     # SWEEPS full passes over the suite; the reported number is the
     # per-query MEDIAN (single samples made round-over-round deltas noise:
     # r2's apparent 1.5-1.9x q3/b5/a6 regressions were one dirty window)
+    # each query runs inside its own cache_scope: frames the operator
+    # tracked-persists are unpersisted right after the collect, so (a)
+    # storage memory is flat across sweeps instead of leaning on
+    # CacheManager dedupe + LRU (the round-4 re-cache warnings), and (b)
+    # every sweep measures the SAME cold-cache query cost — the number a
+    # one-shot job would see — rather than sweep 1 paying the cache build
+    # for sweeps 2..n (disclosed in BASELINE.md; medians moved with it)
     sweeps: list[dict[str, float]] = []
     for _ in range(SWEEPS):
         one: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
-            fn(spark, SF_DIR).collect()
+            with cache_scope():
+                fn(spark, SF_DIR).collect()
             one[name] = round(time.time() - t0, 3)
         sweeps.append(one)
     query_times = {

@@ -40,22 +40,61 @@ DEFAULT_BIG_BYTES = 256 * 1024
 DEFAULT_OVERSUB = 4
 
 
-def committed_urls(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
-    """Urls from previously *committed* runs (run dirs bearing _SUCCESS).
+def committed_urls(
+    spark: SparkSession, output_dir: str, source: str = "listing"
+) -> Optional[DataFrame]:
+    """Urls from previously *committed* runs.
 
-    Listing goes through the Hadoop FileSystem API (resolved from the
+    ``source="listing"`` (default): run dirs bearing ``_SUCCESS``.  The
+    listing goes through the Hadoop FileSystem API (resolved from the
     run root's own scheme), NOT ``os.listdir`` — the same code path then
     works against file://, hdfs://, s3a:// and every other configured
     store; round 2's local-FS walk was a 100x-scale liability.  The run
     count is small (one directory status per run), so a driver-side
-    listing is fine; at extreme run counts the ``extraction_runs``
-    lineage sidecar (A20) carries the same committed run ids and could
-    replace the listing entirely."""
+    listing is fine.
+
+    ``source="sidecar"``: committed run ids come from the
+    ``extraction_runs`` lineage sidecar (A20) instead — the job-level
+    SUCCESS row (``partition_id = -1``) is written only AFTER the run
+    directory's committer succeeded, so sidecar-SUCCESS implies
+    dir-committed.  This is the extreme-run-count path: one bounded
+    parquet read + a driver-side collect of run ids (one tiny row per
+    run) replaces a per-run-dir FileStatus round trip against the
+    object store.  A run that crashed between the data commit and its
+    sidecar append is re-listed as TODO and re-skipped row-by-row is
+    avoided by the run-dir write mode (``errorifexists``) — callers
+    using the sidecar source should pass fresh run ids, exactly as the
+    listing source already requires."""
     jvm = spark._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(output_dir, "extracted")
     fs = root.getFileSystem(hconf)
+    if source == "sidecar":
+        runs_root = HPath(output_dir, "extraction_runs")
+        if not fs.exists(runs_root):
+            return None
+        run_ids = [
+            r["run_id"]
+            for r in (
+                spark.read.parquet(runs_root.toString())
+                .filter(
+                    (F.col("partition_id") == -1)
+                    & (F.col("status") == "SUCCESS")
+                )
+                .select("run_id")
+                .distinct()
+                .collect()
+            )
+        ]
+        good = [
+            str(HPath(root, f"run_id={rid}").toString()) for rid in sorted(run_ids)
+        ]
+        if not good:
+            return None
+        return spark.read.parquet(*good).select("url")
+    if source != "listing":
+        raise ValueError(f"unknown resume source {source!r}")
     if not fs.exists(root):
         return None
     good = []
@@ -102,6 +141,7 @@ def run_extraction(
     big_bytes: int = DEFAULT_BIG_BYTES,
     oversub: int = DEFAULT_OVERSUB,
     resume: bool = True,
+    resume_source: str = "listing",
     iceberg_table: Optional[str] = None,
     captions: Optional[DataFrame] = None,
 ) -> dict:
@@ -129,7 +169,7 @@ def run_extraction(
 
     todo = pages
     if resume:
-        done = committed_urls(spark, output_dir)
+        done = committed_urls(spark, output_dir, source=resume_source)
         if done is not None:
             todo = todo.join(done, "url", "left_anti")
 

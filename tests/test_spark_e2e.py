@@ -291,3 +291,35 @@ def test_binary_views_are_zero_copy_and_null_safe():
 
     row = extract_document("https://x.example/a", memoryview(b"<p>hi</p>"))
     assert row["error"] is None and "hi" in row["markdown"]
+
+
+def test_sidecar_resume_matches_listing_resume(spark, tmp_path):
+    """resume_source='sidecar' (A20-driven, the extreme-run-count path)
+    must skip exactly the runs the _SUCCESS listing would skip, and a
+    FAILURE sidecar row must not mark its run as done."""
+    out = str(tmp_path / "out")
+    first = corpus.pages_dataframe(spark, 120, seed=42, partitions=4)
+    pipeline.run_extraction(spark, first, out, run_id="s1")
+    full = corpus.pages_dataframe(spark, 200, seed=42, partitions=4)
+    job2 = pipeline.run_extraction(
+        spark, full, out, run_id="s2", resume_source="sidecar"
+    )
+    assert job2["url_count"] == 80  # only the new urls
+    # a failed run (Iceberg append without a catalog) leaves a FAILURE
+    # sidecar row — the sidecar source must not treat it as committed
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pipeline.run_extraction(
+            spark, full, out, run_id="s3", iceberg_table="nocat.db.t"
+        )
+    job4 = pipeline.run_extraction(
+        spark, full, out, run_id="s4", resume_source="sidecar"
+    )
+    assert job4["url_count"] == 0  # s1+s2 cover everything; s3 added none
+    assert (
+        spark.read.parquet(f"{out}/extracted").select("url").distinct().count()
+        == 200
+    )
+    with _pytest.raises(ValueError, match="unknown resume source"):
+        pipeline.committed_urls(spark, out, source="nonsense")
