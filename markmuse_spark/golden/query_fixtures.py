@@ -318,25 +318,60 @@ def mint_x_extract_images() -> tuple[list[dict], "object"]:
 # ---------------------------------------------------------------------
 
 def mint_m_image_metadata() -> tuple[list[dict], "object"]:
+    """First-principles expectations for the synthetic 4-container mix
+    (PNG / WEBP-VP8X / WAV / MP4 by ``doc_id % 4``): payloads rebuilt
+    with struct/bytes arithmetic, dimensions and durations taken from
+    the CONSTRUCTION math (never a parser), sha1 via hashlib."""
+    import struct
+
     import pyarrow as pa
 
     magic_ihdr = bytes.fromhex("89504E470D0A1A0A0000000D49484452")
     rows = []
     for d in _documents(max_doc_id=100):
-        w = int(d["doc_id"]) % 1920 + 1
-        h = int(d["doc_id"]) % 1080 + 1
-        payload = (
-            magic_ihdr
-            + w.to_bytes(4, "big")
-            + h.to_bytes(4, "big")
-            + d["text"].encode("utf-8")
-        )
+        did = int(d["doc_id"])
+        w = did % 1920 + 1
+        h = did % 1080 + 1
+        body = d["text"].encode("utf-8")
+        fmt, width, height, dur = None, None, None, None
+        if did % 4 == 0:
+            fmt, width, height = "png", w, h
+            payload = (
+                magic_ihdr + w.to_bytes(4, "big") + h.to_bytes(4, "big") + body
+            )
+        elif did % 4 == 1:
+            fmt, width, height = "webp", w, h
+            payload = (
+                b"RIFF\x16\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + body
+            )
+        elif did % 4 == 2:
+            dsz = (did + 1) * 16
+            fmt, dur = "wav", dsz * 1000 // 16000  # byte rate 16000
+            payload = (
+                b"RIFF" + struct.pack("<I", dsz + 36)
+                + b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+                + b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00data"
+                + struct.pack("<I", dsz) + body
+            )
+        else:
+            mdur = (did + 1) * 250
+            fmt, dur = "mp4", mdur * 1000 // 1000  # timescale 1000
+            payload = (
+                b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+                b"\x00\x00\x00\x24moov\x00\x00\x00\x1cmvhd\x00\x00\x00\x00"
+                b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x03\xe8"
+                + struct.pack(">I", mdur) + body
+            )
         rows.append(
             {
-                "_id": str(d["doc_id"]),
-                "format": "png",
-                "width": w,
-                "height": h,
+                "_id": str(did),
+                "format": fmt,
+                "width": width,
+                "height": height,
+                "duration_ms": dur,
                 "n_bytes": len(payload),
                 "sha1": hashlib.sha1(payload).hexdigest(),
             }
@@ -347,6 +382,7 @@ def mint_m_image_metadata() -> tuple[list[dict], "object"]:
             ("format", pa.string()),
             ("width", pa.int32()),
             ("height", pa.int32()),
+            ("duration_ms", pa.int64()),
             ("n_bytes", pa.int64()),
             ("sha1", pa.string()),
         ]

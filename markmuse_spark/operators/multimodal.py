@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_DDL = (
-    "format string, width int, height int, n_bytes long, sha1 string"
+    "format string, width int, height int, duration_ms bigint, "
+    "n_bytes long, sha1 string"
 )
 
 try:  # pragma: no cover - not present in this container
@@ -56,7 +57,9 @@ def sniff_format(data: Optional[bytes]) -> Optional[str]:
 
 
 def parse_dimensions(data: bytes, fmt: Optional[str]) -> tuple[Optional[int], Optional[int]]:
-    """Width/height from container headers (PNG IHDR, JPEG SOFn, GIF LSD)."""
+    """Width/height from container headers (PNG IHDR, JPEG SOFn, GIF LSD,
+    WEBP VP8/VP8L/VP8X — all three WebP bitstream flavors, pure
+    byte-stream parses like the rest)."""
     try:
         if fmt == "png" and len(data) >= 24 and data[12:16] == b"IHDR":
             w, h = struct.unpack(">II", data[16:24])
@@ -64,6 +67,22 @@ def parse_dimensions(data: bytes, fmt: Optional[str]) -> tuple[Optional[int], Op
         if fmt == "gif" and len(data) >= 10:
             w, h = struct.unpack("<HH", data[6:10])
             return int(w), int(h)
+        if fmt == "webp" and len(data) >= 25:
+            four = data[12:16]
+            body = data[20:]
+            # per-flavor length gates: a truncated header must yield
+            # (None, None), never a short-slice misread
+            if four == b"VP8X" and len(body) >= 10:  # 24-bit LE canvas - 1
+                w = int.from_bytes(body[4:7], "little") + 1
+                h = int.from_bytes(body[7:10], "little") + 1
+                return w, h
+            if four == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")  # 14-bit pack
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if four == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                return w, h
         if fmt == "jpeg":
             i = 2
             while i + 9 < len(data):
@@ -81,6 +100,60 @@ def parse_dimensions(data: bytes, fmt: Optional[str]) -> tuple[Optional[int], Op
     return None, None
 
 
+def parse_duration_ms(data: bytes, fmt: Optional[str]) -> Optional[int]:
+    """Duration in milliseconds from audio/video container headers —
+    WAV (RIFF chunk walk: ``fmt ``'s byte rate over ``data``'s declared
+    size) and MP4 (box walk to ``moov``/``mvhd``: declared duration over
+    the movie timescale, version 0 and 1 layouts).  Pure byte-stream
+    parses; floor division keeps the value integral and engine-
+    independent.  None for images, truncated headers, or zero rates."""
+    try:
+        if fmt == "wav":
+            byte_rate = data_size = None
+            i = 12
+            while i + 8 <= len(data):
+                four = data[i : i + 4]
+                csize = struct.unpack("<I", data[i + 4 : i + 8])[0]
+                if four == b"fmt " and i + 20 <= len(data):
+                    byte_rate = struct.unpack("<I", data[i + 16 : i + 20])[0]
+                elif four == b"data":
+                    data_size = csize
+                if byte_rate is not None and data_size is not None:
+                    break
+                i += 8 + csize + (csize & 1)  # chunks pad to even
+            if byte_rate and data_size is not None:
+                return data_size * 1000 // byte_rate
+        if fmt == "mp4":
+            i = 0
+            while i + 8 <= len(data):  # top-level box walk
+                size = struct.unpack(">I", data[i : i + 4])[0]
+                if data[i + 4 : i + 8] == b"moov":
+                    j = i + 8
+                    end = min(i + size, len(data))
+                    while j + 8 <= end:  # moov children
+                        csize = struct.unpack(">I", data[j : j + 4])[0]
+                        if data[j + 4 : j + 8] == b"mvhd" and j + 9 <= end:
+                            v = data[j + 8]
+                            if v == 1 and j + 40 <= end:
+                                ts = struct.unpack(">I", data[j + 28 : j + 32])[0]
+                                dur = struct.unpack(">Q", data[j + 32 : j + 40])[0]
+                            elif j + 28 <= end:
+                                ts = struct.unpack(">I", data[j + 20 : j + 24])[0]
+                                dur = struct.unpack(">I", data[j + 24 : j + 28])[0]
+                            else:
+                                return None
+                            return dur * 1000 // ts if ts else None
+                        if csize < 8:
+                            break
+                        j += csize
+                if size < 8:
+                    break
+                i += size
+    except Exception:
+        pass
+    return None
+
+
 def image_metadata(frames: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """Typed metadata struct per binary payload (mapInArrow; bytes never
     leave the executor, output is a small struct)."""
@@ -92,6 +165,7 @@ def image_metadata(frames: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             ("format", pa.string()),
             ("width", pa.int32()),
             ("height", pa.int32()),
+            ("duration_ms", pa.int64()),
             ("n_bytes", pa.int64()),
             ("sha1", pa.string()),
         ]
@@ -109,6 +183,9 @@ def image_metadata(frames: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 rows["format"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
+                rows["duration_ms"].append(
+                    parse_duration_ms(data, fmt) if data else None
+                )
                 rows["n_bytes"].append(len(data) if data else 0)
                 rows["sha1"].append(
                     hashlib.sha1(data).hexdigest() if data else None

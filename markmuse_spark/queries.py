@@ -1462,26 +1462,64 @@ def x_extract_images(spark, sf_dir):
 @_q(
     "m_image_metadata",
     # fixture minted from first principles (payload reconstructed from
-    # doc_id + text, dimensions from the construction arithmetic, sha1 via
-    # hashlib — no kernel code; golden/query_fixtures.py)
-    "SELECT _id, format, width, height, n_bytes, sha1 FROM "
+    # doc_id + text, dimensions/durations from the construction
+    # arithmetic, sha1 via hashlib — no kernel code; query_fixtures.py)
+    "SELECT _id, format, width, height, duration_ms, n_bytes, sha1 FROM "
     f"read_parquet('{_FIXDIR}/m_image_metadata.parquet') "
     "ORDER BY CAST(_id AS INTEGER)",
 )
 def m_image_metadata(spark, sf_dir):
-    """Multimodal: binary image columns with typed metadata — synthetic
-    PNG payloads built JVM-side (unhex magic + IHDR from doc_id), parsed
-    back by the byte-stream header reader."""
+    """Multimodal: binary media columns with typed metadata — synthetic
+    PNG / WEBP(VP8X) / WAV / MP4 payloads built JVM-side (``doc_id % 4``
+    selects the container; magic + header fields from doc_id arithmetic,
+    the document text standing in for the media body), parsed back by
+    the byte-stream dimension and duration readers."""
     from markmuse_spark.operators.multimodal import image_metadata
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id")
+    w1, h1 = (did % 1920) + 1, (did % 1080) + 1
+
+    def byte(x):  # one LE byte of an integral column
+        return F.unhex(F.lpad(F.hex(x % 256), 2, "0"))
+
+    def le3(x):
+        return F.concat(byte(x), byte(F.shiftright(x, 8)), byte(F.shiftright(x, 16)))
+
+    def le4(x):
+        return F.concat(le3(x), byte(F.shiftright(x, 24)))
+
+    body = F.encode(F.col("text"), "UTF-8")
     png = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # magic + IHDR len/tag
-        F.unhex(F.lpad(F.hex((F.col("doc_id") % 1920) + 1), 8, "0")),  # width
-        F.unhex(F.lpad(F.hex((F.col("doc_id") % 1080) + 1), 8, "0")),  # height
-        F.encode(F.col("text"), "UTF-8"),
+        F.unhex(F.lpad(F.hex(w1), 8, "0")),
+        F.unhex(F.lpad(F.hex(h1), 8, "0")),
+        body,
     )
-    media = d.select(F.col("doc_id").cast("string").alias("media_id"), png.alias("payload"))
+    webp = F.concat(  # VP8X extended header: 24-bit LE canvas size - 1
+        F.lit(b"RIFF\x16\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x00\x00\x00\x00"),
+        le3(w1 - 1), le3(h1 - 1), body,
+    )
+    dsz = (did + 1) * 16  # data-chunk size; byte_rate 16000 -> ms = did+1
+    wav = F.concat(
+        F.lit(b"RIFF"), le4(dsz + 36),
+        F.lit(b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+              b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00data"),
+        le4(dsz), body,
+    )
+    mp4 = F.concat(  # ftyp + moov/mvhd v0: timescale 1000, duration below
+        F.lit(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+              b"\x00\x00\x00\x24moov\x00\x00\x00\x1cmvhd\x00\x00\x00\x00"
+              b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x03\xe8"),
+        F.unhex(F.lpad(F.hex((did + 1) * 250), 8, "0")), body,
+    )
+    payload = (
+        F.when(did % 4 == 0, png)
+        .when(did % 4 == 1, webp)
+        .when(did % 4 == 2, wav)
+        .otherwise(mp4)
+    )
+    media = d.select(did.cast("string").alias("media_id"), payload.alias("payload"))
     return image_metadata(media, "media_id", "payload").orderBy(F.col("_id").cast("int"))
 
 

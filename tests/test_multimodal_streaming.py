@@ -196,3 +196,86 @@ def test_decode_image_pixels_pluggable_interface():
     else:  # pragma: no cover - container ships no codecs
         img = multimodal.decode_image_pixels(png_1x1)
         assert img.size == (1, 1)
+
+
+def _webp_vp8x(w, h):
+    return (
+        b"RIFF\x16\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    return (
+        b"RIFF\x14\x00\x00\x00WEBPVP8L\x05\x00\x00\x00\x2f"
+        + struct.pack("<I", bits)
+    )
+
+
+def _webp_vp8(w, h):
+    return (
+        b"RIFF\x1a\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00"
+        + b"\x00\x00\x00\x9d\x01\x2a"
+        + struct.pack("<HH", w, h)
+    )
+
+
+def _wav(byte_rate, data_size):
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+        + struct.pack("<I", byte_rate // 2) + struct.pack("<I", byte_rate)
+        + b"\x02\x00\x10\x00data" + struct.pack("<I", data_size)
+    )
+
+
+def _mp4(timescale, duration, v=0):
+    if v == 0:
+        mvhd = (
+            b"\x00\x00\x00\x1cmvhd" + b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration)
+        )
+    else:
+        mvhd = (
+            struct.pack(">I", 8 + 4 + 16 + 4 + 8) + b"mvhd"
+            + b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+        )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00" + moov
+
+
+def test_webp_dimension_parsing_all_three_flavors():
+    for mk in (_webp_vp8x, _webp_vp8l, _webp_vp8):
+        data = mk(640, 480)
+        assert multimodal.sniff_format(data) == "webp", mk.__name__
+        assert multimodal.parse_dimensions(data, "webp") == (640, 480), mk.__name__
+    # 14-bit ceiling of the packed VP8L/VP8 fields
+    assert multimodal.parse_dimensions(_webp_vp8l(16384, 16384), "webp") == (16384, 16384)
+    # truncated header: None, never a raise
+    assert multimodal.parse_dimensions(_webp_vp8x(64, 64)[:20], "webp") == (None, None)
+
+
+def test_wav_mp4_duration_parsing():
+    wav = _wav(16000, 48000)  # 48000 bytes at 16 kB/s -> 3000 ms
+    assert multimodal.sniff_format(wav) == "wav"
+    assert multimodal.parse_duration_ms(wav, "wav") == 3000
+    mp4_v0 = _mp4(1000, 2500, v=0)
+    mp4_v1 = _mp4(600, 1500, v=1)
+    assert multimodal.sniff_format(mp4_v0) == "mp4"
+    assert multimodal.parse_duration_ms(mp4_v0, "mp4") == 2500
+    assert multimodal.parse_duration_ms(mp4_v1, "mp4") == 1500 * 1000 // 600
+    # zero timescale / truncated boxes: None, never a raise or div-zero
+    assert multimodal.parse_duration_ms(_mp4(0, 10), "mp4") is None
+    assert multimodal.parse_duration_ms(mp4_v0[:20], "mp4") is None
+    assert multimodal.parse_duration_ms(wav[:16], "wav") is None
+
+
+def test_image_metadata_carries_duration_column(spark):
+    rows = [("w", _wav(16000, 16000)), ("m", _mp4(1000, 1250)), ("p", _png(8, 4))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["_id"]: r for r in multimodal.image_metadata(df, "media_id", "payload").collect()}
+    assert out["w"]["duration_ms"] == 1000 and out["w"]["width"] is None
+    assert out["m"]["duration_ms"] == 1250
+    assert out["p"]["duration_ms"] is None and out["p"]["width"] == 8
