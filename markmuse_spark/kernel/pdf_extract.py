@@ -44,9 +44,12 @@ gap: ``/Type /ObjStm`` streams (spec 7.5.7 — how modern producers pack
 the whole page tree, so no catalog/pages/page object exists top-level)
 are unpacked by :func:`_parse_objstm` and merged into the object graph
 by file position, so last-definition-wins holds across top-level and
-packed definitions alike.  The one remaining documented exclusion: CID
-fonts WITHOUT a ToUnicode CMap (glyph-only; no text to extract without
-font embedding analysis).
+packed definitions alike.  Corpus v8 exercises the last dialect class
+END-TO-END: CID fonts WITHOUT a ToUnicode CMap are glyph-only (their
+code space is the embedded font program's private glyph ids; nothing to
+extract without font-embedding analysis), and every string they scope
+is SUPPRESSED (:data:`GLYPH_ONLY`) — never mis-decoded into UTF-8 byte
+salad or U+FFFD floods that would poison a training corpus.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ import bisect
 import re
 import zlib
 from collections import Counter
-from typing import Any
+from typing import Any, Sequence
 
 # a stream-bearing object: simple (non-nested) dict immediately followed by
 # the stream keyword — /Length delimits the exact payload so compressed
@@ -196,7 +199,11 @@ def _parse_runs(
     """Text runs from one page's content.  ``cmaps`` maps the page's font
     resource names (``F1``...) to their ToUnicode CID->text tables; a
     ``Tf`` selecting a CMap-bearing font switches hex-string decoding to
-    the CID path until the next ``Tf`` (corpus v5 subset fonts)."""
+    the CID path until the next ``Tf`` (corpus v5 subset fonts).  A font
+    mapped to :data:`GLYPH_ONLY` (Type0 with no usable ToUnicode —
+    corpus v8) suppresses EVERY string operand it scopes: its operands
+    are private glyph ids in any string form, so literal strings are as
+    unreadable as hex ones."""
     runs: list[tuple[float, float, float, str]] = []
     size = 10.0
     x = y = 0.0
@@ -205,26 +212,26 @@ def _parse_runs(
         # dispatch on lastindex (Tf->2, Tm->4, Tj->5, hex-Tj->6, TJ->7):
         # one attribute read instead of 2-3 group() calls per token
         li = m.lastindex
-        if li == 5:
-            text = _decode_pdf_string(m[5])
-            if text:
-                runs.append((size, x, y, text))
-        elif li == 4:
+        if li == 4:
             x, y = float(m[3]), float(m[4])
-        elif li == 2:
+            continue
+        if li == 2:
             size = float(m[2])
             cmap = cmaps.get(m[1]) if cmaps else None
+            continue
+        if cmap is GLYPH_ONLY:
+            continue  # unreadable code space: no run, never byte salad
+        if li == 5:
+            text = _decode_pdf_string(m[5])
         elif li == 6:
             text = (
                 _decode_cids(m[6], cmap) if cmap is not None
                 else _decode_hex_string(m[6])
             )
-            if text:
-                runs.append((size, x, y, text))
         else:
             text = _tj_text(m[7], cmap)
-            if text:
-                runs.append((size, x, y, text))
+        if text:
+            runs.append((size, x, y, text))
     return runs
 
 
@@ -269,6 +276,7 @@ def _scan_streams(payload: bytes) -> list[tuple[int, bytes, bytes, tuple[int, in
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_TRAILER_KW_RE = re.compile(rb"trailer")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")  # \b rejects /Pages
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
 _TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
@@ -305,6 +313,15 @@ def _blanked_objects(
 
 _FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+
+# sentinel for a composite (Type0) font with NO usable ToUnicode CMap:
+# its code space is the embedded font program's private glyph ids, so
+# there is NOTHING to extract without font-embedding analysis — strings
+# under such a font are suppressed entirely (corpus v8 pins this
+# end-to-end) rather than mis-decoded as UTF-8 byte salad or rendered
+# as U+FFFD floods, either of which would poison a training corpus
+GLYPH_ONLY = object()
 _BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
 _HEXPAIR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
@@ -465,7 +482,7 @@ def _parse_objstm(head: bytes, data: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
-def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
+def _trailer_root(blanked: bytes, scanned: "Sequence" = ()) -> int | None:
     """The catalog object id from the file's trailer, following the LAST
     ``startxref`` (each incremental update appends its own, so the last
     one is the newest section — its ``/Root`` supersedes all ``/Prev``
@@ -498,7 +515,7 @@ def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
     if not is_stream_form:
         # the trailer dict belonging to THIS table is the first 'trailer'
         # keyword after the table start
-        tm = re.compile(rb"trailer").search(blanked, off)
+        tm = _TRAILER_KW_RE.search(blanked, off)
         src = blanked[tm.end() : tm.end() + 2048] if tm else b""
     else:
         om = _OBJ_RE.match(window)
@@ -520,9 +537,18 @@ def _trailer_root(blanked: bytes, scanned: list = ()) -> int | None:
         )
         if xs is not None:
             entries = _parse_xref_stream(xs[1], xs[2])
-            if entries:  # undecodable table: keep the dict's /Root as-is
-                ent = entries.get(root)
-                if ent is None or ent[0] not in (1, 2):
+            # a decoded table whose (possibly /Index-scoped, possibly
+            # truncated-decode) sections simply do not COVER the root id
+            # is NO EVIDENCE, not a lie: an incrementally-updated file's
+            # final section lists only the updated objects and chains
+            # history through /Prev — distrusting a valid /Root for that
+            # would discard the spec's authoritative pointer (round-4
+            # advice).  Only a PRESENT entry that contradicts the claim
+            # (free/unknown type, or an offset that does not land on
+            # `root 0 obj`) is distrusted.
+            ent = entries.get(root) if entries else None
+            if ent is not None:
+                if ent[0] not in (1, 2):
                     return None
                 if ent[0] == 1:
                     hm = _OBJ_RE.match(blanked, ent[1])
@@ -763,9 +789,17 @@ def _document_pages(
             if tm:
                 si = owner.get(int(tm.group(1)))
                 if si is not None:
-                    cm = _parse_tounicode(
-                        _decode_stream(scanned[si][1], scanned[si][2])
-                    )
+                    try:
+                        cm = _parse_tounicode(
+                            _decode_stream(scanned[si][1], scanned[si][2])
+                        )
+                    except ValueError:
+                        cm = None  # corrupt CMap stream: treated as absent
+            if cm is None and body is not None and _TYPE0_RE.search(body):
+                # composite font with no (usable) ToUnicode: glyph-only —
+                # the one documented dialect exclusion, now exercised
+                # end-to-end by corpus v8's cid_noto pages
+                cm = GLYPH_ONLY
             cmap_cache[font_oid] = cm
         return cmap_cache[font_oid]
 

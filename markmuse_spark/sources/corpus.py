@@ -72,7 +72,10 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # stream's dict and the extractor resolves /Root through it;
         # ~20% additionally pack the ENTIRE page tree into a /ObjStm
         # object stream (corpus v7 — no catalog/pages/page object exists
-        # top-level; the extractor must unpack it to see the graph)
+        # top-level; the extractor must unpack it to see the graph);
+        # ~8% of pages are GLYPH-ONLY (corpus v8): a Type0 font with no
+        # ToUnicode CMap — expected markdown for the page is EMPTY (the
+        # suppress-never-misdecode fallback, exercised end-to-end here)
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=rng.random() < 0.3,

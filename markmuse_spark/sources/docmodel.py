@@ -176,7 +176,8 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
     spec 7.9.2.2 Unicode text-string form — corpus v4; ~25% use a
     Type0/Identity-H SUBSET font whose 2-byte CIDs resolve only through
     the document's ToUnicode CMap — corpus v5, the realest real-corpus
-    text form)."""
+    text form; ~8% are GLYPH-ONLY pages under a Type0 font with NO
+    ToUnicode at all — corpus v8, expected markdown empty)."""
     words = _WORDS_BY_LANG[lang]
     pages: list[dict] = []
     for _ in range(rng.randint(1, 5)):
@@ -186,6 +187,11 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
         use_hex = rng.random() < 0.3
         use_hex16 = rng.random() < 0.25
         use_cid = rng.random() < 0.25
+        # ~8% glyph-only pages (corpus v8): Type0 WITHOUT ToUnicode —
+        # expected markdown for such a page is EMPTY (the documented
+        # suppress-never-misdecode fallback); mutually exclusive with cid
+        use_cid_noto = rng.random() < 0.08
+        use_cid = use_cid and not use_cid_noto
         blocks: list[dict] = []
         n_sections = rng.randint(1, 4)
         for s in range(n_sections):
@@ -208,6 +214,7 @@ def random_pdf_pages(rng: random.Random, lang: str) -> list[dict]:
                 "hex": use_hex,
                 "hex16": use_hex16,
                 "cid": use_cid,
+                "cid_noto": use_cid_noto,
             }
         )
     return pages

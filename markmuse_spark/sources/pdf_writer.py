@@ -155,12 +155,15 @@ def _content_stream(
 
 
 def _cid_charset(pages: list[dict[str, Any]], runs_by_page: list) -> list[str]:
-    """Sorted distinct characters used on ``cid`` pages — the document's
-    subset-font charset; CID = 1 + index (a genuinely non-identity code
-    assignment, exactly what real font subsetters produce)."""
+    """Sorted distinct characters used on ``cid``/``cid_noto`` pages —
+    the document's subset-font charset; CID = 1 + index (a genuinely
+    non-identity code assignment, exactly what real font subsetters
+    produce).  One shared charset serves both fonts: the ToUnicode CMap
+    (when any ``cid`` page exists) covers every assignment, and the
+    no-ToUnicode font's assignments are unreadable by design."""
     chars: set[str] = set()
     for page, runs in zip(pages, runs_by_page):
-        if page.get("cid"):
+        if page.get("cid") or page.get("cid_noto"):
             for _size, _x, _y, text in runs:
                 chars.update(text)
     return sorted(chars)
@@ -171,12 +174,16 @@ def _cid_hex(text: str, cid_of: dict[str, int]) -> bytes:
 
 
 def _cid_content_stream(
-    runs: list[tuple[int, int, int, str]], use_tj: bool, cid_of: dict[str, int]
+    runs: list[tuple[int, int, int, str]],
+    use_tj: bool,
+    cid_of: dict[str, int],
+    font: bytes = b"F2",
 ) -> bytes:
-    """Content stream for a ``cid`` page: /F2 (the Type0 font), strings as
-    2-byte-CID hex; with ``tj`` the words are separate CID-hex pieces with
-    kerning adjustments (the space char is then not emitted at all — the
-    extractor must recover it from the adjustment, via the CMap path)."""
+    """Content stream for a ``cid`` page: ``font`` (a Type0 font), strings
+    as 2-byte-CID hex; with ``tj`` the words are separate CID-hex pieces
+    with kerning adjustments (the space char is then not emitted at all —
+    the extractor must recover it from the adjustment, via the CMap path).
+    ``cid_noto`` pages reuse this with /F3, the ToUnicode-less font."""
     parts = []
     for size, x, y, text in runs:
         if use_tj and " " in text:
@@ -186,13 +193,13 @@ def _cid_content_stream(
                     pieces.append(b"-250")
                 pieces.append(_cid_hex(w, cid_of))
             parts.append(
-                b"BT /F2 %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
-                % (size, x, y, b" ".join(pieces))
+                b"BT /%b %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
+                % (font, size, x, y, b" ".join(pieces))
             )
         else:
             parts.append(
-                b"BT /F2 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
-                % (size, x, y, _cid_hex(text, cid_of))
+                b"BT /%b %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
+                % (font, size, x, y, _cid_hex(text, cid_of))
             )
     return b"\n".join(parts)
 
@@ -256,6 +263,11 @@ def write_pdf(
       font (corpus v5): strings are 2-byte CIDs assigned by charset
       index (NOT code points), decodable only through the document's
       ToUnicode CMap stream — the realest real-corpus text form
+    * ``"cid_noto": True`` — the page uses /F3, a Type0 font WITHOUT a
+      ToUnicode CMap (corpus v8): the same charset-index CIDs with no
+      decode path in the file — glyph-only, the form scanned-and-
+      resubsetted wild PDFs show; the extractor must emit NO text for
+      these strings (expected page markdown is empty), never byte salad
 
     ``metadata``: emit an XMP metadata stream object (corpus v5) — a
     NON-content stream the extractor must not turn into a phantom page.
@@ -294,16 +306,20 @@ def write_pdf(
     runs_by_page = [page_runs(p) for p in pages]  # one layout pass per
     # page: _cid_charset and the emit loop below share these runs
     any_cid = any(p.get("cid") for p in pages)
-    charset = _cid_charset(pages, runs_by_page) if any_cid else []
+    any_noto = any(p.get("cid_noto") for p in pages)
+    charset = _cid_charset(pages, runs_by_page) if any_cid or any_noto else []
     cid_of = {c: k + 1 for k, c in enumerate(charset)}
 
     objects: list[bytes] = []
     n_pages = len(pages)
     next_id = 4
-    f2_id = cmap_id = meta_id = None
+    f2_id = f3_id = cmap_id = meta_id = None
     if any_cid:
         f2_id, cmap_id = next_id, next_id + 1
         next_id += 2
+    if any_noto:
+        f3_id = next_id
+        next_id += 1
     if metadata:
         meta_id = next_id
         next_id += 1
@@ -328,6 +344,15 @@ def write_pdf(
         objects.append(
             b"<< /Length %d >>\nstream\n%b\nendstream" % (len(cmap), cmap)
         )
+    if any_noto:
+        # corpus v8: a Type0 font with NO /ToUnicode at all — glyph-only
+        # (the embedded font program that would carry glyph outlines is
+        # out of dialect); the extractor must suppress its strings, not
+        # mis-decode them
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /MMSUB2+Helvetica "
+            b"/Encoding /Identity-H >>"
+        )
     if metadata:
         objects.append(
             b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%b\nendstream"
@@ -338,6 +363,8 @@ def write_pdf(
         font_res = b"/F1 3 0 R"
         if page.get("cid"):
             font_res = b"/F1 3 0 R /F2 %d 0 R" % f2_id
+        elif page.get("cid_noto"):
+            font_res = b"/F1 3 0 R /F3 %d 0 R" % f3_id
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
             b"/Resources << /Font << %b >> >> /Contents %d 0 R >>"
@@ -346,6 +373,10 @@ def write_pdf(
         if page.get("cid"):
             stream = _cid_content_stream(
                 runs_by_page[i], bool(page.get("tj")), cid_of
+            )
+        elif page.get("cid_noto"):
+            stream = _cid_content_stream(
+                runs_by_page[i], bool(page.get("tj")), cid_of, font=b"F3"
             )
         else:
             stream = _content_stream(
@@ -459,7 +490,14 @@ def write_pdf(
 
 def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
     """Markdown the extractor must produce for this page (reading order:
-    left column then right; headings by level; lists keep their markers)."""
+    left column then right; headings by level; lists keep their markers).
+
+    ``cid_noto`` pages expect the EMPTY string: every string operand sits
+    under the ToUnicode-less Type0 font, whose code space is unreadable
+    without font-embedding analysis — the documented glyph-only fallback
+    (suppress, never mis-decode)."""
+    if page_model.get("cid_noto"):
+        return ""
     cols = page_model.get("columns", 1)
     blocks = page_model["blocks"]
     if cols == 2:

@@ -738,3 +738,96 @@ def test_parse_objstm_malformed_inputs():
         (7, b"<< /A >>"),
         (9, b"<< /B >>"),
     ]
+
+
+def test_glyph_only_cid_noto_pages_suppress_all_text():
+    """Corpus v8: a Type0 font with NO ToUnicode is glyph-only — every
+    string under it (Tj, hex-Tj, kerned TJ; plain, compressed, xref-
+    stream, ObjStm files) yields NO text, never UTF-8 byte salad or
+    U+FFFD floods; co-resident readable pages are untouched."""
+    noto = {
+        "columns": 1,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "Secret Heading"},
+            {"t": "p", "text": "hidden body text that must not leak"},
+        ],
+        "cid_noto": True,
+    }
+    cid = {
+        "columns": 1,
+        "blocks": [{"t": "p", "text": "readable cmap body"}],
+        "cid": True,
+        "tj": True,
+    }
+    plain = {"columns": 1, "blocks": [{"t": "p", "text": "plain page"}]}
+    for knobs in ({}, {"xref_stream": True}, {"object_streams": True}):
+        pdf = pdf_writer.write_pdf([noto, cid, plain], **knobs)
+        got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        assert got == ["", "readable cmap body", "plain page"], knobs
+        assert "Secret" not in "".join(got) and "�" not in "".join(got)
+    # tj + compression on the glyph-only page itself
+    pdf = pdf_writer.write_pdf([dict(noto, tj=True, compress=True)])
+    assert [p["markdown"] for p in pdf_extract.extract_pages(pdf)] == [""]
+
+
+def test_corpus_v8_emits_and_roundtrips_cid_noto_pages():
+    """The corpus generator must actually emit glyph-only pages (the
+    exclusion is corpus-exercised, not unit-test-only) and the kernel
+    must reproduce the expected (empty) markdown for them through the
+    ordinary golden path."""
+    from markmuse_spark.sources import corpus
+
+    n_noto = 0
+    for i in range(0, 1500):
+        url, payload, expected, err = corpus._make_doc(i, seed=42)
+        if err is not None or not url.endswith(".pdf"):
+            continue
+        rng = random.Random(f"42:{i}")
+        models = docmodel.random_pdf_pages(rng, docmodel._LANGS[i % 5])
+        if not any(m.get("cid_noto") for m in models):
+            continue
+        n_noto += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [e["markdown"] for e in expected]
+        for m, g in zip(models, got):
+            if m.get("cid_noto"):
+                assert g == ""
+    assert n_noto >= 5  # the class is genuinely present in the corpus
+
+
+def test_partial_index_xref_stream_keeps_trailer_root():
+    """An xref stream whose /Index sections do not COVER the root id is
+    no evidence against the dict's /Root (incremental updates list only
+    updated objects) — the hint must survive, not fall to the body scan
+    (round-4 advice on _parse_xref_stream//Prev)."""
+    import re as _re
+    import zlib as _zlib
+
+    pm = {"columns": 1, "blocks": [{"t": "p", "text": "partial index page"}]}
+    pdf = pdf_writer.write_pdf([pm], xref_stream=True)
+    # surgically rewrite the final xref stream: drop the rows for object
+    # ids 0 and 1 and declare /Index [2 n] accordingly
+    m = _re.search(rb"(\d+) 0 obj\n<< /Type /XRef /Size (\d+) ", pdf)
+    assert m
+    head_start = m.start()
+    size = int(m.group(2))
+    stream_start = pdf.index(b"stream\n", head_start) + len(b"stream\n")
+    stream_end = pdf.index(b"\nendstream", head_start)
+    rows = _zlib.decompress(pdf[stream_start:stream_end])
+    assert len(rows) == 7 * size
+    kept = _zlib.compress(rows[14:], 6)  # rows 2..size-1
+    xref_id = int(m.group(1))
+    new_obj = (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Index [2 %d] /W [1 4 2] "
+        b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n%b"
+        b"\nendstream\nendobj\n" % (xref_id, size, size - 2, len(kept), kept)
+    )
+    patched = (
+        pdf[:head_start] + new_obj
+        + b"startxref\n%d\n%%%%EOF\n" % head_start
+    )
+    scanned = pdf_extract._scan_streams(patched)
+    blanked, _ = pdf_extract._blanked_objects(patched, scanned)
+    assert pdf_extract._trailer_root(blanked, scanned) == 1
+    got = [p["markdown"] for p in pdf_extract.extract_pages(patched)]
+    assert got == ["partial index page"]
