@@ -312,6 +312,7 @@ def minhash_lsh_pairs(
             ["band_id", "band_hash"],
             max_band_size,
             "minhash_lsh_pairs",
+            param_name="max_band_size",
         )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -51,14 +51,25 @@ def _binary_views(col) -> list:
     if n == 0 or col.null_count == n:
         return [None] * n
     _validity, offbuf, databuf = col.buffers()
-    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    # string columns share the binary layout (offsets + data) but differ
+    # in offset width by large-ness exactly as binary does — misreading
+    # int64 offsets as int32 silently interleaves zeros and corrupts
+    # every payload, so both large variants must select int64
+    large = pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type)
+    odt = np.int64 if large else np.int32
     # honor a possible array-level offset (sliced batches); .tolist()
     # yields plain Python ints once — slicing a memoryview with numpy
     # scalars costs a per-row __index__ round trip
     off = np.frombuffer(offbuf, dtype=odt, count=n + 1 + col.offset)[
         col.offset :
     ].tolist()
-    data = memoryview(databuf) if databuf is not None else memoryview(b"")
+    # pyarrow buffers may expose a SIGNED char view (format 'b'), and
+    # memoryview equality against bytes literals is FORMAT-sensitive —
+    # without the cast, `view[:4] == b"%PDF"` is silently False and
+    # every magic-byte dispatch misroutes; cast('B') is zero-copy
+    data = (
+        memoryview(databuf).cast("B") if databuf is not None else memoryview(b"")
+    )
     if col.null_count:
         import pyarrow.compute as pc
 

@@ -114,7 +114,10 @@ def parse_duration_ms(data: bytes, fmt: Optional[str]) -> Optional[int]:
             while i + 8 <= len(data):
                 four = data[i : i + 4]
                 csize = struct.unpack("<I", data[i + 4 : i + 8])[0]
-                if four == b"fmt " and i + 20 <= len(data):
+                # a fmt chunk shorter than the 16-byte PCM layout cannot
+                # contain a byte rate — reading past its declared end
+                # would unpack the NEXT chunk's header as a rate
+                if four == b"fmt " and csize >= 16 and i + 20 <= len(data):
                     byte_rate = struct.unpack("<I", data[i + 16 : i + 20])[0]
                 elif four == b"data":
                     data_size = csize
@@ -172,9 +175,11 @@ def image_metadata(frames: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from markmuse_spark.operators.extract import _binary_views
+
         for batch in batches:
             ids = batch.column(0).to_pylist()
-            blobs = batch.column(1).to_pylist()
+            blobs = _binary_views(batch.column(1))  # zero-copy, like extract
             rows: dict[str, list[Any]] = {k: [] for k in out_schema.names}
             for i, data in zip(ids, blobs):
                 fmt = sniff_format(data)
@@ -270,9 +275,11 @@ def sample_video_frames(
     )
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from markmuse_spark.operators.extract import _binary_views
+
         for batch in batches:
             ids = batch.column(0).to_pylist()
-            blobs = batch.column(1).to_pylist()
+            blobs = _binary_views(batch.column(1))  # zero-copy, like extract
             out: dict[str, list[Any]] = {n: [] for n in schema.names}
             for i, data in zip(ids, blobs):
                 if not data:

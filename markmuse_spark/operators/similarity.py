@@ -139,13 +139,15 @@ def lsh_signatures(
             )
         if dim is None:
             # cross-batch raggedness guard: with no explicit pin, the
-            # FIRST batch's width becomes this worker's pin and a later
-            # batch with a different width raises instead of silently
-            # hashing into an incompatible plane space (within-batch
-            # raggedness already raises inside np.vstack).  The memory is
-            # per python worker — the strongest check possible without
-            # caller plumbing; multi-input operators resolve one dim via
-            # _vec_dim and pass it explicitly, which checks globally.
+            # FIRST batch's width becomes the pin and a later batch with
+            # a different width raises instead of silently hashing into
+            # an incompatible plane space (within-batch raggedness
+            # already raises inside np.vstack).  Scope is honest-but-
+            # bounded: the closure deserializes per TASK, so the guard
+            # catches drift between batches of one task only — widths
+            # split cleanly across partitions still diverge silently,
+            # which is why every multi-input operator resolves one dim
+            # via _vec_dim and passes it explicitly (the global check).
             prev = seen_dim.setdefault("d", mat.shape[1])
             if prev != mat.shape[1]:
                 raise ValueError(
@@ -217,7 +219,11 @@ def lsh_bucketed_topk(
 
 
 def _drop_oversized_buckets(
-    frame: DataFrame, keys: list[str], cap: int, op_name: str
+    frame: DataFrame,
+    keys: list[str],
+    cap: int,
+    op_name: str,
+    param_name: str = "max_bucket_size",
 ) -> DataFrame:
     """Drop every group of ``frame`` whose member count exceeds ``cap``,
     logging how many groups were dropped (drop-and-log, never silent).
@@ -239,10 +245,10 @@ def _drop_oversized_buckets(
     n_hot = hot.count()  # reads the persisted frame: one cheap aggregate
     if n_hot:
         logging.getLogger(__name__).warning(
-            "%s: dropping %d bucket(s) larger than max_bucket_size=%d "
+            "%s: dropping %d bucket(s) larger than %s=%d "
             "before pair mining (degenerate-bucket guard; pairs confined "
             "to dropped buckets are lost)",
-            op_name, n_hot, cap,
+            op_name, n_hot, param_name, cap,
         )
         return frame.join(F.broadcast(hot), keys, "left_anti")
     return frame
@@ -371,6 +377,7 @@ def lsh_batch_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_broadcast_probes: int = 500_000,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Batch ANN: many queries at once via a grouped ``(table_id, bucket)``
     probe — the join form :func:`lsh_bucketed_topk`'s docstring promises.
@@ -392,7 +399,11 @@ def lsh_batch_topk(
     cost instead of broadcast memory.  The default (500k probe rows,
     i.e. ~7k queries at the default 8x9 expansion with ~KB vectors ~
     hundreds of MB broadcast) is sized against Spark's default broadcast
-    limits; lower it when query vectors are wide."""
+    limits; lower it when query vectors are wide.  ``n_queries``: pass
+    the known query count to skip the sizing ``count()`` — worth it when
+    the query frame derives from an expensive un-persisted lineage,
+    which the count would otherwise evaluate once just to pick the join
+    strategy (and at construction time, before any caller action)."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -422,7 +433,9 @@ def lsh_batch_topk(
             "query_id", "qvec", "table_id", F.explode(probes).alias("bucket")
         )
     )
-    n_probe_rows = queries.count() * n_tables * (n_planes + 1)
+    if n_queries is None:
+        n_queries = queries.count()
+    n_probe_rows = n_queries * n_tables * (n_planes + 1)
     probe_side = (
         F.broadcast(qprobe) if n_probe_rows <= max_broadcast_probes else qprobe
     )

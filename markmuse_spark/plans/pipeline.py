@@ -92,7 +92,20 @@ def committed_urls(
         ]
         if not good:
             return None
-        return spark.read.parquet(*good).select("url")
+        try:
+            return spark.read.parquet(*good).select("url")
+        except Exception:
+            # a SUCCESS sidecar row without a run directory is legitimate
+            # state, not corruption: Iceberg-committed runs write to the
+            # table (their urls resume through the table, not here), and
+            # retention cleanup deletes old run dirs — exactly the
+            # extreme-run-count regime this mode targets.  Fall back to
+            # per-path existence filtering only on failure, so the happy
+            # path stays a single bulk read with zero per-run probes.
+            present = [p for p in good if fs.exists(HPath(p))]
+            if not present:
+                return None
+            return spark.read.parquet(*present).select("url")
     if source != "listing":
         raise ValueError(f"unknown resume source {source!r}")
     if not fs.exists(root):

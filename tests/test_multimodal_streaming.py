@@ -279,3 +279,15 @@ def test_image_metadata_carries_duration_column(spark):
     assert out["w"]["duration_ms"] == 1000 and out["w"]["width"] is None
     assert out["m"]["duration_ms"] == 1250
     assert out["p"]["duration_ms"] is None and out["p"]["width"] == 8
+
+
+def test_wav_short_fmt_chunk_yields_none():
+    """A fmt chunk declaring csize < 16 cannot hold a byte rate; the
+    walk must not unpack the next chunk's header as one (review catch)."""
+    bad = (
+        b"RIFF" + struct.pack("<I", 20)
+        + b"WAVEfmt " + struct.pack("<I", 0)
+        + b"data" + struct.pack("<I", 8000)
+    )
+    assert multimodal.sniff_format(bad) == "wav"
+    assert multimodal.parse_duration_ms(bad, "wav") is None

@@ -323,3 +323,37 @@ def test_sidecar_resume_matches_listing_resume(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="unknown resume source"):
         pipeline.committed_urls(spark, out, source="nonsense")
+
+
+def test_binary_views_large_string_offsets():
+    """large_string/large_binary carry int64 offsets — misreading them as
+    int32 silently corrupts every payload (review catch)."""
+    import pyarrow as pa
+
+    from markmuse_spark.operators.extract import _binary_views
+
+    for t in (pa.large_binary(), pa.large_string(), pa.string()):
+        cells = ["hi", "yo", "", "longer payload body"]
+        arr = pa.array(cells, type=t)
+        got = [bytes(v) for v in _binary_views(arr)]
+        assert got == [c.encode() if isinstance(c, str) else c for c in cells], t
+
+
+def test_sidecar_resume_tolerates_missing_run_dir(spark, tmp_path):
+    """A SUCCESS sidecar row whose run dir was retention-cleaned (or
+    Iceberg-committed) must not crash the resume read (review catch)."""
+    import shutil as _sh
+
+    out = str(tmp_path / "out")
+    pages = corpus.pages_dataframe(spark, 60, seed=42, partitions=4)
+    pipeline.run_extraction(spark, pages, out, run_id="g1")
+    pipeline.run_extraction(
+        spark,
+        corpus.pages_dataframe(spark, 90, seed=42, partitions=4),
+        out,
+        run_id="g2",
+        resume_source="sidecar",
+    )
+    _sh.rmtree(f"{out}/extracted/run_id=g1")  # retention cleanup
+    done = pipeline.committed_urls(spark, out, source="sidecar")
+    assert done.count() == 30  # g2's increment only; no crash
