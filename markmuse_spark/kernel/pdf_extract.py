@@ -546,7 +546,7 @@ def _trailer_root(blanked: bytes, scanned: "Sequence" = ()) -> int | None:
             # advice).  Only a PRESENT entry that contradicts the claim
             # (free/unknown type, or an offset that does not land on
             # `root 0 obj`) is distrusted.
-            ent = entries.get(root) if entries else None
+            ent = entries.get(root)  # {} and absent alike: no evidence
             if ent is not None:
                 if ent[0] not in (1, 2):
                     return None

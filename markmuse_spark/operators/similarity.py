@@ -229,27 +229,30 @@ def _drop_oversized_buckets(
     logging how many groups were dropped (drop-and-log, never silent).
 
     Shared by the LSH pair miners' degenerate-bucket guards.  ``frame``
-    must already be persisted by the caller: the size aggregate and the
-    anti-join probe both read it, and the count action below would
-    otherwise recompute the signature pass.  The hot-group set is tiny by
-    construction (groups holding more than ``cap`` of n rows number at
-    most n/cap), so it broadcasts."""
+    must already be persisted by the caller: the size aggregate reads
+    it, and the action below would otherwise recompute the signature
+    pass.  The hot-group set is tiny by construction (groups holding
+    more than ``cap`` of n rows number at most n/cap), so it is
+    collected ONCE — the same job yields the log count and the
+    driver-side key list the anti-join probe is rebuilt from (rerunning
+    the aggregate for the join would double the work)."""
     import logging
 
-    hot = (
+    hot_rows = (
         frame.groupBy(*keys)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > cap)
         .select(*keys)
+        .collect()
     )
-    n_hot = hot.count()  # reads the persisted frame: one cheap aggregate
-    if n_hot:
+    if hot_rows:
         logging.getLogger(__name__).warning(
             "%s: dropping %d bucket(s) larger than %s=%d "
             "before pair mining (degenerate-bucket guard; pairs confined "
             "to dropped buckets are lost)",
-            op_name, n_hot, param_name, cap,
+            op_name, len(hot_rows), param_name, cap,
         )
+        hot = frame.sparkSession.createDataFrame(hot_rows)
         return frame.join(F.broadcast(hot), keys, "left_anti")
     return frame
 

@@ -88,7 +88,7 @@ def committed_urls(
             )
         ]
         good = [
-            str(HPath(root, f"run_id={rid}").toString()) for rid in sorted(run_ids)
+            HPath(root, f"run_id={rid}").toString() for rid in sorted(run_ids)
         ]
         if not good:
             return None

@@ -1489,12 +1489,13 @@ def m_image_metadata(spark, sf_dir):
     def le4(x):
         return F.concat(le3(x), byte(F.shiftright(x, 24)))
 
+    def be4(x):
+        return F.unhex(F.lpad(F.hex(x), 8, "0"))
+
     body = F.encode(F.col("text"), "UTF-8")
     png = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # magic + IHDR len/tag
-        F.unhex(F.lpad(F.hex(w1), 8, "0")),
-        F.unhex(F.lpad(F.hex(h1), 8, "0")),
-        body,
+        be4(w1), be4(h1), body,
     )
     webp = F.concat(  # VP8X extended header: 24-bit LE canvas size - 1
         F.lit(b"RIFF\x16\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x00\x00\x00\x00"),
@@ -1511,7 +1512,7 @@ def m_image_metadata(spark, sf_dir):
         F.lit(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
               b"\x00\x00\x00\x24moov\x00\x00\x00\x1cmvhd\x00\x00\x00\x00"
               b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x03\xe8"),
-        F.unhex(F.lpad(F.hex((did + 1) * 250), 8, "0")), body,
+        be4((did + 1) * 250), body,
     )
     payload = (
         F.when(did % 4 == 0, png)
