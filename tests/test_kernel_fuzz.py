@@ -104,3 +104,47 @@ def test_hex_and_tj_mutations_never_raise(seed):
         payload[rng.randrange(len(payload))] = rng.randrange(256)
     row = extract_document("https://x/hx.pdf", bytes(payload))
     assert "url" in row  # never raises; error column optional
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_media_header_parsers_never_raise(data):
+    """The multimodal byte-stream parsers share the kernel's crash-safety
+    contract: arbitrary bytes (including mutated container magics) yield
+    typed values or None, never an exception."""
+    from markmuse_spark.operators.multimodal import (
+        parse_dimensions, parse_duration_ms, sniff_format,
+    )
+
+    for prefix in (b"", b"RIFF\x20\x00\x00\x00WEBP", b"RIFF\x20\x00\x00\x00WAVE",
+                   b"\x00\x00\x00\x10ftyp", b"\x89PNG\r\n\x1a\n"):
+        blob = prefix + data
+        fmt = sniff_format(blob)
+        w, h = parse_dimensions(blob, fmt)
+        d = parse_duration_ms(blob, fmt)
+        assert w is None or isinstance(w, int)
+        assert h is None or isinstance(h, int)
+        assert d is None or (isinstance(d, int) and d >= 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.binary(min_size=0, max_size=64)),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_binary_views_matches_to_pylist(cells):
+    """Property: the zero-copy accessor is value-equivalent to
+    to_pylist() for every null/empty/content mix, on plain and sliced
+    arrays of both offset widths."""
+    import pyarrow as pa
+
+    from markmuse_spark.operators.extract import _binary_views
+
+    for t in (pa.binary(), pa.large_binary()):
+        col = pa.array(cells, type=t)
+        for arr in (col, col.slice(len(cells) // 3)):
+            got = [None if v is None else bytes(v) for v in _binary_views(arr)]
+            assert got == arr.to_pylist()
