@@ -70,6 +70,24 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _parallelize_for_udf(df: DataFrame) -> DataFrame:
+    """At least default-parallelism partitions before an expensive Arrow
+    UDF.  A small parquet input arrives as FEW scan partitions
+    (``files.maxPartitionBytes`` yields one partition per ~128 MB), and
+    a narrow UDF stage inherits that — measured at sf0.1: the shingle
+    UDF ran on ONE core of 32 and dominated the whole minhash query
+    (5.1 s of 6.1 s).  Round-robin repartition of the slim (id, text)
+    projection costs one small shuffle and buys full-width UDF
+    execution; it is a NO-OP whenever the source is already at least
+    as wide as the cluster, so at 10^12 docs (thousands of scan
+    partitions) no extra shuffle ever happens."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, shingles) with empty-shingle docs dropped.
 
@@ -104,8 +122,11 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     _sh = F.pandas_udf(_sh, "array<string>")
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"), _sh(F.col(text_col)).alias("shingles")
+    slim = _parallelize_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
+    return slim.select(
+        "doc_id", _sh(F.col("_t")).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
@@ -538,9 +559,10 @@ def simhash(
     _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     _simhash = F.pandas_udf(_simhash, "long")
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash")
+    slim = _parallelize_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     )
+    return slim.select("doc_id", _simhash(F.col("_t")).alias("simhash"))
 
 
 def simhash_near_pairs(

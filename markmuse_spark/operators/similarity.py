@@ -107,20 +107,32 @@ def lsh_signatures(
     bucket id per table).
 
     Planes are a seeded numpy ``(dim, n_tables*n_planes)`` matrix built
-    INSIDE the UDF from the observed vector width of each Arrow batch
-    (``dim`` is an optional override, kept for callers that want to fail
-    fast on width drift): generation is a pure function of ``(seed,
-    dim)``, so every batch on every executor derives the identical
-    matrix — vectors of any width work without caller plumbing.  All
-    signatures come from one vectorized matmul per Arrow batch — no
-    per-row Python.  Multiple independent tables are the standard recall
-    amplifier (OR over tables) when neighbor cosines are modest."""
+    INSIDE the UDF: generation is a pure function of ``(seed, dim)``,
+    so every batch on every executor derives the identical matrix —
+    vectors of any width work without caller plumbing.  ``dim`` is
+    resolved up front (from the caller, else self-pinned via
+    :func:`_vec_dim`) and EVERY batch is checked against it, so a
+    ragged-width frame fails fast instead of hashing different widths
+    into incompatible plane spaces.  All signatures come from one
+    vectorized matmul per Arrow batch — no per-row Python.  Multiple
+    independent tables are the standard recall amplifier (OR over
+    tables) when neighbor cosines are modest."""
     import numpy as np
     import pandas as pd
 
+    if dim is None:
+        # self-pin: one tiny driver-side action resolves the frame's
+        # width from its first non-null vector, and every batch on every
+        # executor is then checked against it — a GLOBAL raggedness
+        # guard (an earlier per-task closure memory missed widths that
+        # split cleanly across partitions).  Returns None only for a
+        # frame with no non-null vectors, whose batches are all empty
+        # anyway.  Callers that already resolved a width (every
+        # multi-input operator) pass dim and skip the action.
+        dim = _vec_dim(vectors, vec_col)
+
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     plane_cache: dict[int, "np.ndarray"] = {}
-    seen_dim: dict[str, int] = {}  # per-python-worker cross-batch memory
 
     def _planes(d: int):
         p = plane_cache.get(d)
@@ -137,23 +149,6 @@ def lsh_signatures(
             raise ValueError(
                 f"expected {dim}-dim vectors, got {mat.shape[1]}"
             )
-        if dim is None:
-            # cross-batch raggedness guard: with no explicit pin, the
-            # FIRST batch's width becomes the pin and a later batch with
-            # a different width raises instead of silently hashing into
-            # an incompatible plane space (within-batch raggedness
-            # already raises inside np.vstack).  Scope is honest-but-
-            # bounded: the closure deserializes per TASK, so the guard
-            # catches drift between batches of one task only — widths
-            # split cleanly across partitions still diverge silently,
-            # which is why every multi-input operator resolves one dim
-            # via _vec_dim and passes it explicitly (the global check).
-            prev = seen_dim.setdefault("d", mat.shape[1])
-            if prev != mat.shape[1]:
-                raise ValueError(
-                    f"vector width changed across batches: {prev} then "
-                    f"{mat.shape[1]}; pass dim= to pin one width"
-                )
         bits = (mat @ _planes(mat.shape[1])) > 0  # (batch, tables*planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
@@ -163,7 +158,12 @@ def lsh_signatures(
     _sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     _sig = F.pandas_udf(_sig, "array<long>")
 
-    return vectors.select(
+    from markmuse_spark.operators.dedup import _parallelize_for_udf
+
+    # same narrow-scan guard as the text UDFs: a small parquet input is
+    # one scan partition and would run the matmul UDF on one core
+    wide = _parallelize_for_udf(vectors.select(F.col(id_col), F.col(vec_col)))
+    return wide.select(
         F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("buckets")
     )
 

@@ -376,10 +376,12 @@ def test_vec_dim_skips_leading_null(spark):
     assert sim._vec_dim(empty, "embedding") is None
 
 
-def test_lsh_signatures_cross_batch_width_drift_raises(spark):
-    """With dim unset, a worker pins the first batch's width and a later
-    batch of a DIFFERENT width must raise — not hash into an incompatible
-    plane space (ADVICE round 4)."""
+def test_lsh_signatures_ragged_width_raises(spark):
+    """With dim unset, lsh_signatures self-pins the frame's width from
+    its first non-null vector and every batch is checked against it —
+    a ragged frame must raise globally (not just within one task's
+    batches), never hash different widths into incompatible plane
+    spaces (ADVICE round 4)."""
     import pytest as _pytest
 
     from markmuse_spark.operators import similarity as sim
@@ -391,7 +393,7 @@ def test_lsh_signatures_cross_batch_width_drift_raises(spark):
             [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0, 4.0])],
             "vec_id long, embedding array<double>",
         ).coalesce(1)
-        with _pytest.raises(Exception, match="width changed across batches"):
+        with _pytest.raises(Exception, match=r"expected \d+-dim vectors, got"):
             sim.lsh_signatures(df).collect()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
