@@ -309,6 +309,11 @@ def lsh_pair_candidates(
             b, ["table_id", "bucket"], max_bucket_size, "lsh_pair_candidates"
         )
     a_, b_ = b.alias("a"), b.alias("b")
+    # candidate dedup folds into the exchange that feeds the verify join
+    # (same shape as minhash_lsh_pairs): hash-partitioning on id_a alone
+    # satisfies the duplicate-elimination aggregate's clustering
+    # requirement AND the downstream id_a join's — one exchange where
+    # `.distinct()` cost a pair-key exchange plus a join-key exchange
     return (
         a_.join(
             b_,
@@ -319,7 +324,8 @@ def lsh_pair_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        .repartition(F.col("id_a"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
