@@ -26,6 +26,7 @@ __all__ = [
     "default_image_id",
     "output_stem",
     "content_type_for_extension",
+    "canonical_url",
     "image_type_class",
     "json_roundtrip",
     "mask_url_password",
@@ -105,6 +106,49 @@ def content_type_for_extension(ext: Column) -> Column:
     for k, v in reversed(list(CONTENT_TYPES.items())):
         expr = F.when(F.lower(_c(ext)) == k, v).otherwise(expr)
     return expr
+
+
+#: query parameters that never affect page identity (the standard
+#: web-corpus canonicalization list: analytics/click-tracking keys)
+TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src"
+
+
+def canonical_url(url: Column) -> Column:
+    """Beyond-survey web-corpus op: URL canonicalization — the standard
+    pre-dedup normalization (two crawls of one page differ only by
+    tracking params/fragment/case/default port far more often than by
+    content).  Feed the result to :func:`~markmuse_spark.operators.dedup.
+    exact_duplicates` keyed on the canonical url, or group by it before
+    text-level dedup.
+
+    Rules (each a single JVM regex pass, whole column codegen'd):
+
+    1. drop the fragment (``#...`` never reaches the server)
+    2. lowercase the scheme and authority (host names are
+       case-insensitive; paths are NOT touched)
+    3. strip a leading ``www.``
+    4. strip default ports (``:80`` for http, ``:443`` for https)
+    5. remove tracking query params (:data:`TRACKING_PARAMS`) — one
+       pass with a lookbehind so adjacent tracked params both match —
+       then a dangling ``?``/``&``
+    6. strip a bare trailing slash (``https://h/a/`` == ``https://h/a``;
+       the root form ``https://h/`` also folds to ``https://h``)
+    """
+    u = _c(url)
+    u = F.regexp_replace(u, r"#.*$", "")  # 1
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = u.substr(F.length(head) + 1, F.length(u))
+    head = F.lower(head)  # 2
+    head = F.regexp_replace(head, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")  # 3
+    head = F.regexp_replace(head, r"^(http://[^/:]*):80$", "$1")  # 4
+    head = F.regexp_replace(head, r"^(https://[^/:]*):443$", "$1")
+    u = F.concat(head, rest)
+    u = F.regexp_replace(  # 5: lookbehind keeps adjacent params matchable
+        u, r"(?<=[?&])(" + TRACKING_PARAMS + r")=[^&#]*(&|$)", ""
+    )
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"(?<!/)/$", "")  # 6
+    return u
 
 
 def image_type_class(img_id: Column) -> Column:

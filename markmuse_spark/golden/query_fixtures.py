@@ -575,6 +575,95 @@ def mint_s_lsh_ann_batch(
 
 
 # ---------------------------------------------------------------------
+# t_url_canonical: independent replica of the URL canonicalization op
+# ---------------------------------------------------------------------
+
+_TRACKED_KEYS = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+
+_URL_QUERIES = (
+    "", "?utm_source=a", "?utm_a=1&utm_b=2", "?x=1&fbclid=F", "?ref=tw&x=2",
+    "?x=1&gclid=9&y=2", "?x=1", "?utm_x=1&x=3&utm_y=2",
+)
+
+
+def _messy_url(d: int) -> str:
+    """The deterministic dirty-url construction the Spark query mirrors:
+    case noise, www, default ports, tracking params, fragments, trailing
+    slashes — every rule of the canonicalizer exercised by residue class."""
+    scheme = "HTTPS://" if d % 3 == 0 else "http://"
+    www = "www." if d % 2 == 0 else ""
+    host = f"Site{d % 7}.Example.com"
+    if d % 5 == 0:
+        port = ":443" if d % 3 == 0 else ":80"
+    else:
+        port = ""
+    slash = "/" if d % 6 == 0 else ""
+    frag = "#sec" if d % 5 == 1 else ""
+    return (
+        f"{scheme}{www}{host}{port}/Cat{d % 4}/doc-{d}{slash}"
+        f"{_URL_QUERIES[d % 8]}{frag}"
+    )
+
+
+def _canonicalize_url(u: str) -> str:
+    """Independent pure-string canonicalizer (no regex transliteration of
+    the Spark form): fragment, authority case, www, default ports,
+    tracking params, dangling separators, bare trailing slash."""
+    u = u.split("#", 1)[0]
+    m = u.find("://")
+    stop = len(u)
+    for ch in "/?#":
+        k = u.find(ch, m + 3)
+        if k != -1:
+            stop = min(stop, k)
+    head, rest = u[:stop].lower(), u[stop:]
+    scheme, hostport = head.split("://", 1)
+    if hostport.startswith("www."):
+        hostport = hostport[4:]
+    if scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[: -len(":80")]
+    if scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[: -len(":443")]
+    u = f"{scheme}://{hostport}{rest}"
+    if "?" in u:
+        path, q = u.split("?", 1)
+        kept = [
+            p
+            for p in q.split("&")
+            if "=" not in p
+            or not (
+                p.split("=", 1)[0] in _TRACKED_KEYS
+                or p.split("=", 1)[0].startswith("utm_")
+            )
+        ]
+        u = path + ("?" + "&".join(kept) if kept else "")
+    u = u.rstrip("?&")
+    if u.endswith("/") and not u.endswith("//"):
+        u = u[:-1]
+    return u
+
+
+def mint_t_url_canonical() -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    rows = []
+    for d in _documents(max_doc_id=200):
+        did = int(d["doc_id"])
+        raw = _messy_url(did)
+        rows.append(
+            {"doc_id": did, "url_raw": raw, "url_canon": _canonicalize_url(raw)}
+        )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("url_raw", pa.string()),
+            ("url_canon", pa.string()),
+        ]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
 # mint-all entry point
 # ---------------------------------------------------------------------
 
@@ -589,6 +678,7 @@ MINTERS = {
     "d_line_dedup": mint_d_line_dedup,
     "s_lsh_ann": mint_s_lsh_ann,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
+    "t_url_canonical": mint_t_url_canonical,
 }
 
 

@@ -1323,6 +1323,49 @@ def s_lsh_ann(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+@_qx(
+    "t_url_canonical",
+    # fixture minted by an independent pure-string canonicalizer over the
+    # same deterministic dirty-url construction (golden/query_fixtures.py;
+    # direct SQL is out — DuckDB's RE2 lacks the lookbehind the one-pass
+    # tracked-param removal uses)
+    "SELECT doc_id, url_raw, url_canon FROM "
+    f"read_parquet('{_FIXDIR}/t_url_canonical.parquet') ORDER BY doc_id",
+)
+def t_url_canonical(spark, sf_dir):
+    """Beyond-survey web-corpus op: URL canonicalization — the standard
+    pre-dedup normalization (fragment, authority case, www, default
+    ports, tracking params, trailing slash).  Dirty urls are built
+    JVM-side from doc_id residue classes so every rule is exercised;
+    the canonical column comes from ``functions.canonical_url`` (pure
+    JVM regex passes, codegen'd end to end).  EXTRA registry: the
+    50-entry driver budget is full, so this is pytest-oracled."""
+    from markmuse_spark.functions import canonical_url
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    q_arr = F.array(
+        F.lit(""), F.lit("?utm_source=a"), F.lit("?utm_a=1&utm_b=2"),
+        F.lit("?x=1&fbclid=F"), F.lit("?ref=tw&x=2"), F.lit("?x=1&gclid=9&y=2"),
+        F.lit("?x=1"), F.lit("?utm_x=1&x=3&utm_y=2"),
+    )
+    raw = F.concat(
+        F.when(did % 3 == 0, "HTTPS://").otherwise("http://"),
+        F.when(did % 2 == 0, "www.").otherwise(""),
+        F.format_string("Site%d.Example.com", (did % 7).cast("int")),
+        F.when((did % 5 == 0) & (did % 3 == 0), ":443")
+        .when((did % 5 == 0) & (did % 3 != 0), ":80")
+        .otherwise(""),
+        F.format_string("/Cat%d/doc-%d", (did % 4).cast("int"), did.cast("int")),
+        F.when(did % 6 == 0, "/").otherwise(""),
+        F.element_at(q_arr, (did % 8 + 1).cast("int")),
+        F.when(did % 5 == 1, "#sec").otherwise(""),
+    )
+    return d.select(
+        "doc_id", raw.alias("url_raw"), canonical_url(raw).alias("url_canon")
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # The extraction engine + multimodal plumbing as registry entries
 # (oracled via golden parquet fixtures minted by independent pure-Python
