@@ -109,11 +109,16 @@ def content_type_for_extension(ext: Column) -> Column:
 
 
 #: query parameters that never affect page identity (the standard
-#: web-corpus canonicalization list: analytics/click-tracking keys)
-TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src"
+#: web-corpus canonicalization list: analytics/click-tracking keys).
+#: Bare ``ref`` is deliberately NOT in the default list: many sites use
+#: it functionally (content/branch/page selectors), and stripping it
+#: would merge genuinely distinct pages before dedup — pass a custom
+#: ``tracked_params`` alternation to :func:`canonical_url` to tune the
+#: list per corpus.
+TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src"
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, tracked_params: str = TRACKING_PARAMS) -> Column:
     """Beyond-survey web-corpus op: URL canonicalization — the standard
     pre-dedup normalization (two crawls of one page differ only by
     tracking params/fragment/case/default port far more often than by
@@ -128,9 +133,12 @@ def canonical_url(url: Column) -> Column:
        case-insensitive; paths are NOT touched)
     3. strip a leading ``www.``
     4. strip default ports (``:80`` for http, ``:443`` for https)
-    5. remove tracking query params (:data:`TRACKING_PARAMS`) — one
-       pass with a lookbehind so adjacent tracked params both match —
-       then a dangling ``?``/``&``
+    5. remove tracking query params (``tracked_params``, default
+       :data:`TRACKING_PARAMS`) — applied ONLY to the query substring
+       (text after the first ``?``), never the path: a literal ``&`` in
+       a path segment must not trigger stripping.  One pass with a
+       lookbehind so adjacent tracked params both match — then a
+       dangling ``?``/``&``
     6. strip a bare trailing slash (``https://h/a/`` == ``https://h/a``;
        the root form ``https://h/`` also folds to ``https://h``)
     """
@@ -143,9 +151,17 @@ def canonical_url(url: Column) -> Column:
     head = F.regexp_replace(head, r"^(http://[^/:]*):80$", "$1")  # 4
     head = F.regexp_replace(head, r"^(https://[^/:]*):443$", "$1")
     u = F.concat(head, rest)
-    u = F.regexp_replace(  # 5: lookbehind keeps adjacent params matchable
-        u, r"(?<=[?&])(" + TRACKING_PARAMS + r")=[^&#]*(&|$)", ""
+    # 5: isolate the query substring (after the FIRST '?') so the
+    # tracked-param pass cannot touch the path — a raw '&' in a path
+    # segment with no '?' before it would otherwise match the
+    # lookbehind and amputate the url at the fake "param"
+    qpos = F.instr(u, "?")
+    path_part = F.when(qpos > 0, u.substr(F.lit(1), qpos - 1)).otherwise(u)
+    qstr = F.when(qpos > 0, u.substr(qpos, F.length(u))).otherwise(F.lit(""))
+    qstr = F.regexp_replace(  # lookbehind keeps adjacent params matchable
+        qstr, r"(?<=[?&])(" + tracked_params + r")=[^&]*(&|$)", ""
     )
+    u = F.concat(path_part, qstr)
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"(?<!/)/$", "")  # 6
     return u

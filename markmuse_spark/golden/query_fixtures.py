@@ -578,7 +578,9 @@ def mint_s_lsh_ann_batch(
 # t_url_canonical: independent replica of the URL canonicalization op
 # ---------------------------------------------------------------------
 
-_TRACKED_KEYS = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+# bare 'ref' deliberately absent (round-6 advice: many sites use it
+# functionally; stripping it merges distinct pages before dedup)
+_TRACKED_KEYS = ("fbclid", "gclid", "msclkid", "ref_src")
 
 _URL_QUERIES = (
     "", "?utm_source=a", "?utm_a=1&utm_b=2", "?x=1&fbclid=F", "?ref=tw&x=2",

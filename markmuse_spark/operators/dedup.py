@@ -38,6 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# safe at module level: similarity's own dedup import is function-local
+from markmuse_spark.operators.similarity import (
+    DEFAULT_WARN_BUCKET_SIZE,
+    _drop_oversized_buckets,
+    _warn_oversized_buckets,
+)
+
 
 def tokens_expr(text_col: str = "text"):
     """Lowercased whitespace tokens, empties removed (shared definition)."""
@@ -79,11 +86,58 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     (5.1 s of 6.1 s).  Round-robin repartition of the slim (id, text)
     projection costs one small shuffle and buys full-width UDF
     execution; it is a NO-OP whenever the source is already at least
-    as wide as the cluster, so at 10^12 docs (thousands of scan
-    partitions) no extra shuffle ever happens."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    as wide as the cluster, so at 10^12 docs (thousands of files) no
+    extra shuffle ever happens.
+
+    The scan width is estimated WITHOUT ``df.rdd`` (round-5 wart: the
+    RDD probe converted the whole logical plan to RDD lineage on every
+    plan build): ``df.inputFiles()`` resolves file-source scans from the
+    logical plan alone, and the scan partition count is then REPLICATED
+    from Spark's own packing formula (``FilePartition.maxSplitBytes``:
+    per-file cost = size + ``files.openCostInBytes``, split size =
+    ``min(maxPartitionBytes, max(openCost, totalCost/parallelism))``).
+    Since packing charges every file at least ``openCost``, any scan of
+    ``>= maxPartitionBytes/openCost * target`` files (32x target at the
+    defaults) is provably wide — no size probes; below that bound the
+    per-file FileStatus calls are capped at that same small number and
+    only ever taken on inputs that are small by construction.  A frame
+    with no file provenance at all (``createDataFrame``, in-memory test
+    frames) just takes the repartition — a no-op-cost shuffle of a
+    small frame."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # exotic plans (pure streaming sources): be wide
+        return df.repartition(target)
+    if not files:
+        return df.repartition(target)
+    from markmuse_spark.operators.similarity import _parse_byte_conf
+
+    max_split = max(1, _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ))
+    open_cost = max(1, _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    ))
+    # every file costs >= open_cost, and a split never exceeds max_split:
+    # n_files * open_cost / max_split >= target  =>  provably wide
+    if len(files) * open_cost >= target * max_split:
+        return df
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    total_cost = 0
+    for f in files:
+        p = HPath(f)
+        try:
+            size = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        except Exception:
+            size = 0
+        total_cost += size + open_cost
+    split = min(max_split, max(open_cost, total_cost // max(1, target)))
+    est_partitions = -(-total_cost // split)
+    if est_partitions < target:
         return df.repartition(target)
     return df
 
@@ -266,6 +320,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_band_size: int | None = None,
+    warn_band_size: int | None = DEFAULT_WARN_BUCKET_SIZE,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -285,6 +340,11 @@ def minhash_lsh_pairs(
     are lost — for a true duplicate CLUSTER that loss is usually
     acceptable (exact dedup catches identical docs first), which is why
     the cap composes with :func:`exact_duplicates` upstream.
+
+    ``warn_band_size``: DEFAULT-ON warn-only observability (one cheap
+    aggregate over the persisted band frame; logs any (band_id,
+    band_hash) group over the soft threshold, drops nothing — the
+    exported oracles are byte-identical with it on).  ``None`` disables.
 
     The shingled frame is computed ONCE and persisted (memory-with-disk
     spill): three plan branches read it — the signature stage and both
@@ -322,14 +382,23 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
     )
+    if warn_band_size is not None or max_band_size is not None:
+        # the guards' size aggregates (and the drop path's anti-join
+        # probe) are extra readers of the band frame, so it gets its own
+        # persist — which ALSO means the signature UDF runs once total
+        # instead of once per self-join side below
+        banded = tracked_persist(banded)
+    if warn_band_size is not None:
+        # default-on, warn-ONLY (no rows dropped, oracles unchanged):
+        # at 100 TB a boilerplate-identical cluster must be announced,
+        # not discovered from a melted shuffle stage
+        _warn_oversized_buckets(
+            banded, ["band_id", "band_hash"], warn_band_size,
+            "minhash_lsh_pairs",
+        )
     if max_band_size is not None:
-        from markmuse_spark.operators.similarity import _drop_oversized_buckets
-
-        # the guard's size aggregate + anti-join probe are a second and
-        # third reader of the band frame, so it gets its own persist
-        # (the signature UDF upstream would otherwise run per branch)
         banded = _drop_oversized_buckets(
-            tracked_persist(banded),
+            banded,
             ["band_id", "band_hash"],
             max_band_size,
             "minhash_lsh_pairs",

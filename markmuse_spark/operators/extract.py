@@ -50,6 +50,24 @@ def _binary_views(col) -> list:
     n = len(col)
     if n == 0 or col.null_count == n:
         return [None] * n
+    # the offsets+data slicing below is ONLY valid for the classic
+    # binary/string layout; a binary_view/string_view column (Arrow 14+,
+    # possible from future Spark versions or upstream operators) has a
+    # different buffer set and would be silently misread into corrupt
+    # payloads — any other type takes the copying fallback instead
+    # (bytes out either way: str cells are utf-8 encoded so magic-byte
+    # dispatch downstream sees one type)
+    t = col.type
+    if not (
+        pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    ):
+        return [
+            v.encode("utf-8") if isinstance(v, str) else v
+            for v in col.to_pylist()
+        ]
     _validity, offbuf, databuf = col.buffers()
     # string columns share the binary layout (offsets + data) but differ
     # in offset width by large-ness exactly as binary does — misreading

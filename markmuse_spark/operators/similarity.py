@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_byte_conf(v) -> int:
+    """Spark size-conf string to bytes (``'10485760'``, ``'10MB'``,
+    ``'1g'``, ``'-1'`` all occur in the wild for
+    ``autoBroadcastJoinThreshold``); negative passes through (disabled)."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
+        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -218,6 +232,55 @@ def lsh_bucketed_topk(
     )
 
 
+#: default soft threshold for the ALWAYS-ON warn-only bucket
+#: observability (:func:`_warn_oversized_buckets`): a (table, bucket) /
+#: (band_id, band_hash) group this large is 2-4 orders of magnitude over
+#: any healthy expected size and the self-join over it is melting —
+#: at 100 TB the operator must SAY so even when no drop cap is set
+DEFAULT_WARN_BUCKET_SIZE = 10_000
+
+#: driver-side safety bound on the collected hot-key set in
+#: :func:`_drop_oversized_buckets`: above this many oversized groups the
+#: guard switches to a shuffle anti-join instead of materializing the
+#: keys on the driver (a tiny cap on skewed data — e.g. cap=1 — would
+#: otherwise collect up to one row per group and OOM the driver in
+#: exactly the degenerate scenario the guard targets)
+MAX_COLLECTED_HOT_KEYS = 100_000
+
+
+def _warn_oversized_buckets(
+    frame: DataFrame, keys: list[str], soft_cap: int, op_name: str
+) -> None:
+    """Default-on, warn-ONLY degenerate-bucket observability: one cheap
+    two-level aggregate over the already-persisted group frame; logs when
+    any group exceeds ``soft_cap``.  Never drops rows, so the exported
+    oracles are byte-identical with it on — the point is that a 100 TB
+    run with a zero-vector cluster or a boilerplate-identical document
+    cluster TELLS the operator it is melting instead of silently
+    shuffling O(m^2) candidate rows.  Cost: one aggregate job over the
+    cached frame (which the miners persist anyway for their self-join)."""
+    import logging
+
+    stats = (
+        frame.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.max("_n").alias("mx"),
+            F.sum((F.col("_n") > soft_cap).cast("long")).alias("over"),
+        )
+        .first()
+    )
+    if stats is not None and (stats["over"] or 0) > 0:
+        logging.getLogger(__name__).warning(
+            "%s: %d bucket group(s) exceed the soft size threshold %d "
+            "(largest: %d members) — the candidate self-join over these "
+            "groups is quadratic; set the drop cap (max_bucket_size / "
+            "max_band_size) to bound it, or raise warn_bucket_size to "
+            "silence this",
+            op_name, stats["over"], soft_cap, stats["mx"],
+        )
+
+
 def _drop_oversized_buckets(
     frame: DataFrame,
     keys: list[str],
@@ -231,30 +294,46 @@ def _drop_oversized_buckets(
     Shared by the LSH pair miners' degenerate-bucket guards.  ``frame``
     must already be persisted by the caller: the size aggregate reads
     it, and the action below would otherwise recompute the signature
-    pass.  The hot-group set is tiny by construction (groups holding
-    more than ``cap`` of n rows number at most n/cap), so it is
-    collected ONCE — the same job yields the log count and the
-    driver-side key list the anti-join probe is rebuilt from (rerunning
-    the aggregate for the join would double the work)."""
+    pass.  With a SANE cap the hot-group set is tiny by construction
+    (groups holding more than ``cap`` of n rows number at most n/cap),
+    so it is collected ONCE — the same job yields the log count and the
+    driver-side key list the broadcast anti-join probe is rebuilt from.
+    The collect is BOUNDED at :data:`MAX_COLLECTED_HOT_KEYS` (one
+    ``limit`` past the bound, never an unbounded materialization): a
+    degenerate cap on skewed data — the exact scenario the guard exists
+    for — falls back to a shuffle anti-join against the aggregate
+    instead of OOMing the driver."""
     import logging
 
-    hot_rows = (
+    log = logging.getLogger(__name__)
+    hot_df = (
         frame.groupBy(*keys)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > cap)
         .select(*keys)
-        .collect()
     )
-    if hot_rows:
-        logging.getLogger(__name__).warning(
-            "%s: dropping %d bucket(s) larger than %s=%d "
-            "before pair mining (degenerate-bucket guard; pairs confined "
+    hot_rows = hot_df.limit(MAX_COLLECTED_HOT_KEYS + 1).collect()
+    if not hot_rows:
+        return frame
+    if len(hot_rows) > MAX_COLLECTED_HOT_KEYS:
+        log.warning(
+            "%s: more than %d bucket group(s) exceed %s=%d — hot-key set "
+            "is too large to broadcast; dropping them via a shuffle "
+            "anti-join instead (degenerate-bucket guard; pairs confined "
             "to dropped buckets are lost)",
-            op_name, len(hot_rows), param_name, cap,
+            op_name, MAX_COLLECTED_HOT_KEYS, param_name, cap,
         )
-        hot = frame.sparkSession.createDataFrame(hot_rows)
-        return frame.join(F.broadcast(hot), keys, "left_anti")
-    return frame
+        # recomputes the size aggregate over the persisted frame — the
+        # price of not holding >100k keys on the driver
+        return frame.join(hot_df, keys, "left_anti")
+    log.warning(
+        "%s: dropping %d bucket(s) larger than %s=%d "
+        "before pair mining (degenerate-bucket guard; pairs confined "
+        "to dropped buckets are lost)",
+        op_name, len(hot_rows), param_name, cap,
+    )
+    hot = frame.sparkSession.createDataFrame(hot_rows)
+    return frame.join(F.broadcast(hot), keys, "left_anti")
 
 
 def lsh_pair_candidates(
@@ -266,6 +345,7 @@ def lsh_pair_candidates(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    warn_bucket_size: int | None = DEFAULT_WARN_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate pairs from a ``(table_id, bucket)`` EQUI-join over
     hyperplane-LSH signatures — the scale shape for embedding pair mining.
@@ -290,7 +370,12 @@ def lsh_pair_candidates(
     Semantics change (pairs whose every shared bucket is oversized are
     lost), so the default is off and the exported oracles run uncapped;
     at 100 TB a cap ~100x the expected bucket size costs ~0 recall and
-    bounds the worst bucket's join output."""
+    bounds the worst bucket's join output.
+
+    ``warn_bucket_size``: DEFAULT-ON warn-only observability
+    (:data:`DEFAULT_WARN_BUCKET_SIZE`): one cheap aggregate over the
+    already-persisted bucket frame logs any group over the soft
+    threshold — no rows dropped, oracles unchanged; ``None`` disables."""
     if dim is None:
         dim = _vec_dim(vectors, vec_col)  # pin one width for every batch
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
@@ -304,6 +389,10 @@ def lsh_pair_candidates(
             F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
         )
     )
+    if warn_bucket_size is not None:
+        _warn_oversized_buckets(
+            b, ["table_id", "bucket"], warn_bucket_size, "lsh_pair_candidates"
+        )
     if max_bucket_size is not None:
         b = _drop_oversized_buckets(
             b, ["table_id", "bucket"], max_bucket_size, "lsh_pair_candidates"
@@ -339,12 +428,14 @@ def embedding_near_pairs_lsh(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    warn_bucket_size: int | None = DEFAULT_WARN_BUCKET_SIZE,
 ) -> DataFrame:
     """Bucketed near-duplicate pair mining: LSH candidates (equi-join),
     exact-cosine verification of candidates only — output is a subset of
     the exact all-pairs result by construction; recall is the LSH knob.
-    ``max_bucket_size`` passes through to :func:`lsh_pair_candidates`'s
-    degenerate-bucket guard (off by default; see there).
+    ``max_bucket_size`` (drop cap, off by default) and
+    ``warn_bucket_size`` (warn-only observability, ON by default) pass
+    through to :func:`lsh_pair_candidates`'s degenerate-bucket guards.
 
     Parameter honesty: a hyperplane agrees on a cos-0.45 pair with
     p = 1 - acos(0.45)/pi ~ 0.65 vs 0.5 for a random pair, so near the
@@ -355,7 +446,7 @@ def embedding_near_pairs_lsh(
     never a theta join) is what survives 10^12 rows."""
     cand = lsh_pair_candidates(
         vectors, n_tables, n_planes, seed, id_col, vec_col, dim,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, warn_bucket_size=warn_bucket_size,
     )
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
@@ -385,7 +476,7 @@ def lsh_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    max_broadcast_probes: int = 500_000,
+    max_broadcast_probes: int | None = None,
     n_queries: int | None = None,
 ) -> DataFrame:
     """Batch ANN: many queries at once via a grouped ``(table_id, bucket)``
@@ -405,11 +496,15 @@ def lsh_batch_topk(
     query side is therefore counted up front (one tiny action on a frame
     whose whole point is to be bounded) and the probe join falls back to
     a plain shuffle join above the cap — same rows, same result, shuffle
-    cost instead of broadcast memory.  The default (500k probe rows,
-    i.e. ~7k queries at the default 8x9 expansion with ~KB vectors ~
-    hundreds of MB broadcast) is sized against Spark's default broadcast
-    limits; lower it when query vectors are wide.  ``n_queries``: pass
-    the known query count to skip the sizing ``count()`` — worth it when
+    cost instead of broadcast memory.  The DEFAULT (``None``) derives
+    the cap from the session's ``spark.sql.autoBroadcastJoinThreshold``
+    divided by the OBSERVED probe-row width (``8 * dim`` vector bytes +
+    key/id overhead), so wide query vectors automatically shrink the
+    row budget instead of relying on a fixed row count that silently
+    encodes an assumed width (round-5 footgun); a session that disabled
+    auto-broadcast (threshold ``-1``) always takes the shuffle join.
+    Pass an explicit row count to override.  ``n_queries``: pass the
+    known query count to skip the sizing ``count()`` — worth it when
     the query frame derives from an expensive un-persisted lineage,
     which the count would otherwise evaluate once just to pick the join
     strategy (and at construction time, before any caller action)."""
@@ -421,6 +516,16 @@ def lsh_batch_topk(
         # query/corpus widths across incompatible hash spaces (NULL
         # cosines) instead of raising the shape error the bug deserves
         dim = _vec_dim(vectors, vec_col)
+    if max_broadcast_probes is None:
+        thr = _parse_byte_conf(
+            vectors.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        # per-probe-row estimate: the double vector (8B/element) + the
+        # (query_id, table_id, bucket) longs + per-row array overhead
+        row_bytes = 8 * (dim or 0) + 48
+        max_broadcast_probes = max(0, thr) // row_bytes
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
     data = sigs.select(
         F.col(id_col).alias("cand_id"),

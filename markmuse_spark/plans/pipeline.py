@@ -60,11 +60,19 @@ def committed_urls(
     dir-committed.  This is the extreme-run-count path: one bounded
     parquet read + a driver-side collect of run ids (one tiny row per
     run) replaces a per-run-dir FileStatus round trip against the
-    object store.  A run that crashed between the data commit and its
-    sidecar append is re-listed as TODO and re-skipped row-by-row is
-    avoided by the run-dir write mode (``errorifexists``) — callers
-    using the sidecar source should pass fresh run ids, exactly as the
-    listing source already requires."""
+    object store.
+
+    Sidecar-mode caveat (the trade for skipping the listing): a run
+    that crashed between its data commit and its sidecar append is
+    re-listed as TODO and re-extracted under a FRESH run id (the
+    ``errorifexists`` run-dir mode keeps the retry from clobbering the
+    orphan), so ``extracted/`` can then hold the same url under two run
+    dirs.  Downstream readers of ``extracted/`` in sidecar-resume
+    deployments must therefore dedupe by url (keep max ``run_id``) — or
+    close the window entirely by resuming with ``source="listing"``,
+    which sees the orphaned ``_SUCCESS`` directory the sidecar missed.
+    Callers should pass fresh run ids, exactly as the listing source
+    already requires."""
     jvm = spark._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path

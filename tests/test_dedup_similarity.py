@@ -194,14 +194,16 @@ def test_line_dedup_null_text_is_empty_document(spark):
 
 def test_cache_scope_releases_tracked_persists(docs):
     """Long-lived-session lifecycle: every frame an operator persists
-    inside a cache_scope (minhash's shingled frame, simhash's signature
-    frame) must be registered while cached and unpersisted at exit."""
+    inside a cache_scope (minhash's shingled AND band frames — the band
+    frame is persisted since round 6 for the default-on bucket
+    observability — plus simhash's signature frame) must be registered
+    while cached and unpersisted at exit."""
     from markmuse_spark.plans.cache import cache_scope
 
     with cache_scope() as reg:
         dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
         dedup.simhash_near_pairs(docs).collect()
-        assert len(reg) == 2
+        assert len(reg) == 3
         assert all(df.storageLevel.useMemory for df in reg)
     assert all(not df.storageLevel.useMemory for df in reg)
     assert all(not df.storageLevel.useDisk for df in reg)
@@ -417,3 +419,174 @@ def test_minhash_candidate_dedup_folds_into_verify_exchange(docs):
     # exist; the only hashpartitioning exchanges are the doc_a repartition
     # and whatever the verify joins need on the shingle side
     assert not _re.search(r"hashpartitioning\(doc_a#\d+L, doc_b", plan)
+
+
+def test_bucket_warn_observability_fires_with_caps_off(spark, caplog):
+    """Round-6 ask #2: with NO drop caps set, both LSH miners still
+    ANNOUNCE degenerate groups (default-on, warn-only) — and the warn
+    changes nothing about the result relation."""
+    import logging
+
+    import numpy as np
+
+    rows = [(i, [0.0] * 8) for i in range(60)]  # degenerate cluster
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(8)
+    rows += [(500, [float(x) for x in v]),
+             (501, [float(x) for x in v + rng.standard_normal(8) * 0.02])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(
+        logging.WARNING, logger="markmuse_spark.operators.similarity"
+    ):
+        warned = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_pair_candidates(
+                df, warn_bucket_size=30
+            ).collect()
+        }
+    assert any(
+        "exceed the soft size threshold" in r.message for r in caplog.records
+    )
+    silent = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_pair_candidates(
+            df, warn_bucket_size=None
+        ).collect()
+    }
+    assert warned == silent  # warn-only: zero semantic effect
+
+    caplog.clear()
+    boiler = "a b c d e f g h i j k l"
+    docs2 = spark.createDataFrame(
+        [(i, boiler) for i in range(40)], "doc_id long, text string"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="markmuse_spark.operators.similarity"
+    ):
+        dedup.minhash_lsh_pairs(docs2, warn_band_size=20).collect()
+    assert any(
+        "exceed the soft size threshold" in r.message for r in caplog.records
+    )
+
+
+def test_bucket_warn_is_on_by_default():
+    """The observability defaults must be ON (a 100 TB run should not
+    need to know the knob exists to learn it is melting)."""
+    import inspect
+
+    for fn, param in (
+        (dedup.minhash_lsh_pairs, "warn_band_size"),
+        (similarity.lsh_pair_candidates, "warn_bucket_size"),
+        (similarity.embedding_near_pairs_lsh, "warn_bucket_size"),
+    ):
+        assert (
+            inspect.signature(fn).parameters[param].default
+            == similarity.DEFAULT_WARN_BUCKET_SIZE
+        )
+
+
+def test_drop_oversized_buckets_hot_key_bound_takes_shuffle_path(
+    spark, monkeypatch, caplog
+):
+    """ADVICE round 5: a degenerate cap on skewed data must not collect
+    an unbounded hot-key set — above MAX_COLLECTED_HOT_KEYS the guard
+    switches to a shuffle anti-join with identical drop semantics."""
+    import logging
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [0.0] * 8) for i in range(80)]
+    for i in range(200, 210):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+        rows.append(
+            (i + 1000, [float(x) for x in v + rng.standard_normal(8) * 0.05])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(similarity, "MAX_COLLECTED_HOT_KEYS", 1)
+    with caplog.at_level(
+        logging.WARNING, logger="markmuse_spark.operators.similarity"
+    ):
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_pair_candidates(
+                df, max_bucket_size=40
+            ).collect()
+        }
+    assert any("shuffle" in r.message for r in caplog.records)
+    assert not any(a < 80 and b < 80 for a, b in capped)
+    planted = {(i, i + 1000) for i in range(200, 210)}
+    assert planted <= capped
+
+
+@pytest.mark.parametrize("dim,expect_broadcast", [(8, True), (4096, False)])
+def test_lsh_batch_topk_auto_cap_scales_with_vector_width(
+    spark, dim, expect_broadcast
+):
+    """Round-6 ask #8: with max_broadcast_probes unset, the cap derives
+    from autoBroadcastJoinThreshold / observed row width — at one fixed
+    session threshold, narrow query vectors broadcast and wide ones take
+    the shuffle join (the fixed 500k-row default silently assumed a
+    width)."""
+    import numpy as np
+
+    from markmuse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    data = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+    try:
+        out = sim.lsh_batch_topk(data, q, k=3)
+        # the HINT decision (ours) is read from the optimized logical
+        # plan, where it is independent of stats-based auto-broadcast
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert ("strategy=broadcast" in plan) == expect_broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_parse_byte_conf_units():
+    from markmuse_spark.operators.similarity import _parse_byte_conf
+
+    assert _parse_byte_conf("10485760") == 10 * 2**20
+    assert _parse_byte_conf("10485760b") == 10 * 2**20
+    assert _parse_byte_conf("10MB") == 10 * 2**20
+    assert _parse_byte_conf("1g") == 2**30
+    assert _parse_byte_conf("64k") == 64 * 2**10
+    assert _parse_byte_conf("-1") == -1
+
+
+def test_parallelize_for_udf_widens_without_rdd_probe(spark, tmp_path, monkeypatch):
+    """Round-6 ask #7: the narrow-scan widen guard must never touch
+    ``df.rdd`` (plan-to-RDD conversion per call); width comes from
+    inputFiles + file sizes.  A one-file parquet scan still widens to
+    default parallelism; an in-memory frame does too; and the guard runs
+    with the rdd property booby-trapped."""
+    from pyspark.sql import DataFrame
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 1000).selectExpr(
+        "id as doc_id", "repeat('w ', 20) as text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+
+    def _trap(self):
+        raise AssertionError("_parallelize_for_udf touched df.rdd")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "rdd", property(_trap))
+        wide = dedup._parallelize_for_udf(df)
+        wide_local = dedup._parallelize_for_udf(local)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    assert wide_local.rdd.getNumPartitions() == target

@@ -231,3 +231,58 @@ def test_render_template_null_mode(spark):
         ).collect()
     ]
     assert got == ["ok X", None]
+
+
+def test_canonical_url_scopes_tracking_removal_to_query(spark):
+    """ADVICE round 5: the tracked-param pass applies ONLY after the
+    first '?' — a literal '&' in the path must never trigger stripping;
+    bare 'ref' is functional on many sites and stays; ref_src/utm_*
+    still go; and the tracked list is a parameter."""
+    from pyspark.sql import functions as F
+
+    from markmuse_spark import functions as fn
+
+    rows = [
+        ("https://h.com/a&ref=1/b",),            # '&' in path, no query
+        ("https://h.com/p?ref=branch&utm_source=x",),
+        ("https://h.com/p?ref_src=twsrc",),
+        ("https://h.com/a&ref=1/b?gclid=9",),    # path '&' AND real query
+    ]
+    df = spark.createDataFrame(rows, "u string")
+    got = [
+        r[0] for r in df.select(fn.canonical_url(F.col("u"))).collect()
+    ]
+    assert got == [
+        "https://h.com/a&ref=1/b",
+        "https://h.com/p?ref=branch",
+        "https://h.com/p",
+        "https://h.com/a&ref=1/b",
+    ]
+    custom = [
+        r[0]
+        for r in df.select(
+            fn.canonical_url(F.col("u"), tracked_params=r"ref|gclid")
+        ).collect()
+    ]
+    # with bare 'ref' tracked explicitly, the query-scoped pass strips it
+    # (but never the path occurrence)
+    assert custom[1] == "https://h.com/p?utm_source=x"
+    assert custom[0] == "https://h.com/a&ref=1/b"
+
+
+def test_canonical_url_matches_independent_replica(spark):
+    """Spark form vs the fixture's pure-string canonicalizer over urls
+    the fixture minter never generates (path ampersands, kept ref)."""
+    from pyspark.sql import functions as F
+
+    from markmuse_spark import functions as fn
+    from markmuse_spark.golden.query_fixtures import _canonicalize_url
+
+    urls = [
+        "HTTPS://WWW.Site.Example:443/A&b/c?x=1&fbclid=F&ref=keep#frag",
+        "http://host.example:80/p/?utm_a=1&utm_b=2",
+        "https://h.example/d&msclkid=z/e?msclkid=z&y=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r[0] for r in df.select(fn.canonical_url(F.col("u"))).collect()]
+    assert got == [_canonicalize_url(u) for u in urls]

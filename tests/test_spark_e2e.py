@@ -357,3 +357,21 @@ def test_sidecar_resume_tolerates_missing_run_dir(spark, tmp_path):
     _sh.rmtree(f"{out}/extracted/run_id=g1")  # retention cleanup
     done = pipeline.committed_urls(spark, out, source="sidecar")
     assert done.count() == 30  # g2's increment only; no crash
+
+
+def test_binary_views_view_types_take_copying_fallback():
+    """ADVICE round 5: a binary_view/string_view column (Arrow 14+) has a
+    different buffer layout than classic offsets+data — _binary_views
+    must detect it and fall back to a copying path (bytes out for both),
+    never misread the buffers into corrupt payloads."""
+    import pyarrow as pa
+
+    from markmuse_spark.operators.extract import _binary_views
+
+    payloads = [b"%PDF-1.4 x", None, b"\x89PNG\r\n\x1a\nzz", b""]
+    bv = pa.array(payloads, type=pa.binary_view())
+    got = [None if v is None else bytes(v) for v in _binary_views(bv)]
+    assert got == payloads
+    sv = pa.array(["<html>a</html>", None, "plain"], type=pa.string_view())
+    got_s = [None if v is None else bytes(v) for v in _binary_views(sv)]
+    assert got_s == [b"<html>a</html>", None, b"plain"]
