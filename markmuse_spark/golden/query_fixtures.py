@@ -391,32 +391,66 @@ def mint_m_image_metadata() -> tuple[list[dict], "object"]:
 
 
 # ---------------------------------------------------------------------
-# m_image_features: md5-seeded unit vectors (the documented fake encoder)
+# m_image_features: expected REAL features computed from the SPEC PIXELS
+# directly — an independent pure-Python implementation of the feature
+# formulas (exact integer sums -> single float division) that never
+# touches the engine's PNG decoder or numpy feature code, so a match
+# pins the whole spec->encode->decode->stats chain
 # ---------------------------------------------------------------------
 
-def mint_m_image_features(dim: int = 16) -> tuple[list[dict], "object"]:
+def _replica_png_features(px) -> dict:
+    """Independent re-derivation of the 16-float layout's oracled slots
+    over a raw (H, W, C) uint8 matrix: width/height/channels, channel-0
+    exact mean and std, first histogram-bin fraction."""
+    h = len(px)
+    w = len(px[0])
+    ch = len(px[0][0])
+    n = h * w
+    lane0 = [int(px[y][x][0]) for y in range(h) for x in range(w)]
+    s = sum(lane0)
+    sq = sum(v * v for v in lane0)
+    mean0 = s / n
+    std0 = ((n * sq - s * s) / (n * n)) ** 0.5
+    hist0 = sum(1 for v in lane0 if v < 52) / n
+    return {
+        "width": float(w), "height": float(h), "channels": float(ch),
+        "mean_c0": mean0, "std_c0": std0, "hist0": hist0,
+    }
+
+
+def mint_m_image_features() -> tuple[list[dict], "object"]:
     import numpy as np
     import pyarrow as pa
 
+    from markmuse_spark.sources.png_writer import png_pixel_spec
+
     rows = []
-    for d in _documents(max_doc_id=50):
-        payload = d["text"].encode("utf-8")
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-        vec = np.random.default_rng(seed).standard_normal(dim)
-        vec = (vec / np.linalg.norm(vec)).astype(np.float32)
+    for d in _documents(max_doc_id=60):
+        did = int(d["doc_id"])
+        px = png_pixel_spec(did, d["text"]).tolist()  # plain ints from here
+        stats = _replica_png_features(px)
         rows.append(
             {
-                "doc_id": int(d["doc_id"]),
-                "f0": spark_round(float(vec[0])),
-                "f1": spark_round(float(vec[1])),
-                "dim": dim,
+                "doc_id": did,
+                # the engine emits float32 features; replicate the cast
+                # before the oracle-side rounding so both sides round
+                # the identical double
+                **{
+                    k: spark_round(float(np.float32(v)))
+                    for k, v in stats.items()
+                },
+                "dim": 16,
             }
         )
     schema = pa.schema(
         [
             ("doc_id", pa.int64()),
-            ("f0", pa.float64()),
-            ("f1", pa.float64()),
+            ("width", pa.float64()),
+            ("height", pa.float64()),
+            ("channels", pa.float64()),
+            ("mean_c0", pa.float64()),
+            ("std_c0", pa.float64()),
+            ("hist0", pa.float64()),
             ("dim", pa.int32()),
         ]
     )

@@ -1569,23 +1569,52 @@ def m_image_metadata(spark, sf_dir):
 
 @_q(
     "m_image_features",
-    # fixture minted by an independent hashlib+numpy replica of the
-    # documented fake-encoder spec (golden/query_fixtures.py)
-    "SELECT doc_id, f0, f1, dim FROM "
-    f"read_parquet('{_FIXDIR}/m_image_features.parquet') ORDER BY doc_id",
+    # fixture computed from the SPEC PIXELS directly (an independent
+    # pure-Python implementation of the feature formulas over
+    # png_pixel_spec's matrix — no PNG code runs on the oracle side), so
+    # a green row pins the whole chain: spec pixels -> PNG encoder ->
+    # bytes -> the engine's zlib+filter-reversal decoder -> exact-
+    # arithmetic stats (golden/query_fixtures.py)
+    "SELECT doc_id, width, height, channels, mean_c0, std_c0, hist0, dim "
+    f"FROM read_parquet('{_FIXDIR}/m_image_features.parquet') ORDER BY doc_id",
 )
 def m_image_features(spark, sf_dir):
-    """Multimodal: deterministic (clearly-fake) feature vectors over binary
-    payloads — exercises the binary->array<float> embedding plumbing."""
-    from markmuse_spark.operators.multimodal import extract_image_features
+    """Multimodal: REAL image features over real PNG payloads — each doc
+    gets a deterministic PNG (pixels a pure function of (doc_id, text);
+    per-row filters walk all five PNG filter types), encoded on the
+    executors, then decoded back by the engine's pure-Python PNG pixel
+    decoder (zlib + scanline filter reversal, operators/multimodal.py)
+    feeding the 16-float exact-arithmetic feature layout."""
+    import pandas as pd
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    from markmuse_spark.operators.multimodal import extract_image_features
+    from markmuse_spark.sources.png_writer import (
+        encode_png, png_pixel_spec, spec_filters,
+    )
+
+    def _png(ids, texts):
+        out = []
+        for i, t in zip(ids, texts):
+            px = png_pixel_spec(int(i), t)
+            out.append(encode_png(px, filters=spec_filters(int(i), px.shape[0])))
+        return pd.Series(out)
+
+    _png.__annotations__ = {"ids": pd.Series, "texts": pd.Series, "return": pd.Series}
+    _png = F.pandas_udf(_png, "binary")
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = d.select("doc_id", _png(F.col("doc_id"), F.col("text")).alias("payload"))
     feats = extract_image_features(media, "doc_id", "payload")
+
+    def fcol(idx, name):
+        return F.round(
+            F.element_at("features", idx + 1).cast("double"), 4
+        ).alias(name)
+
     return feats.select(
         "doc_id",
-        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
-        F.round(F.element_at("features", 2).cast("double"), 4).alias("f1"),
+        fcol(0, "width"), fcol(1, "height"), fcol(2, "channels"),
+        fcol(3, "mean_c0"), fcol(7, "std_c0"), fcol(11, "hist0"),
         F.size("features").alias("dim"),
     ).orderBy("doc_id")
 

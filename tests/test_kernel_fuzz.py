@@ -148,3 +148,48 @@ def test_binary_views_matches_to_pylist(cells):
         for arr in (col, col.slice(len(cells) // 3)):
             got = [None if v is None else bytes(v) for v in _binary_views(arr)]
             assert got == arr.to_pylist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_png_decoder_arbitrary_bytes_valueerror_only(data):
+    """decode_png_pixels over arbitrary bytes (raw and magic-prefixed):
+    a uint8 array or ValueError, never any other exception."""
+    import numpy as np
+
+    from markmuse_spark.operators.multimodal import decode_png_pixels
+
+    for blob in (data, b"\x89PNG\r\n\x1a\n" + data):
+        try:
+            out = decode_png_pixels(blob)
+            assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=255),
+)
+def test_png_decoder_mutated_real_png(flip_pos, flip_val):
+    """One mutated byte in a real PNG: decode still yields pixels or a
+    ValueError (structure damage), never a crash or a wild read."""
+    import numpy as np
+
+    from markmuse_spark.operators.multimodal import decode_png_pixels
+    from markmuse_spark.sources.png_writer import encode_png
+
+    rng = np.random.default_rng(7)
+    base = bytearray(
+        encode_png(
+            rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8),
+            filters=[0, 1, 2, 3, 4, 0, 1, 2],
+        )
+    )
+    base[flip_pos % len(base)] = flip_val
+    try:
+        out = decode_png_pixels(bytes(base))
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass

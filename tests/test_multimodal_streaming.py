@@ -48,21 +48,117 @@ def test_image_metadata(media):
     assert "f" not in out or out["f"]["sha1"] is None  # null payload row
 
 
-def test_decode_is_stubbed():
+def test_decode_seam_png_real_others_stubbed():
+    """Round 6: PNG pixel decode is REAL (pure Python, no codec); the
+    header-only PNG the old stub test used is now a loud ValueError; the
+    NotImplementedError seam remains only for non-PNG containers."""
+    import numpy as np
+
+    from markmuse_spark.sources.png_writer import encode_png
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert (multimodal.decode_image_pixels(encode_png(px)) == px).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_image_pixels(_png(1, 1))  # no IDAT: corrupt
     if multimodal._PIL_Image is None:
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image_pixels(_png(1, 1))
+            multimodal.decode_image_pixels(_jpeg(2, 2))
 
 
-def test_fake_features_deterministic_and_normalized(media):
+def test_features_real_for_png_fake_for_others_null_for_corrupt(media):
+    """Round-6 feature contract: PNG -> real decoded stats; corrupt PNG
+    -> NULL (never a silently fake vector for a real container); non-PNG
+    -> the labeled deterministic fake; NULL payload -> NULL."""
     import math
 
     one = {r["media_id"]: r["features"] for r in multimodal.extract_image_features(media, "media_id", "payload").collect()}
     two = {r["media_id"]: r["features"] for r in multimodal.extract_image_features(media.repartition(5), "media_id", "payload").collect()}
     assert one == two
-    assert one["f"] is None
-    norm = math.sqrt(sum(x * x for x in one["a"]))
+    assert one["f"] is None  # null payload
+    assert one["a"] is None  # header-only PNG: corrupt -> loud null
+    norm = math.sqrt(sum(x * x for x in one["c"]))  # jpeg: labeled fake
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_features_match_direct_computation_through_spark(spark):
+    """End-to-end: spec pixels -> encoder -> Spark decode UDF must equal
+    image_feature_vector over the spec pixels computed driver-side."""
+    from markmuse_spark.operators.multimodal import image_feature_vector
+    from markmuse_spark.sources.png_writer import (
+        encode_png, png_pixel_spec, spec_filters,
+    )
+
+    rows, want = [], {}
+    for did in range(12):
+        px = png_pixel_spec(did, f"t{did}")
+        rows.append(
+            (str(did), encode_png(px, filters=spec_filters(did, px.shape[0])))
+        )
+        want[str(did)] = image_feature_vector(px)
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_image_features(
+            df, "media_id", "payload"
+        ).collect()
+    }
+    assert got == want
+    assert all(len(v) == 16 for v in got.values())
+
+
+def test_png_decoder_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from markmuse_spark.sources.png_writer import encode_png
+
+    rng = np.random.default_rng(0)
+    for ch in (1, 2, 3, 4):
+        for ft in (0, 1, 2, 3, 4):
+            px = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+            back = multimodal.decode_png_pixels(encode_png(px, filters=ft))
+            assert (back == px).all(), (ch, ft)
+        mixed = [(r * 3 + 1) % 5 for r in range(9)]
+        px = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        back = multimodal.decode_png_pixels(encode_png(px, filters=mixed))
+        assert (back == px).all()
+
+
+def test_png_decoder_palette_and_unsupported():
+    import zlib as _zlib
+
+    import numpy as np
+
+    from markmuse_spark.sources.png_writer import _chunk, encode_png
+
+    pal = bytes(range(30))  # 10 RGB entries
+    idx = np.array([[0, 1, 2], [9, 4, 5]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", _zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    back = multimodal.decode_png_pixels(png)
+    assert (back == np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]).all()
+
+    # out-of-range palette index: loud, never a wild gather
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal[:9])
+        + _chunk(b"IDAT", _zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        multimodal.decode_png_pixels(bad)
+
+    # 16-bit and interlaced stay OUT of the supported subset, loudly
+    for depth, inter in ((16, 0), (8, 1)):
+        ih = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, inter)
+        p = (
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ih)
+            + _chunk(b"IDAT", _zlib.compress(b"\x00" * 32))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            multimodal.decode_png_pixels(p)
 
 
 def test_frame_sampling_shape(media):
@@ -176,13 +272,11 @@ def test_incremental_new_lineage_does_not_overwrite_old(spark, tmp_path):
     assert got.select("epoch_key").distinct().count() == 2
 
 
-def test_decode_image_pixels_pluggable_interface():
-    """The pixel-decode seam: raises the documented NotImplementedError
-    when no codec ships (this container), decodes a real 1x1 PNG when PIL
-    is present (a real cluster) — same test covers both environments."""
+def test_decode_image_pixels_real_world_png():
+    """A wild 1x1 PNG (standard encoder output) decodes through the
+    pure-Python path in EVERY environment — no codec required since
+    round 6 (this was the PIL-seam stub test)."""
     import base64
-
-    import pytest as _pytest
 
     from markmuse_spark.operators import multimodal
 
@@ -190,12 +284,8 @@ def test_decode_image_pixels_pluggable_interface():
         "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
         "YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
     )
-    if multimodal._PIL_Image is None:
-        with _pytest.raises(NotImplementedError, match="codec"):
-            multimodal.decode_image_pixels(png_1x1)
-    else:  # pragma: no cover - container ships no codecs
-        img = multimodal.decode_image_pixels(png_1x1)
-        assert img.size == (1, 1)
+    img = multimodal.decode_image_pixels(png_1x1)
+    assert img.shape[:2] == (1, 1)
 
 
 def _webp_vp8x(w, h):
