@@ -63,7 +63,10 @@ from typing import Any, Sequence
 # a stream-bearing object: simple (non-nested) dict immediately followed by
 # the stream keyword — /Length delimits the exact payload so compressed
 # bytes that happen to contain "endstream" can't truncate the slice
-_STREAM_HDR = re.compile(rb"<<([^<>]*)>>\s*stream\r?\n")
+# ONE level of dict nesting in stream headers: real writers put
+# sub-dicts there (``/DecodeParms << /Predictor 12 ... >>`` on xref
+# streams — corpus v9); the alternation is linear, no backtracking blowup
+_STREAM_HDR = re.compile(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n")
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
 _FLATE = re.compile(rb"/Filter\s*/FlateDecode")
 _ENDSTREAM = re.compile(rb"\r?\n?endstream")
@@ -396,6 +399,92 @@ def _inflate(head: bytes, data: bytes) -> bytes | None:
     return data
 
 
+def _png_paeth_pred(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unpredict(data: bytes, rowlen: int, bpp: int) -> bytes | None:
+    """Reverse PNG row prediction (``/DecodeParms /Predictor >= 10`` —
+    the form most real-world PDF writers emit for xref streams, spec
+    7.4.4.4): each ``rowlen``-byte row is prefixed by one PNG filter tag
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) applied over ``bpp``-
+    byte units.  Trailing partial rows are ignored (tolerant decode);
+    an invalid tag returns None — entries are navigation metadata and
+    the caller's no-raise contract degrades to the body-scan fallback."""
+    if rowlen <= 0 or bpp <= 0:
+        return None
+    step = rowlen + 1
+    out = bytearray()
+    prev = bytes(rowlen)
+    for base in range(0, len(data) - step + 1, step):
+        ft = data[base]
+        row = bytearray(data[base + 1 : base + 1 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _png_paeth_pred(left, prev[i], ul)) & 0xFF
+        else:
+            return None
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _undo_predictor(head: bytes, data: bytes) -> bytes | None:
+    """Apply the stream dict's ``/DecodeParms`` prediction reversal to
+    already-inflated data.  Predictor 1/absent: identity.  Predictor
+    >= 10: PNG row filters (:func:`_png_unpredict`) with geometry from
+    /Columns / /Colors / /BitsPerComponent (defaults 1/1/8).  Predictor
+    2 (TIFF) is not emitted for xref streams by real writers and
+    returns None (no-raise contract; navigation falls back).  The
+    /Predictor key is searched across the whole stream dict rather than
+    inside a parsed /DecodeParms value, which tolerates both the dict
+    form and the array form (``/DecodeParms [<<...>>]``) real files
+    carry."""
+    pm = _PREDICTOR_RE.search(head)
+    if pm is None:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    if pred < 10:  # TIFF predictor: never seen on xref streams
+        return None
+    cm = _COLUMNS_RE.search(head)
+    colors_m = _COLORS_RE.search(head)
+    bpc_m = _BPC_RE.search(head)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(colors_m.group(1)) if colors_m else 1
+    bpc = int(bpc_m.group(1)) if bpc_m else 8
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    return _png_unpredict(data, rowlen, bpp)
+
+
 def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     """Entries of a PDF 1.5 cross-reference stream (spec 7.5.8):
     ``{obj_id: (type, field2, field3)}`` — fixed-width big-endian rows per
@@ -403,8 +492,16 @@ def _parse_xref_stream(head: bytes, data: bytes) -> dict[int, tuple[int, ...]]:
     A zero width means the field is absent: the TYPE field then defaults
     to 1 (in-use at offset), other fields to 0.  Malformed tails stop the
     decode rather than raising — xref entries are navigation metadata and
-    the object scan never depends on them."""
+    the object scan never depends on them.
+
+    Round 6: the entry bytes pass through ``/DecodeParms`` prediction
+    reversal (:func:`_undo_predictor`) after inflation — PNG-predictor'd
+    xref streams (``/Predictor 12``) are the form most real-world
+    writers emit (corpus v9 exercises them end-to-end)."""
     data = _inflate(head, data)
+    if data is None:
+        return {}
+    data = _undo_predictor(head, data)
     if data is None:
         return {}
     wm = re.search(rb"/W\s*\[([^\]]*)\]", head)

@@ -75,12 +75,19 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # top-level; the extractor must unpack it to see the graph);
         # ~8% of pages are GLYPH-ONLY (corpus v8): a Type0 font with no
         # ToUnicode CMap — expected markdown for the page is EMPTY (the
-        # suppress-never-misdecode fallback, exercised end-to-end here)
+        # suppress-never-misdecode fallback, exercised end-to-end here);
+        # ~45% of xref-STREAM files PNG-predict their entry table
+        # (corpus v9: /DecodeParms /Predictor 12, Up-filtered rows — the
+        # form most real writers emit; the predictor draw is APPENDED
+        # after the existing knob draws so every prior rng consumer sees
+        # an unchanged stream: page content and the other knobs are
+        # byte-identical to v8, only predictor'd files' bytes move)
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=rng.random() < 0.3,
             xref_stream=rng.random() < 0.35,
             object_streams=rng.random() < 0.2,
+            xref_predictor=rng.random() < 0.45,
         )
         expected = [
             {

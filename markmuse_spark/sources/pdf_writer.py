@@ -245,6 +245,7 @@ def write_pdf(
     metadata: bool = False,
     xref_stream: bool = False,
     object_streams: bool = False,
+    xref_predictor: bool = False,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -281,6 +282,15 @@ def write_pdf(
     This is the modern-default file form — the extractor must resolve
     ``/Root`` through it and must never mint a phantom page from the
     binary entry data.
+
+    ``xref_predictor`` (corpus v9, applies to either xref-stream form):
+    the binary entry table is PNG-predicted before FlateDecode —
+    ``/DecodeParms << /Predictor 12 /Columns 7 >>``, each 7-byte row
+    prefixed with the PNG Up filter tag (2) and delta-coded against the
+    previous row (spec 7.4.4.4).  This is the form most real-world PDF
+    writers emit for xref streams (near-constant rows compress far
+    better Up-filtered); the extractor must reverse the prediction
+    before reading ``/W``-width entries.
 
     ``object_streams`` (corpus v7, implies ``xref_stream``): pack every
     NON-stream object — catalog, pages node, page dicts, font dicts —
@@ -404,6 +414,23 @@ def write_pdf(
     def _t1(off: int) -> bytes:  # type-1: in use at byte offset
         return b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
 
+    def _entry_stream(rows: list[bytes]) -> tuple[bytes, bytes]:
+        """(compressed entry bytes, extra dict text): plain FlateDecode,
+        or PNG-Up-predicted first (corpus v9) with the /DecodeParms the
+        reader must honor to recover the /W-width rows."""
+        if not xref_predictor:
+            return zlib.compress(b"".join(rows), 6), b""
+        width = len(rows[0])
+        out = bytearray()
+        prev = bytes(width)
+        for r in rows:  # PNG Up filter: tag 2 + delta vs previous row
+            out += b"\x02" + bytes((a - b) & 0xFF for a, b in zip(r, prev))
+            prev = r
+        return (
+            zlib.compress(bytes(out), 6),
+            b"/DecodeParms << /Predictor 12 /Columns %d >> " % width,
+        )
+
     if object_streams:
         # split by stream-ness: packed objects may not carry streams
         # (spec 7.5.7), so content/CMap/metadata objects stay top-level
@@ -441,11 +468,11 @@ def write_pdf(
         entry[xref_id] = _t1(xref_at)
         rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
         rows += [entry[i] for i in range(1, xref_id + 1)]
-        entries = zlib.compress(b"".join(rows), 6)
+        entries, parms = _entry_stream(rows)
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-            b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
-            % (xref_id, xref_id + 1, len(entries), entries)
+            b"%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, parms, len(entries), entries)
         )
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
         return bytes(out)
@@ -465,11 +492,11 @@ def write_pdf(
         rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
         for off in offsets[1:] + [xref_at]:
             rows.append(_t1(off))
-        entries = zlib.compress(b"".join(rows), 6)
+        entries, parms = _entry_stream(rows)
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-            b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
-            % (xref_id, xref_id + 1, len(entries), entries)
+            b"%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, parms, len(entries), entries)
         )
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     else:

@@ -193,3 +193,21 @@ def test_png_decoder_mutated_real_png(flip_pos, flip_val):
         assert isinstance(out, np.ndarray)
     except ValueError:
         pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6), st.integers(min_value=0, max_value=255))
+def test_mutated_predictor_xref_never_raises(pos, val):
+    """One flipped byte in a PNG-predictor'd xref-stream PDF (corpus v9):
+    extraction still returns a row (markdown or per-row error), never an
+    exception — damaged predictor data degrades to the body scan."""
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources import pdf_writer
+
+    pages = [{"columns": 1, "blocks": [{"t": "p", "text": "pred fuzz"}]}]
+    pdf = bytearray(
+        pdf_writer.write_pdf(pages, xref_stream=True, xref_predictor=True)
+    )
+    pdf[pos % len(pdf)] = val
+    row = extract_document("https://x/p.pdf", bytes(pdf))
+    assert "url" in row

@@ -831,3 +831,95 @@ def test_partial_index_xref_stream_keeps_trailer_root():
     assert pdf_extract._trailer_root(blanked, scanned) == 1
     got = [p["markdown"] for p in pdf_extract.extract_pages(patched)]
     assert got == ["partial index page"]
+
+
+def test_predictor_xref_stream_extracts_identically():
+    """Corpus v9: PNG-predictor'd xref streams (/DecodeParms /Predictor
+    12, Up-filtered /W-width rows — the form most real writers emit)
+    must extract byte-identically to the unpredicted form, and the
+    entry table must decode to the SAME entries (not silently fall back
+    to the body scan)."""
+    import random
+
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources import docmodel
+
+    for seed in range(12):
+        rng = random.Random(f"pred:{seed}")
+        pages = docmodel.random_pdf_pages(rng, "en")
+        for objstm in (False, True):
+            plain = pdf_writer.write_pdf(
+                pages, xref_stream=True, object_streams=objstm
+            )
+            pred = pdf_writer.write_pdf(
+                pages, xref_stream=True, object_streams=objstm,
+                xref_predictor=True,
+            )
+            assert b"/Predictor 12" in pred and plain != pred
+            r1 = extract_document("https://x/a.pdf", plain)
+            r2 = extract_document("https://x/a.pdf", pred)
+            assert r2["error"] is None
+            assert r1["markdown"] == r2["markdown"]
+            sc_p = pdf_extract._scan_streams(pred)
+            xr_p = next(
+                s for s in sc_p if pdf_extract._TYPE_XREF_RE.search(s[1])
+            )
+            sc_u = pdf_extract._scan_streams(plain)
+            xr_u = next(
+                s for s in sc_u if pdf_extract._TYPE_XREF_RE.search(s[1])
+            )
+            got = pdf_extract._parse_xref_stream(xr_p[1], xr_p[2])
+            want = pdf_extract._parse_xref_stream(xr_u[1], xr_u[2])
+            assert got == want and len(got) > 3
+
+
+def test_png_unpredict_all_filter_tags():
+    """The row unfilter reverses every PNG tag (not only the Up rows the
+    writer emits) over multi-byte bpp units; invalid tags return None."""
+    rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]),
+            bytes([100, 5, 220, 7])]
+    bpp = 2
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    tags = [1, 3, 4]  # Sub, Average, Paeth (0/2 covered by the writer)
+    enc = bytearray()
+    prev = bytes(4)
+    for row, ft in zip(rows, tags):
+        enc.append(ft)
+        for i in range(4):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                enc.append((row[i] - left) & 0xFF)
+            elif ft == 3:
+                enc.append((row[i] - ((left + up) >> 1)) & 0xFF)
+            else:
+                enc.append((row[i] - paeth(left, up, ul)) & 0xFF)
+        prev = row
+    got = pdf_extract._png_unpredict(bytes(enc), 4, bpp)
+    assert got == b"".join(rows)
+    assert pdf_extract._png_unpredict(b"\x07aaaa", 4, 1) is None  # bad tag
+    # trailing partial row ignored, full rows still decoded
+    assert pdf_extract._png_unpredict(bytes(enc) + b"\x00\x01", 4, bpp) == b"".join(rows)
+
+
+def test_undo_predictor_dialects():
+    """Predictor absent/1 = identity; TIFF predictor (2) and damaged
+    geometry degrade to None (body-scan fallback), never raise."""
+    assert pdf_extract._undo_predictor(b"/W [1 4 2]", b"abc") == b"abc"
+    assert pdf_extract._undo_predictor(b"/Predictor 1", b"abc") == b"abc"
+    assert pdf_extract._undo_predictor(b"/Predictor 2 /Columns 7", b"abc") is None
+    assert pdf_extract._undo_predictor(b"/Predictor 12 /Columns 0", b"") is None
+    # array-form DecodeParms still found (key scanned across the dict)
+    up = b"\x02" + bytes(7)
+    assert (
+        pdf_extract._undo_predictor(
+            b"/DecodeParms [ << /Predictor 12 /Columns 7 >> ]", up
+        )
+        == bytes(7)
+    )
