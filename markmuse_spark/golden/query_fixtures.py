@@ -700,6 +700,103 @@ def mint_t_url_canonical() -> tuple[list[dict], "object"]:
 
 
 # ---------------------------------------------------------------------
+# p_corpus_curation: the end-to-end corpus->keeplist chain, re-derived
+# with the golden assembly oracle + pure-string/hashlib replicas of
+# every stage — the near-dup stage uses the EXACT n-gram Jaccard
+# relation (the banded miner's output equals it on this corpus; a
+# pytest test pins that equality every run)
+# ---------------------------------------------------------------------
+
+def _ws_fingerprint(md: str) -> str:
+    """Replica of operators.dedup.normalized_fingerprint: md5 over
+    lower(trim(text)) with ASCII whitespace runs collapsed.  Spark's
+    ``trim`` strips only 0x20 and Java's ``\\s`` is ASCII-only, so the
+    replica uses the explicit ASCII class, never Python's Unicode-aware
+    ``strip``/``\\s``."""
+    import re as _re
+
+    t = _re.sub(r"[ \t\n\r\f\v]+", " ", md.strip(" ").lower())
+    return hashlib.md5(t.encode("utf-8")).hexdigest()
+
+
+def _jaccard_shingles(md: str, n: int = 3) -> set:
+    toks = [w for w in md.lower().split(" ") if w]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _curation_crawl_rows() -> list[tuple[str, str]]:
+    """(url, markdown) for the synthetic re-crawl: every extracted doc,
+    its tracking-params duplicate, and (for the md5-selected quarter)
+    the drop-first-line near-duplicate under /v2."""
+    from markmuse_spark.golden import oracle
+    from markmuse_spark.sources.corpus import _make_doc
+
+    rows: list[tuple[str, str]] = []
+    for i in range(200):
+        url, _payload, expected, err = _make_doc(i, 42)
+        if err is not None:
+            continue
+        md = oracle.assemble_document(url, expected)["markdown"]
+        rows.append((url, md))
+        rows.append((url + "?utm_source=crawl2&fbclid=x", md))
+        if hashlib.md5(url.encode()).hexdigest()[0] < "4":
+            near_md = md.split("\n", 1)[1] if "\n" in md else md
+            rows.append((url + "/v2", near_md))
+    return rows
+
+
+def mint_p_corpus_curation() -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    crawl = _curation_crawl_rows()
+    # stage 1+2: canonical-url survivorship (min url per canonical)
+    by_canon: dict[str, list[tuple[str, str]]] = {}
+    for url, md in crawl:
+        by_canon.setdefault(_canonicalize_url(url), []).append((url, md))
+    c1 = [
+        (min(u for u, _ in grp), canon, dict(grp)[min(u for u, _ in grp)])
+        for canon, grp in by_canon.items()
+    ]
+    # stage 3: exact text dedup (min url per fingerprint)
+    by_fp: dict[str, list[tuple[str, str, str]]] = {}
+    for url, canon, md in c1:
+        by_fp.setdefault(_ws_fingerprint(md), []).append((url, canon, md))
+    survivors = sorted(
+        min(grp, key=lambda r: r[0]) for grp in by_fp.values()
+    )
+    # stage 4: near-dup survivorship via the EXACT jaccard relation
+    sh = {url: _jaccard_shingles(md) for url, _c, md in survivors}
+    dominated: set[str] = set()
+    urls = [u for u, _c, _m in survivors]
+    for i, a in enumerate(urls):
+        sa = sh[a]
+        if not sa:
+            continue
+        for b in urls[i + 1 :]:
+            sb = sh[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                dominated.add(b)
+    rows = [
+        {"url": u, "canon_url": c, "n_chars": len(m)}
+        for u, c, m in survivors
+        if u not in dominated
+    ]
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("canon_url", pa.string()),
+            ("n_chars", pa.int32()),
+        ]
+    )
+    return sorted(rows, key=lambda r: r["url"]), schema
+
+
+# ---------------------------------------------------------------------
 # mint-all entry point
 # ---------------------------------------------------------------------
 
@@ -715,6 +812,7 @@ MINTERS = {
     "s_lsh_ann": mint_s_lsh_ann,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
     "t_url_canonical": mint_t_url_canonical,
+    "p_corpus_curation": mint_p_corpus_curation,
 }
 
 

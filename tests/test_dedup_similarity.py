@@ -590,3 +590,39 @@ def test_parallelize_for_udf_widens_without_rdd_probe(spark, tmp_path, monkeypat
     target = spark.sparkContext.defaultParallelism
     assert wide.rdd.getNumPartitions() == target
     assert wide_local.rdd.getNumPartitions() == target
+
+
+def test_corpus_curation_minhash_stage_is_exact(spark):
+    """The p_corpus_curation fixture substitutes the EXACT n-gram
+    Jaccard relation for the banded MinHash stage; this pins that the
+    32x2-banded miner's output equals the exact relation on the actual
+    composed survivor frame — the assumption the driver row rests on."""
+    from markmuse_spark.golden.query_fixtures import (
+        _canonicalize_url, _curation_crawl_rows, _ws_fingerprint,
+    )
+
+    crawl = _curation_crawl_rows()
+    by_canon: dict = {}
+    for url, md in crawl:
+        by_canon.setdefault(_canonicalize_url(url), []).append((url, md))
+    c1 = [min(g, key=lambda r: r[0]) for g in by_canon.values()]
+    by_fp: dict = {}
+    for url, md in c1:
+        by_fp.setdefault(_ws_fingerprint(md), []).append((url, md))
+    surv = sorted(min(g, key=lambda r: r[0]) for g in by_fp.values())
+    df = spark.createDataFrame(surv, "url string, markdown string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, id_col="url", text_col="markdown", threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            df, id_col="url", text_col="markdown",
+            num_perm=64, bands=32, threshold=0.5,
+        ).collect()
+    }
+    assert lsh == exact and len(exact) >= 50
