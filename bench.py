@@ -74,8 +74,16 @@ HEADLINE = [
     "t_lang_id",
     "t_train_split",
     "x_extract_enhanced",
+    # the composed end-to-end curation chain (round 6): extraction ->
+    # canonicalize -> dedup stages -> minhash survivors in one plan
+    "p_corpus_curation",
 ]
-SWEEPS = int(os.environ.get("MARKMUSE_BENCH_SWEEPS", "3"))
+# 2 sweeps (round 6, was 3): the r5 cold-cache sweeps tripled headline
+# wall time and stretched the bench into degraded host regimes; the
+# reported value is the per-query MEDIAN( = min of 2) of uniformly COLD
+# passes either way, and shorter total wall raises the odds the scaling
+# pair lands in a clean window (the r4 outcome)
+SWEEPS = int(os.environ.get("MARKMUSE_BENCH_SWEEPS", "2"))
 
 
 def _sf_from_dir(path: str) -> float:
@@ -464,7 +472,11 @@ def main() -> None:
     # missing)
     pin = 5 * n_small <= avail and bool(shutil.which("taskset"))
     passes_small = int(os.environ.get("MARKMUSE_BENCH_PASSES", "5"))
-    max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "6"))
+    # 3 pairs max (round 6, was 6): r5 burned 4 pairs inside a multi-hour
+    # degraded host regime and still shipped least-dirty — when the
+    # regime is bad, more retries lengthen exposure without improving
+    # the artifact; ship the least-dirty pair sooner and disclose
+    max_pairs = int(os.environ.get("MARKMUSE_BENCH_MAX_PAIRS", "3"))
     # retry policy: a retry happens ONLY while the measured window is
     # dirty — recorded per-pass steal OR foreign-busy above the floors, OR
     # either level's throughput spread (max/min over its windows) above
@@ -485,12 +497,11 @@ def main() -> None:
     # budgeted from the START OF THE SCALING PHASE — budgeting from bench
     # start would let a cold-cache corpus generation + the headline sweeps
     # eat the whole budget and silently disable dirty-window retries.
-    # 1200 s: with the longer (~30 s) round-4 windows a pair takes ~5-6
-    # min, so this allows up to 4 pairs before giving the least-dirty —
-    # a bigger retry budget than round 3's in wall terms, spent on fewer,
-    # longer, lower-spread windows
+    # 700 s (round 6, was 1200): a pair takes ~5-6 min, so this allows
+    # the max_pairs=3 retries and no more — total bench wall stays under
+    # the ~800 s target (r5's 1588 s tripled exposure to bad regimes)
     retry_budget_sec = float(
-        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "1200")
+        os.environ.get("MARKMUSE_BENCH_RETRY_BUDGET", "700")
     )
     t_scaling = time.time()
 
@@ -522,7 +533,7 @@ def main() -> None:
     # double-digit steal on the wide unpinned run; report the first clean
     # window, else the least-dirty)
     full_tries: list[dict] = []
-    for attempt in range(3):
+    for attempt in range(2):  # r6: one retry max (wall-time budget)
         r = _spark_submit(CPUS // 2, corpus_path, pkg_zip, passes=2)
         rates = [p["docs_per_sec"] for p in r["passes"]]
         steals_f = [
@@ -538,7 +549,7 @@ def main() -> None:
         full_tries.append(r)
         if not _dirty(r) or r["max_steal_pct"] is None:
             break
-        if time.time() - t_scaling > retry_budget_sec + 300:
+        if time.time() - t_scaling > retry_budget_sec + 200:
             break
     run_full, _full_clean = select_pair(
         full_tries, steal_floor, foreign_floor, spread_floor
