@@ -50,6 +50,20 @@ code space is the embedded font program's private glyph ids; nothing to
 extract without font-embedding analysis), and every string they scope
 is SUPPRESSED (:data:`GLYPH_ONLY`) — never mis-decoded into UTF-8 byte
 salad or U+FFFD floods that would poison a training corpus.
+
+Corpus v10 closes three wild-PDF classes beyond Flate: the full
+pre-Flate FILTER set as arbitrary ``/Filter`` chains (LZWDecode,
+RunLengthDecode, ASCIIHexDecode, ASCII85Decode —
+:func:`_apply_filters`; image codecs like DCTDecode stay out of scope
+and fail loudly), INLINE IMAGES (``BI..ID..EI``, spec 8.9.7) whose
+opaque sample bytes are stripped before text tokenization
+(:func:`_strip_inline_images` — binary data that happens to parse as
+``(...)Tj`` must never mint phantom text), and RC4-ENCRYPTED files
+(Standard security handler V1-2/R2-3, empty user password — the
+dominant wild encrypted form): :func:`_decrypt_payload` derives the
+file key per spec algorithm 2, verifies ``/U``, and RC4s every stream
+body in place; AES (V4+) and real passwords fail LOUDLY with a
+structured error, never byte salad.
 """
 
 from __future__ import annotations
@@ -68,7 +82,12 @@ from typing import Any, Sequence
 # streams — corpus v9); the alternation is linear, no backtracking blowup
 _STREAM_HDR = re.compile(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n")
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
-_FLATE = re.compile(rb"/Filter\s*/FlateDecode")
+# /Filter value: one name or an array of names (decode order = array
+# order, spec 7.4.1); abbreviated names are the inline-image aliases the
+# spec also permits in stream dicts
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _ENDSTREAM = re.compile(rb"\r?\n?endstream")
 _OP = re.compile(
     r"/(F\d+)\s+(\d+(?:\.\d+)?)\s+Tf"
@@ -211,6 +230,8 @@ def _parse_runs(
     size = 10.0
     x = y = 0.0
     cmap: dict[int, str] | None = None
+    if "BI" in stream:  # inline-image spans are opaque bytes, never text
+        stream = _strip_inline_images(stream)
     for m in _OP.finditer(stream):
         # dispatch on lastindex (Tf->2, Tm->4, Tj->5, hex-Tj->6, TJ->7):
         # one attribute read instead of 2-3 group() calls per token
@@ -387,16 +408,343 @@ def _parse_tounicode(cmap_text: str) -> dict[int, str]:
     return table
 
 
-def _inflate(head: bytes, data: bytes) -> bytes | None:
-    """Stream data after the (optional) FlateDecode filter; None when the
-    compressed body is corrupt — the shared no-raise prologue of the two
-    structure-stream parsers (xref and ObjStm)."""
-    if _FLATE.search(head):
-        try:
-            return zlib.decompress(data)
-        except zlib.error:
-            return None
+_WS_BYTES = frozenset(b" \t\r\n\f\v\x00")  # PDF whitespace class (7.2.3)
+
+# cap on any single decoded stream: corrupt/malicious LZW or RunLength
+# input can expand without bound (the zip-bomb shape); a content stream
+# past this is not a text page in any corpus
+_MAX_DECODED = 1 << 26
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (spec 7.4.4.2, the TIFF variant): variable 9->12-bit
+    big-endian codes, 256 = clear-table, 257 = EOD.  ``early`` is the
+    ``/EarlyChange`` parameter (default 1: the code width grows one
+    entry before the table strictly requires it — the decoder's table
+    runs one entry behind the encoder's, so the switch points are
+    511/1023/2047 rather than the powers of two)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("bad LZW stream: first code not a byte")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW stream: code beyond table")
+            out += entry
+            if len(out) > _MAX_DECODED:
+                raise ValueError("LZW stream exceeds decode cap")
+            prev = entry
+            if width < 12 and len(table) >= (1 << width) - early:
+                width += 1
+    # EOD missing: tolerate (some writers rely on data exhaustion)
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec 7.4.5): length byte 0-127 = copy next n+1
+    literally, 129-255 = repeat next byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            if i + 2 + length > n:
+                raise ValueError("truncated RunLength literal run")
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength repeat run")
+            out += bytes([data[i + 1]]) * (257 - length)
+            i += 2
+        if len(out) > _MAX_DECODED:
+            raise ValueError("RunLength stream exceeds decode cap")
+    return bytes(out)
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (spec 7.4.2): hex digits, whitespace ignored,
+    ``>`` is EOD, odd digit count padded with 0."""
+    digits = []
+    for b in data:
+        if b in _WS_BYTES:
+            continue
+        if b == 0x3E:  # '>'
+            break
+        c = chr(b)
+        if c not in "0123456789abcdefABCDEF":
+            raise ValueError("bad ASCIIHex byte 0x%02x" % b)
+        digits.append(c)
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec 7.4.3): base-85 groups of 5 chars -> 4 bytes,
+    ``z`` = four zero bytes (only between groups), whitespace ignored,
+    ``~>`` is EOD; a final partial group of k chars yields k-1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in _WS_BYTES:
+            continue
+        if b == 0x7E:  # '~' starts the EOD marker
+            break
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError("bad ASCII85 byte 0x%02x" % b)
+        group.append(b - 33)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("truncated ASCII85 final group")
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for d in group:
+            n = n * 85 + d
+        if n > 0xFFFFFFFF:
+            raise ValueError("ASCII85 group overflow")
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _apply_filters(head: bytes, data: bytes) -> bytes:
+    """Run the stream's ``/Filter`` chain in decode (array) order.
+    Raises ValueError on a corrupt body or a filter outside the decode
+    set (DCTDecode/JPXDecode image codecs, CCITTFax, JBIG2, Crypt) —
+    the content path surfaces that as the row's structured error, never
+    as byte salad."""
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return data
+    for raw in _FILTER_NAME_RE.findall(m.group(1)):
+        name = raw.decode("latin-1")
+        if name in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+        elif name in ("LZWDecode", "LZW"):
+            em = _EARLYCHANGE_RE.search(head)
+            data = _lzw_decode(data, int(em.group(1)) if em else 1)
+        elif name in ("RunLengthDecode", "RL"):
+            data = _rl_decode(data)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            data = _ahx_decode(data)
+        elif name in ("ASCII85Decode", "A85"):
+            data = _a85_decode(data)
+        else:
+            raise ValueError(f"unsupported stream filter /{name}")
+        if len(data) > _MAX_DECODED:
+            raise ValueError("decoded stream exceeds decode cap")
     return data
+
+
+def _inflate(head: bytes, data: bytes) -> bytes | None:
+    """Stream data after its (optional) filter chain; None when the body
+    is corrupt or a filter is unsupported — the shared no-raise prologue
+    of the two structure-stream parsers (xref and ObjStm)."""
+    try:
+        return _apply_filters(head, data)
+    except ValueError:
+        return None
+
+
+# ---------------------------------------------------------------------
+# encrypted PDFs: the Standard security handler, RC4 (spec 7.6.2-7.6.3)
+# ---------------------------------------------------------------------
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_FILE_ID_RE = re.compile(
+    rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]*>\s*\]"
+)
+_HEXSTR_FIELD = {
+    name: re.compile(rb"/" + name.encode() + rb"\s*<([0-9A-Fa-f]+)>")
+    for name in ("O", "U")
+}
+_INT_FIELD = {
+    name: re.compile(rb"/" + name.encode() + rb"\s+(-?\d+)")
+    for name in ("V", "R", "P", "Length")
+}
+
+# the spec's 32-byte password padding string (Algorithm 2)
+_PW_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    o: bytes, p: int, file_id: bytes, r: int, n_bytes: int
+) -> bytes:
+    """Algorithm 2 (empty user password): the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5(
+        _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n_bytes]).digest()
+    return h[:n_bytes]
+
+
+def _std_user_check(key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U value an empty user password
+    produces — compared against the stored /U to accept the file."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    u = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_payload(payload: bytes) -> bytes:
+    """When the trailer carries ``/Encrypt``, return a decrypted copy of
+    the payload (every stream body RC4'd in place with its per-object
+    key — RC4 is length-preserving, so every offset and ``/Length``
+    stays valid); unchanged payload when the ``/Encrypt`` bytes were a
+    fluke inside a compressed body.
+
+    Supported: the Standard handler, ``/V`` 1-2 ``/R`` 2-3 (RC4 40-128
+    bit), empty user password — the dominant wild encrypted-PDF form
+    (pre-AES Acrobat).  Everything else fails LOUDLY with a structured
+    ValueError (``encrypted PDF: ...``) that the extraction operator
+    surfaces as the row's error column: an encrypted doc this kernel
+    cannot read must never flow onward as byte salad.  AES (V4/AESV2,
+    V5/AESV3) is out of dialect — a from-scratch AES is not this
+    kernel's job; the error names the cipher so corpus owners can route
+    those files to a tool that has one."""
+    tpos = payload.rfind(b"trailer")
+    region = payload[tpos:] if tpos >= 0 else b""
+    em = _ENCRYPT_REF_RE.search(region)
+    if em is None:
+        # xref-stream trailers (no "trailer" keyword) carry /Encrypt in
+        # the /Type /XRef stream's own dict
+        for _start, head, _data, _span in _scan_streams(payload):
+            if _TYPE_XREF_RE.search(head) and _ENCRYPT_REF_RE.search(head):
+                em = _ENCRYPT_REF_RE.search(head)
+                region = head
+                break
+        if em is None:
+            return payload
+    enc_num = int(em.group(1))
+    om = re.search(
+        rb"(?<![0-9])%d\s+0\s+obj\b(.*?)endobj" % enc_num, payload, re.S
+    )
+    if om is None:
+        raise ValueError("encrypted PDF: /Encrypt object not found")
+    enc = om.group(1)
+    if not re.search(rb"/Filter\s*/Standard\b", enc):
+        raise ValueError("encrypted PDF: non-Standard security handler")
+    ints = {
+        k: int(m.group(1))
+        for k, rx in _INT_FIELD.items()
+        if (m := rx.search(enc)) is not None
+    }
+    v, r = ints.get("V", 0), ints.get("R", 0)
+    if v not in (1, 2) or r not in (2, 3):
+        raise ValueError(
+            f"encrypted PDF: unsupported cipher (V={v} R={r}"
+            + (" AES)" if v >= 4 else ")")
+        )
+    om_hex = _HEXSTR_FIELD["O"].search(enc)
+    um_hex = _HEXSTR_FIELD["U"].search(enc)
+    if om_hex is None or um_hex is None:
+        raise ValueError("encrypted PDF: /O or /U not a hex string")
+    o_val = bytes.fromhex(om_hex.group(1).decode())
+    u_val = bytes.fromhex(um_hex.group(1).decode())
+    idm = _FILE_ID_RE.search(region) or _FILE_ID_RE.search(
+        payload[tpos:] if tpos >= 0 else payload
+    )
+    if idm is None:
+        raise ValueError("encrypted PDF: trailer /ID missing")
+    file_id = bytes.fromhex(idm.group(1).decode())
+    n_bytes = ints.get("Length", 40) // 8 if v == 2 else 5
+    key = _std_file_key(o_val, ints.get("P", -1), file_id, r, n_bytes)
+    check = _std_user_check(key, file_id, r)
+    ok = check[:16] == u_val[:16] if r >= 3 else check == u_val[:32]
+    if not ok:
+        raise ValueError("encrypted PDF: password required")
+    out = bytearray(payload)
+    obj_marks = [(m.start(), int(m.group(1))) for m in _OBJ_RE.finditer(payload)]
+    starts = [pos for pos, _ in obj_marks]
+    for hdr_start, head, data, (s, e) in _scan_streams(payload):
+        if _TYPE_XREF_RE.search(head):
+            continue  # xref streams are never encrypted (spec 7.5.8)
+        k = bisect.bisect_right(starts, hdr_start) - 1
+        if k < 0:
+            continue
+        out[s:e] = _rc4(_object_key(key, obj_marks[k][1]), data)
+    return bytes(out)
 
 
 def _png_paeth_pred(a: int, b: int, c: int) -> int:
@@ -842,12 +1190,40 @@ def _walk_page_tree(
 
 
 def _decode_stream(head: bytes, data: bytes) -> str:
-    if _FLATE.search(head):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as exc:
-            raise ValueError(f"bad FlateDecode stream: {exc}") from exc
-    return data.decode("latin-1")
+    return _apply_filters(head, data).decode("latin-1")
+
+
+_BI_RE = re.compile(r"(?<![A-Za-z0-9])BI(?=[\s/])")
+_ID_RE = re.compile(r"(?<![A-Za-z0-9])ID(?=[\s\x00])")
+_EI_RE = re.compile(r"[\s\x00]EI(?=[\s\x00]|$)")
+
+
+def _strip_inline_images(content: str) -> str:
+    """Remove ``BI <dict> ID <binary> EI`` inline-image spans (spec
+    8.9.7) from a decoded content stream before text tokenization: the
+    image's binary sample data is opaque and can contain byte runs that
+    parse as text operators (``(...)Tj``), which would mint phantom text
+    runs — mojibake straight into a training corpus.  The terminator is
+    the spec's: whitespace + ``EI`` + whitespace/EOF, scanned from one
+    whitespace byte after ``ID``.  A span with no terminator drops the
+    rest of the stream (truncated file: opaque bytes are never text)."""
+    m = _BI_RE.search(content)
+    if m is None:
+        return content
+    out: list[str] = []
+    pos = 0
+    while m is not None:
+        out.append(content[pos : m.start()])
+        idm = _ID_RE.search(content, m.end())
+        if idm is None:  # no data section: malformed; drop the rest
+            return "".join(out)
+        eim = _EI_RE.search(content, idm.end() + 1)
+        if eim is None:
+            return "".join(out)
+        pos = eim.end()
+        m = _BI_RE.search(content, pos)
+    out.append(content[pos:])
+    return "".join(out)
 
 
 def _document_pages(
@@ -1006,6 +1382,8 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
+    if b"/Encrypt" in payload:  # cheap pre-filter; the real check parses
+        payload = _decrypt_payload(payload)  # the trailer (no-op on fluke)
     pages: list[dict[str, Any]] = []
     doc_pages = _document_pages(payload)
     if not doc_pages:

@@ -81,13 +81,46 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # form most real writers emit; the predictor draw is APPENDED
         # after the existing knob draws so every prior rng consumer sees
         # an unchanged stream: page content and the other knobs are
-        # byte-identical to v8, only predictor'd files' bytes move)
+        # byte-identical to v8, only predictor'd files' bytes move);
+        # corpus v10 (draws again APPENDED, content untouched): per page,
+        # ~10% LZWDecode / ~10% [ASCII85+Flate] / ~5% RunLength / ~3%
+        # ASCIIHex content-stream filter chains (the pre-Flate-era forms
+        # still common in wild PDFs), and ~7% of non-CID pages carry an
+        # INLINE IMAGE (BI..ID..EI) whose sample bytes parse as a text
+        # operator — opaque data the tokenizer must skip, never mojibake;
+        # ~10% of classic-xref documents are RC4-ENCRYPTED (Standard
+        # handler V2/R3, empty user password — the dominant wild
+        # encrypted form; the kernel decrypts, verifies /U, and fails
+        # LOUDLY on AES or a real password)
+        metadata = rng.random() < 0.3
+        xref_stream = rng.random() < 0.35
+        object_streams = rng.random() < 0.2
+        xref_predictor = rng.random() < 0.45
+        for pm in pages_model:
+            fdraw = rng.random()
+            if fdraw < 0.10:
+                pm["filters"] = "lzw"
+            elif fdraw < 0.20:
+                pm["filters"] = "a85_flate"
+            elif fdraw < 0.25:
+                pm["filters"] = "rl"
+            elif fdraw < 0.28:
+                pm["filters"] = "ahx"
+            inline_draw = rng.random()  # drawn unconditionally: keeps the
+            # stream aligned whatever the page's font knobs drew
+            pm["inline_image"] = (
+                inline_draw < 0.07
+                and not pm.get("cid")
+                and not pm.get("cid_noto")
+            )
+        encrypt = rng.random() < 0.10 and not (xref_stream or object_streams)
         payload = pdf_writer.write_pdf(
             pages_model,
-            metadata=rng.random() < 0.3,
-            xref_stream=rng.random() < 0.35,
-            object_streams=rng.random() < 0.2,
-            xref_predictor=rng.random() < 0.45,
+            metadata=metadata,
+            xref_stream=xref_stream,
+            object_streams=object_streams,
+            xref_predictor=xref_predictor,
+            encrypt=encrypt,
         )
         expected = [
             {

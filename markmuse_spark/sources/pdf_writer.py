@@ -26,6 +26,11 @@ the spec 7.9.2.2 Unicode text-string form real producers emit.
 
 from __future__ import annotations
 
+import base64
+import binascii
+import hashlib
+import re
+import zlib
 from typing import Any
 
 PAGE_W, PAGE_H = 612, 792
@@ -240,12 +245,169 @@ _XMP_METADATA = (
 )
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """LZWDecode-compatible encoder (spec 7.4.4.2, EarlyChange=1):
+    9->12-bit big-endian codes, clear=256 first and on table overflow,
+    EOD=257 last.  Width grows when the NEXT code to assign reaches the
+    current width's capacity (512/1024/2048) — the decoder, one table
+    entry behind, mirrors this at 511/1023/2047."""
+    codes: list[tuple[int, int]] = [(256, 9)]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code == 4096:  # table full: clear and restart
+            codes.append((256, 12))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        elif next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    buf = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (spec 7.4.5): repeat runs of
+    >=2 as (257-n, byte), literals in <=128-byte chunks, EOD 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _filter_stream(stream: bytes, page: dict[str, Any]) -> tuple[bytes, bytes]:
+    """(encoded bytes, /Filter declaration) for one content stream —
+    the per-page ``filters`` knob (corpus v10) wins over ``compress``."""
+    filt = page.get("filters")
+    if filt == "lzw":
+        return _lzw_encode(stream), b"/Filter /LZWDecode "
+    if filt == "a85_flate":
+        # the classic PostScript-era chain: decode order A85 then Flate
+        return (
+            base64.a85encode(zlib.compress(stream, 6)) + b"~>",
+            b"/Filter [/ASCII85Decode /FlateDecode] ",
+        )
+    if filt == "rl":
+        return _rl_encode(stream), b"/Filter /RunLengthDecode "
+    if filt == "ahx":
+        return binascii.hexlify(stream) + b">", b"/Filter /ASCIIHexDecode "
+    if page.get("compress"):
+        return zlib.compress(stream, 6), b"/Filter /FlateDecode "
+    return stream, b""
+
+
+# an inline image (spec 8.9.7) whose 3x2 RGB sample bytes deliberately
+# parse as a text operator — "(trap)Tj" becomes a phantom run in any
+# extractor that tokenizes BI..EI data as page text (corpus v10)
+_INLINE_IMAGE = b"BI /W 3 /H 2 /CS /RGB /BPC 8 ID\n(trap)Tj 1 0 0 1 9\nEI\n"
+
+# the Standard security handler's 32-byte password pad (spec alg. 2)
+_PW_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_security(file_id: bytes, p: int) -> tuple[bytes, bytes, bytes]:
+    """(file key, /O, /U) for the Standard handler, R3/V2 128-bit RC4,
+    empty user AND owner passwords (spec algorithms 2, 3, 5)."""
+    h = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    okey = h[:16]
+    o = _PW_PAD
+    for i in range(20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    h = hashlib.md5(
+        _PW_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    key = h[:16]
+    u = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return key, o, u + bytes(16)
+
+
+_OBJ_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _encrypt_obj_streams(obj: bytes, num: int, file_key: bytes) -> bytes:
+    """RC4 the stream span of one object body with its per-object key
+    (spec algorithm 1) — length-preserving, so /Length stays valid."""
+    idx = obj.find(b"stream\n")
+    if idx < 0:
+        return obj
+    start = idx + len(b"stream\n")
+    end = start + int(_OBJ_LENGTH_RE.search(obj).group(1))
+    okey = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + b"\x00\x00"
+    ).digest()[: min(len(file_key) + 5, 16)]
+    return obj[:start] + _rc4(okey, obj[start:end]) + obj[end:]
+
+
 def write_pdf(
     pages: list[dict[str, Any]],
     metadata: bool = False,
     xref_stream: bool = False,
     object_streams: bool = False,
     xref_predictor: bool = False,
+    encrypt: bool = False,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -269,6 +431,15 @@ def write_pdf(
       decode path in the file — glyph-only, the form scanned-and-
       resubsetted wild PDFs show; the extractor must emit NO text for
       these strings (expected page markdown is empty), never byte salad
+    * ``"filters": "lzw" | "a85_flate" | "rl" | "ahx"`` (corpus v10) —
+      the content stream's filter form, overriding ``compress``:
+      ``/LZWDecode`` (pre-Flate Distiller era), the classic
+      ``[/ASCII85Decode /FlateDecode]`` chain, ``/RunLengthDecode``, or
+      ``/ASCIIHexDecode``
+    * ``"inline_image": True`` (corpus v10) — the content stream opens
+      with a ``BI..ID..EI`` inline image (spec 8.9.7) whose 18 sample
+      bytes deliberately read as ``(trap)Tj``: an extractor that
+      tokenizes the opaque data as page text mints a phantom run
 
     ``metadata``: emit an XMP metadata stream object (corpus v5) — a
     NON-content stream the extractor must not turn into a phantom page.
@@ -291,6 +462,16 @@ def write_pdf(
     writers emit for xref streams (near-constant rows compress far
     better Up-filtered); the extractor must reverse the prediction
     before reading ``/W``-width entries.
+
+    ``encrypt`` (corpus v10): RC4-encrypt every stream body with the
+    Standard security handler (V2/R3, 128-bit, EMPTY user and owner
+    passwords — the dominant wild encrypted-PDF form): computes /O and
+    /U per spec algorithms 3/5, derives the file key per algorithm 2,
+    and RC4s each stream span with its per-object key (algorithm 1 —
+    length-preserving, so offsets and /Length stay valid); the trailer
+    gains ``/Encrypt N 0 R`` and a deterministic ``/ID``.  Dialect
+    constraint (documented): requires the classic xref table, matching
+    the wild population where Standard-RC4 files are pre-PDF-1.5.
 
     ``object_streams`` (corpus v7, implies ``xref_stream``): pack every
     NON-stream object — catalog, pages node, page dicts, font dicts —
@@ -395,16 +576,35 @@ def write_pdf(
                 bool(page.get("hex")) or bool(page.get("hex16")),
                 bool(page.get("hex16")),
             )
-        if page.get("compress"):
-            stream = zlib.compress(stream, 6)
-            objects.append(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%b\nendstream"
-                % (len(stream), stream)
-            )
-        else:
-            objects.append(
-                b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream)
-            )
+        if page.get("inline_image"):
+            # prepended so the trap bytes precede every real text op
+            stream = _INLINE_IMAGE + stream
+        data, fdecl = _filter_stream(stream, page)
+        objects.append(
+            b"<< /Length %d %b>>\nstream\n%b\nendstream"
+            % (len(data), fdecl, data)
+        )
+
+    enc_id = 0
+    file_id = b""
+    if encrypt:
+        # dialect constraint (documented): encrypted corpus files use
+        # the classic xref table — matching the wild population, where
+        # RC4 Standard-handler files are overwhelmingly the pre-1.5 era
+        if xref_stream or object_streams:
+            raise ValueError("encrypt requires the classic-xref dialect")
+        file_id = hashlib.md5(b"\x00".join(objects)).digest()
+        key, o_val, u_val = _std_security(file_id, p=-44)
+        objects = [
+            _encrypt_obj_streams(obj, oid, key)
+            for oid, obj in enumerate(objects, 1)
+        ]
+        enc_id = len(objects) + 1
+        objects.append(
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 "
+            b"/O <%b> /U <%b> >>"
+            % (o_val.hex().encode(), u_val.hex().encode())
+        )
 
     if object_streams:
         xref_stream = True  # ObjStm entries are only addressable from one
@@ -504,9 +704,13 @@ def write_pdf(
         out += b"0000000000 65535 f \n"
         for off in offsets[1:]:
             out += b"%010d 00000 n \n" % off
+        enc_entry = b""
+        if encrypt:
+            idh = file_id.hex().encode()
+            enc_entry = b" /Encrypt %d 0 R /ID [<%b> <%b>]" % (enc_id, idh, idh)
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, xref_at)
+            b"trailer\n<< /Size %d /Root 1 0 R%b >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, enc_entry, xref_at)
         )
     return bytes(out)
 

@@ -211,3 +211,58 @@ def test_mutated_predictor_xref_never_raises(pos, val):
     pdf[pos % len(pdf)] = val
     row = extract_document("https://x/p.pdf", bytes(pdf))
     assert "url" in row
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_stream_decoders_valueerror_only(data):
+    """Corpus-v10 filter decoders on arbitrary bytes: decode or
+    ValueError, never any other exception and never a hang."""
+    from markmuse_spark.kernel import pdf_extract as px
+
+    for dec in (px._lzw_decode, px._rl_decode, px._ahx_decode, px._a85_decode):
+        try:
+            out = dec(data)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 400))
+def test_mutated_encrypted_pdf_never_raises(seed, flip):
+    """Bit-flipped RC4-encrypted files surface as per-row errors or
+    still-parsing docs — never an uncaught exception (the A19 per-row
+    error contract extends to the crypto path)."""
+    import random as _random
+
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources import pdf_writer
+
+    rng = _random.Random(f"encfz:{seed}")
+    pages = docmodel.random_pdf_pages(rng, "en")
+    payload = bytearray(pdf_writer.write_pdf(pages, encrypt=True))
+    payload[flip % len(payload)] ^= 0xA5
+    row = extract_document("https://x/efz.pdf", bytes(payload))
+    assert (row["markdown"] is None) == (row["error"] is not None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 400))
+def test_mutated_filter_chain_pdf_never_raises(seed, flip):
+    """Bit-flipped LZW/A85/RL/AHx content streams follow the same
+    per-row error contract as the Flate form."""
+    import random as _random
+
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources import pdf_writer
+
+    rng = _random.Random(f"filtfz:{seed}")
+    pages = docmodel.random_pdf_pages(rng, "en")
+    forms = ("lzw", "a85_flate", "rl", "ahx")
+    for k, p in enumerate(pages):
+        p["filters"] = forms[k % 4]
+    payload = bytearray(pdf_writer.write_pdf(pages))
+    payload[flip % len(payload)] ^= 0x5A
+    row = extract_document("https://x/ffz.pdf", bytes(payload))
+    assert (row["markdown"] is None) == (row["error"] is not None)

@@ -923,3 +923,217 @@ def test_undo_predictor_dialects():
         )
         == bytes(7)
     )
+
+
+# ---------------------------------------------------------------------
+# corpus v10: filter chains, inline images, RC4 encryption
+# ---------------------------------------------------------------------
+
+def test_filter_forms_extract_identically():
+    """Every corpus-v10 content-stream filter form (LZW, the classic
+    ASCII85+Flate chain, RunLength, ASCIIHex) must extract to the SAME
+    markdown as the plain form — the filter is transport, never text."""
+    for seed in range(10):
+        rng = random.Random(f"filt:{seed}")
+        pages = docmodel.random_pdf_pages(rng, "en")
+        want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+        for form in ("lzw", "a85_flate", "rl", "ahx"):
+            for p in pages:
+                p["filters"] = form
+            pdf = pdf_writer.write_pdf(pages)
+            decl = {
+                "lzw": b"/LZWDecode",
+                "a85_flate": b"[/ASCII85Decode /FlateDecode]",
+                "rl": b"/RunLengthDecode",
+                "ahx": b"/ASCIIHexDecode",
+            }[form]
+            assert decl in pdf
+            got = [pg["markdown"] for pg in pdf_extract.extract_pages(pdf)]
+            assert got == want, (seed, form)
+
+
+def test_lzw_codec_roundtrip_and_width_edges():
+    """Writer LZW encoder vs kernel decoder across the 9->10->11->12-bit
+    width switches (EarlyChange=1: decoder switches one entry early at
+    511/1023/2047) and the 4096-entry clear-table reset."""
+    rng = random.Random("lzw-edges")
+    for n in (0, 1, 2, 300, 800, 1700, 3500, 9000, 30000):
+        for gen in (
+            lambda: rng.randrange(256),           # ~1 table entry/byte
+            lambda: rng.randrange(4),             # long matches
+            lambda: rng.choice(b"ab"),            # degenerate alphabet
+        ):
+            data = bytes(gen() for _ in range(n))
+            enc = pdf_writer._lzw_encode(data)
+            assert pdf_extract._lzw_decode(enc) == data, n
+    # spec default EarlyChange=1 is what the writer emits; decoding the
+    # same bytes with early=0 must NOT round-trip once a width switch
+    # occurred (proves the parameter is honored, not ignored)
+    data = bytes(rng.randrange(256) for _ in range(600))
+    enc = pdf_writer._lzw_encode(data)
+    try:
+        wrong = pdf_extract._lzw_decode(enc, early=0)
+    except ValueError:
+        wrong = None
+    assert wrong != data
+
+
+def test_scalar_decoders_oracle_and_errors():
+    """ASCII85/ASCIIHex against the stdlib oracle; RunLength against a
+    hand-computed vector; every malformed input is ValueError."""
+    import base64
+
+    rng = random.Random("a85")
+    for n in (0, 1, 2, 3, 4, 5, 63, 1000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert pdf_extract._a85_decode(base64.a85encode(data) + b"~>") == data
+        assert pdf_extract._ahx_decode(data.hex().encode() + b">") == data
+    assert pdf_extract._a85_decode(b"z z ~>") == bytes(8)  # zero groups
+    assert pdf_extract._ahx_decode(b"4 1 4") == b"A@"      # ws + odd pad
+    rl = bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128]) + b"IGNORED"
+    assert pdf_extract._rl_decode(rl) == b"abcxxx"          # EOD stops it
+    for bad in (b"u" * 5 + b"~>",):                          # 85^5 overflow
+        with pytest.raises(ValueError):
+            pdf_extract._a85_decode(bad)
+    with pytest.raises(ValueError):
+        pdf_extract._a85_decode(b"A~>")                      # 1-char group
+    with pytest.raises(ValueError):
+        pdf_extract._ahx_decode(b"4G>")                      # non-hex digit
+    with pytest.raises(ValueError):
+        pdf_extract._rl_decode(bytes([5]) + b"ab")           # short literal
+    with pytest.raises(ValueError):
+        pdf_extract._lzw_decode(bytes([0xFF, 0xFF]))         # junk code
+
+
+def test_unsupported_filter_is_loud():
+    """A filter outside the decode set (image codecs) must raise a
+    structured ValueError — the row errors, the bytes never flow on."""
+    pages = [_simple_page("body text here")]
+    pages[0]["compress"] = True
+    pdf = pdf_writer.write_pdf(pages)
+    bad = pdf.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode  ", 1)
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        pdf_extract.extract_pages(bad)
+
+
+def _simple_page(text: str) -> dict:
+    return {
+        "columns": 1,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "Title Here"},
+            {"t": "p", "spans": [("", text)]},
+        ],
+        "compress": False, "tj": False, "hex": False, "hex16": False,
+        "cid": False, "cid_noto": False,
+    }
+
+
+def test_inline_image_trap_bytes_never_mint_text():
+    """BI..ID..EI sample data that parses as ``(trap)Tj`` must be
+    stripped before tokenization — phantom runs are training-corpus
+    poison (spec 8.9.7; the data section is opaque binary)."""
+    page = _simple_page("real page text stays")
+    want = pdf_writer.expected_pdf_page_markdown(page)
+    page["inline_image"] = True
+    for filt in (None, "lzw", "a85_flate"):
+        page["filters"] = filt
+        pdf = pdf_writer.write_pdf([page])
+        got = pdf_extract.extract_pages(pdf)
+        assert [p["markdown"] for p in got] == [want], filt
+        assert "trap" not in got[0]["markdown"]
+
+
+def test_strip_inline_images_units():
+    s = "BT (keep) Tj ET\nBI /W 3 /H 2 ID\n(trap)Tj x EI q\nBT (also) Tj ET"
+    out = pdf_extract._strip_inline_images(s)
+    assert "trap" not in out and "keep" in out and "also" in out
+    # no terminator: the rest of the stream is opaque, dropped
+    out2 = pdf_extract._strip_inline_images("BT (a) Tj ET BI /W 1 ID\nxxxx")
+    assert "(a)" in out2 and "xxxx" not in out2
+    # ID never found: everything after BI dropped
+    out3 = pdf_extract._strip_inline_images("(b) Tj BI /W 1 /H 1")
+    assert "(b)" in out3 and "/W 1" not in out3
+    # literal BI inside a string is left alone when no dict follows it
+    s4 = "BT (BI) Tj ET"
+    assert pdf_extract._strip_inline_images(s4) == s4
+
+
+def test_encrypted_pdf_extracts_identically():
+    """RC4 Standard-handler files (V2/R3, empty user password) decrypt
+    and extract byte-identically to their plaintext form — across
+    compressed, CID, metadata-bearing, and filter-chain pages."""
+    for seed in range(12):
+        rng = random.Random(f"enc:{seed}")
+        pages = docmodel.random_pdf_pages(rng, "en")
+        want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+        plain = pdf_writer.write_pdf(pages, metadata=(seed % 2 == 0))
+        enc = pdf_writer.write_pdf(
+            pages, metadata=(seed % 2 == 0), encrypt=True
+        )
+        assert b"/Encrypt" in enc and enc != plain
+        got = [p["markdown"] for p in pdf_extract.extract_pages(enc)]
+        assert got == want, seed
+    with pytest.raises(ValueError, match="classic-xref"):
+        pdf_writer.write_pdf(pages, xref_stream=True, encrypt=True)
+
+
+def test_encrypted_pdf_failure_modes_are_loud():
+    """Wrong password, AES, and non-Standard handlers are structured
+    per-row errors — an unreadable encrypted doc must never flow onward
+    as byte salad."""
+    import re as _re
+
+    enc = pdf_writer.write_pdf([_simple_page("secret body")], encrypt=True)
+    m = _re.search(rb"/U <([0-9a-f]+)>", enc)
+    tampered = enc[: m.start(1)] + b"00" * 32 + enc[m.end(1) :]
+    with pytest.raises(ValueError, match="password required"):
+        pdf_extract.extract_pages(tampered)
+    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(ValueError, match="unsupported cipher"):
+        pdf_extract.extract_pages(aes)
+    alien = enc.replace(b"/Filter /Standard", b"/Filter /Acme4000")
+    with pytest.raises(ValueError, match="non-Standard"):
+        pdf_extract.extract_pages(alien)
+    # a /Encrypt byte fluke inside ordinary content must NOT trigger the
+    # crypto path (the trailer has no /Encrypt ref)
+    fluke = pdf_writer.write_pdf([_simple_page("mentions /Encrypt 9 0 R ok")])
+    assert pdf_extract.extract_pages(fluke)[0]["markdown"]
+
+
+def test_rc4_known_vectors():
+    """Classic RC4 test vectors pin both the kernel's and the writer's
+    independent implementations."""
+    for impl in (pdf_extract._rc4, pdf_writer._rc4):
+        assert impl(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+        assert impl(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+        assert impl(b"Secret", b"Attack at dawn").hex().upper() == (
+            "45A01F645FC35B383552544B9BF5"
+        )
+
+
+def test_corpus_v10_emits_and_roundtrips_new_forms():
+    """The deterministic corpus actually exercises every v10 form (LZW /
+    A85+Flate / RunLength / ASCIIHex chains, inline images, RC4
+    encryption) and every such doc extracts to its expected markdown."""
+    from collections import Counter
+
+    from markmuse_spark.sources import corpus
+
+    seen = Counter()
+    for i in range(4, 1200, 5):  # the PDF congruence class
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        for tag, needle in (
+            ("lzw", b"/LZWDecode"),
+            ("a85", b"/ASCII85Decode"),
+            ("rl", b"/RunLengthDecode"),
+            ("ahx", b"/ASCIIHexDecode"),
+            ("enc", b"/Encrypt"),
+        ):
+            if needle in payload:
+                seen[tag] += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert all(seen[t] >= 3 for t in ("lzw", "a85", "rl", "ahx", "enc")), seen
