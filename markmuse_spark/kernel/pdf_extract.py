@@ -416,28 +416,41 @@ _WS_BYTES = frozenset(b" \t\r\n\f\v\x00")  # PDF whitespace class (7.2.3)
 _MAX_DECODED = 1 << 26
 
 
+_LZW_BASE: tuple = tuple(bytes([i]) for i in range(256)) + (b"", b"")
+
+
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     """LZWDecode (spec 7.4.4.2, the TIFF variant): variable 9->12-bit
     big-endian codes, 256 = clear-table, 257 = EOD.  ``early`` is the
     ``/EarlyChange`` parameter (default 1: the code width grows one
     entry before the table strictly requires it — the decoder's table
     runs one entry behind the encoder's, so the switch points are
-    511/1023/2047 rather than the powers of two)."""
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    511/1023/2047 rather than the powers of two).  Hot loop keeps the
+    table length and width threshold as locals — this runs per LZW
+    content stream on the extraction path."""
+    table = list(_LZW_BASE)
+    append = table.append
+    tlen = 258
     width = 9
+    switch = (1 << 9) - early
     prev: bytes | None = None
     out = bytearray()
+    outlen = 0
     bitbuf = bitcnt = 0
     for byte in data:
         bitbuf = (bitbuf << 8) | byte
         bitcnt += 8
         while bitcnt >= width:
-            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
             bitcnt -= width
+            code = (bitbuf >> bitcnt) & ((1 << width) - 1)
             if code == 256:
-                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                table = list(_LZW_BASE)
+                append = table.append
+                tlen = 258
                 width = 9
+                switch = (1 << 9) - early
                 prev = None
+                bitbuf &= (1 << bitcnt) - 1
                 continue
             if code == 257:
                 return bytes(out)
@@ -445,20 +458,25 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 if code >= 256:
                     raise ValueError("bad LZW stream: first code not a byte")
                 entry = table[code]
-            elif code < len(table):
+            elif code < tlen:
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                append(prev + entry[:1])
+                tlen += 1
+            elif code == tlen:
                 entry = prev + prev[:1]
-                table.append(entry)
+                append(entry)
+                tlen += 1
             else:
                 raise ValueError("bad LZW stream: code beyond table")
             out += entry
-            if len(out) > _MAX_DECODED:
+            outlen += len(entry)
+            if outlen > _MAX_DECODED:
                 raise ValueError("LZW stream exceeds decode cap")
             prev = entry
-            if width < 12 and len(table) >= (1 << width) - early:
+            if tlen >= switch and width < 12:
                 width += 1
+                switch = (1 << width) - early
+        bitbuf &= 0xFFFFFF  # bound the accumulator (<= 23 carried bits)
     # EOD missing: tolerate (some writers rely on data exhaustion)
     return bytes(out)
 
@@ -488,59 +506,78 @@ def _rl_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_WS_DELETE = bytes(_WS_BYTES)  # translate() deletion set
+
+
 def _ahx_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (spec 7.4.2): hex digits, whitespace ignored,
-    ``>`` is EOD, odd digit count padded with 0."""
-    digits = []
-    for b in data:
-        if b in _WS_BYTES:
-            continue
-        if b == 0x3E:  # '>'
-            break
-        c = chr(b)
-        if c not in "0123456789abcdefABCDEF":
-            raise ValueError("bad ASCIIHex byte 0x%02x" % b)
-        digits.append(c)
+    ``>`` is EOD, odd digit count padded with 0.  Whole-buffer
+    translate + ``bytes.fromhex`` — never a per-byte Python loop (a
+    hex stream is 2x the payload; this is a decode hot path)."""
+    eod = data.find(b">")
+    if eod >= 0:
+        data = data[:eod]
+    digits = data.translate(None, _WS_DELETE)
     if len(digits) % 2:
-        digits.append("0")
-    return bytes.fromhex("".join(digits))
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"bad ASCIIHex stream: {exc}") from exc
+
+
+_A85_POW = (85**4, 85**3, 85**2, 85, 1)
 
 
 def _a85_decode(data: bytes) -> bytes:
     """ASCII85Decode (spec 7.4.3): base-85 groups of 5 chars -> 4 bytes,
     ``z`` = four zero bytes (only between groups), whitespace ignored,
-    ``~>`` is EOD; a final partial group of k chars yields k-1 bytes."""
-    out = bytearray()
-    group: list[int] = []
-    for b in data:
-        if b in _WS_BYTES:
-            continue
-        if b == 0x7E:  # '~' starts the EOD marker
-            break
-        if b == 0x7A:  # 'z'
-            if group:
+    ``~>`` is EOD; a final partial group of k chars yields k-1 bytes.
+    Full 5-char groups decode via sliced arithmetic (5 index reads per
+    4 output bytes); the rare ``z``-bearing stream expands ``z`` groups
+    first so the same fast loop applies."""
+    eod = data.find(b"~")
+    if eod >= 0:
+        data = data[:eod]
+    body = data.translate(None, _WS_DELETE)
+    if b"z" in body:
+        # legal only on a group boundary: expand, then verify alignment
+        # by re-checking below (an in-group z yields a non-85 value)
+        parts = body.split(b"z")
+        for p in parts[:-1]:
+            if len(p) % 5:
                 raise ValueError("ASCII85 'z' inside a group")
-            out += b"\x00\x00\x00\x00"
-            continue
-        if not 0x21 <= b <= 0x75:
-            raise ValueError("bad ASCII85 byte 0x%02x" % b)
-        group.append(b - 33)
-        if len(group) == 5:
-            n = 0
-            for d in group:
-                n = n * 85 + d
-            if n > 0xFFFFFFFF:
-                raise ValueError("ASCII85 group overflow")
-            out += n.to_bytes(4, "big")
-            group = []
-    if group:
-        if len(group) == 1:
+        body = b"!!!!!".join(parts)  # '!'*5 encodes four zero bytes
+    p0, p1, p2, p3, p4 = _A85_POW
+    out = bytearray()
+    full = len(body) - len(body) % 5
+    for i in range(0, full, 5):
+        g = body[i : i + 5]
+        n = (
+            (g[0] - 33) * p0
+            + (g[1] - 33) * p1
+            + (g[2] - 33) * p2
+            + (g[3] - 33) * p3
+            + (g[4] - 33)
+        )
+        if n > 0xFFFFFFFF or min(g) < 0x21 or max(g) > 0x75:
+            raise ValueError("bad ASCII85 group %r" % g)
+        out += n.to_bytes(4, "big")
+    tail = body[full:]
+    if tail:
+        k = len(tail)
+        if k == 1:
             raise ValueError("truncated ASCII85 final group")
-        k = len(group)
-        group += [84] * (5 - k)
-        n = 0
-        for d in group:
-            n = n * 85 + d
+        if min(tail) < 0x21 or max(tail) > 0x75:
+            raise ValueError("bad ASCII85 byte in final group")
+        g = tail + b"u" * (5 - k)  # 'u' = 84, the pad digit
+        n = (
+            (g[0] - 33) * p0
+            + (g[1] - 33) * p1
+            + (g[2] - 33) * p2
+            + (g[3] - 33) * p3
+            + (g[4] - 33)
+        )
         if n > 0xFFFFFFFF:
             raise ValueError("ASCII85 group overflow")
         out += n.to_bytes(4, "big")[: k - 1]
