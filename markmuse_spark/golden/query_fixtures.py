@@ -700,6 +700,169 @@ def mint_t_url_canonical() -> tuple[list[dict], "object"]:
 
 
 # ---------------------------------------------------------------------
+# t_pii_mask: independent TOKEN-BASED replica of the PII masker — a
+# whitespace-token scanner with structural classifiers (digit-group
+# parsing, octet range checks, local@domain splits), NOT a regex
+# transliteration of the Spark form.  Scope: exact agreement on the
+# deterministic fixture construction (and its documented negatives);
+# pathological shapes outside it (6-group digit runs, mixed-dash card
+# groupings) are out of contract, like every fixture oracle here.
+# ---------------------------------------------------------------------
+
+
+def _digits(s: str, lo: int, hi: int) -> bool:
+    return s.isdigit() and lo <= len(s) <= hi
+
+
+def _email_shape(tok: str) -> bool:
+    if tok.count("@") != 1:
+        return False
+    local, dom = tok.split("@")
+    if not local or any(not (c.isalnum() or c in "._%+-") for c in local):
+        return False
+    if "." not in dom:
+        return False
+    labels = dom.split(".")
+    return (
+        all(lab and all(c.isalnum() or c == "-" for c in lab) for lab in labels[:-1])
+        and len(labels[-1]) >= 2
+        and labels[-1].isalpha()
+    )
+
+
+def _ipv4_shape(tok: str) -> bool:
+    parts = tok.split(".")
+    return len(parts) == 4 and all(
+        p.isdigit() and (p == "0" or p[0] != "0") and int(p) <= 255 for p in parts
+    )
+
+
+def _ssn_shape(tok: str) -> bool:
+    p = tok.split("-")
+    return (
+        len(p) == 3 and _digits(p[0], 3, 3) and _digits(p[1], 2, 2)
+        and _digits(p[2], 4, 4)
+    )
+
+
+def _cc_shape(tok: str) -> bool:
+    if tok.isdigit() and len(tok) == 16:
+        return True
+    p = tok.split("-")
+    return len(p) == 4 and all(_digits(x, 4, 4) for x in p)
+
+
+def _phone_shape(tok: str) -> bool:
+    # solid international form: '+' then 8-15 digits
+    if tok.startswith("+") and _digits(tok[1:], 8, 15):
+        return True
+    s = tok
+    groups: list[str] = []
+    if s.startswith("+"):  # country-code group, must be followed by a sep
+        j = 1
+        while j < len(s) and s[j].isdigit():
+            j += 1
+        if not (2 <= j <= 4 and j < len(s) and s[j] in "-."):
+            return False
+        groups.append(s[1:j])
+        s = s[j + 1 :]
+    if s.startswith("("):  # parenthesized area group, optional sep after
+        k = s.find(")")
+        if k == -1 or not _digits(s[1:k], 2, 4):
+            return False
+        groups.append(s[1:k])
+        s = s[k + 1 :]
+        if s[:1] in ("-", "."):
+            s = s[1:]
+    i, n = 0, len(s)  # remaining: 2-4 digit groups joined by '-' or '.'
+    while i < n:
+        j = i
+        while j < n and s[j].isdigit():
+            j += 1
+        if not 2 <= j - i <= 4:
+            return False
+        groups.append(s[i:j])
+        i = j
+        if i < n:
+            if s[i] not in "-." or i + 1 == n:
+                return False
+            i += 1
+    return 3 <= len(groups) <= 5
+
+
+def _mask_pii_tokens(text: str) -> str:
+    """Whitespace-token scan; trailing sentence punctuation is detached
+    before classification and re-attached after (the Spark regexes bound
+    matches with lookarounds, so '0123,' masks to '<PHONE>,')."""
+    out = []
+    for tok in text.split(" "):
+        core = tok.rstrip(",.")
+        tail = tok[len(core) :]
+        if _email_shape(core):
+            core = "<EMAIL>"
+        elif _ipv4_shape(core):
+            core = "<IP>"
+        elif _ssn_shape(core):
+            core = "<ID>"
+        elif _cc_shape(core):
+            core = "<CC>"
+        elif _phone_shape(core):
+            core = "<PHONE>"
+        out.append(core + tail)
+    return " ".join(out)
+
+
+def _pii_raw_text(did: int) -> str:
+    """The deterministic PII-bearing sentence the Spark query builds
+    JVM-side from doc_id residue classes (t_pii_mask in queries.py)."""
+    email = (
+        "nobody"
+        if did % 4 == 3
+        else f"user{did % 50}.test+tag@Mail{did % 9}.Example.org"
+    )
+    phone = (
+        f"+1-202-555-0{did % 1000:03d}",
+        f"(415)555-2{did % 1000:03d}",
+        f"020.7946.0{did % 1000:03d}",
+        f"+4420794609{did % 100:02d}",
+    )[did % 4]
+    ip = (
+        f"999.12.13.{did % 90 + 10}"
+        if did % 5 == 0
+        else f"10.{did % 256}.{did * 7 % 256}.{did % 100}"
+    )
+    acct = (
+        f"4111-1111-1111-{did % 10000:04d}",
+        f"411111111111{did % 10000:04d}",
+        f"123-45-{did % 10000:04d}",
+    )[did % 3]
+    return (
+        f"Contact {email} or call {phone}, logged from {ip} account {acct}"
+        " in 2024 2025 v1.2 price 10.99."
+    )
+
+
+def mint_t_pii_mask() -> tuple[list[dict], "object"]:
+    import pyarrow as pa
+
+    rows = []
+    for d in _documents(max_doc_id=200):
+        did = int(d["doc_id"])
+        raw = _pii_raw_text(did)
+        rows.append(
+            {"doc_id": did, "text_raw": raw, "text_masked": _mask_pii_tokens(raw)}
+        )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_raw", pa.string()),
+            ("text_masked", pa.string()),
+        ]
+    )
+    return rows, schema
+
+
+# ---------------------------------------------------------------------
 # p_corpus_curation: the end-to-end corpus->keeplist chain, re-derived
 # with the golden assembly oracle + pure-string/hashlib replicas of
 # every stage — the near-dup stage uses the EXACT n-gram Jaccard
@@ -812,6 +975,7 @@ MINTERS = {
     "s_lsh_ann": mint_s_lsh_ann,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
     "t_url_canonical": mint_t_url_canonical,
+    "t_pii_mask": mint_t_pii_mask,
     "p_corpus_curation": mint_p_corpus_curation,
 }
 

@@ -1463,6 +1463,73 @@ def t_url_canonical(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_qx(
+    "t_pii_mask",
+    # fixture minted by an independent TOKEN-BASED masker (no regex
+    # transliteration of the Spark form) over the same deterministic
+    # PII-bearing text construction — golden/query_fixtures.py
+    "SELECT doc_id, text_raw, text_masked FROM "
+    f"read_parquet('{_FIXDIR}/t_pii_mask.parquet') ORDER BY doc_id",
+)
+def t_pii_mask(spark, sf_dir):
+    """Beyond-survey corpus-curation op: PII masking — emails, IPv4,
+    SSN-shaped ids, 16-digit cards, phone numbers replaced with typed
+    tokens before a corpus ships to training.  PII-bearing sentences
+    are built JVM-side from doc_id residue classes so every rule — and
+    the documented negatives (an out-of-range ``999.x`` IP that
+    degrades to the phone rule, bare year runs, version/price decimals,
+    rows with no email) — is exercised; the masked column comes from
+    ``functions.mask_pii`` (five JVM regex passes, codegen'd)."""
+    from markmuse_spark.functions import mask_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    email = F.when(did % 4 == 3, F.lit("nobody")).otherwise(
+        F.format_string(
+            "user%d.test+tag@Mail%d.Example.org",
+            (did % 50).cast("int"), (did % 9).cast("int"),
+        )
+    )
+    phone = F.element_at(
+        F.array(
+            F.format_string("+1-202-555-0%03d", (did % 1000).cast("int")),
+            F.format_string("(415)555-2%03d", (did % 1000).cast("int")),
+            F.format_string("020.7946.0%03d", (did % 1000).cast("int")),
+            F.format_string("+4420794609%02d", (did % 100).cast("int")),
+        ),
+        (did % 4 + 1).cast("int"),
+    )
+    ip = F.when(
+        did % 5 == 0,
+        F.format_string("999.12.13.%d", (did % 90 + 10).cast("int")),
+    ).otherwise(
+        F.format_string(
+            "10.%d.%d.%d",
+            (did % 256).cast("int"),
+            ((did * 7) % 256).cast("int"),
+            (did % 100).cast("int"),
+        )
+    )
+    acct = F.element_at(
+        F.array(
+            F.format_string("4111-1111-1111-%04d", (did % 10000).cast("int")),
+            F.format_string("411111111111%04d", (did % 10000).cast("int")),
+            F.format_string("123-45-%04d", (did % 10000).cast("int")),
+        ),
+        (did % 3 + 1).cast("int"),
+    )
+    raw = F.concat(
+        F.lit("Contact "), email,
+        F.lit(" or call "), phone,
+        F.lit(", logged from "), ip,
+        F.lit(" account "), acct,
+        F.lit(" in 2024 2025 v1.2 price 10.99."),
+    )
+    return d.select(
+        "doc_id", raw.alias("text_raw"), mask_pii(raw).alias("text_masked")
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # The extraction engine + multimodal plumbing as registry entries
 # (oracled via golden parquet fixtures minted by independent pure-Python

@@ -286,3 +286,52 @@ def test_canonical_url_matches_independent_replica(spark):
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     got = [r[0] for r in df.select(fn.canonical_url(F.col("u"))).collect()]
     assert got == [_canonicalize_url(u) for u in urls]
+
+
+def test_mask_pii_rules_and_negatives(spark):
+    """Each PII rule masks its shape; the documented negatives (years,
+    version/price decimals, bare digit runs, short dotted pairs) never
+    mask; precedence: SSN-shaped ids beat cards, cards beat phones on
+    solid 16 digits, valid IPs beat dotted phone groups."""
+    from pyspark.sql import functions as F
+
+    from markmuse_spark import functions as fn
+
+    rows = [
+        ("mail a.b+c@ex.co now", "mail <EMAIL> now"),
+        ("ip 192.168.0.1 ok", "ip <IP> ok"),
+        ("ssn 123-45-6789.", "ssn <ID>."),
+        ("card 4111-1111-1111-1234", "card <CC>"),
+        ("card 4111111111111234", "card <CC>"),
+        ("call +1-202-555-0147,", "call <PHONE>,"),
+        ("call (415)555-0147", "call <PHONE>"),
+        ("call 020.7946.0958", "call <PHONE>"),
+        ("call +442079460958", "call <PHONE>"),
+        # out-of-range octet is NOT an IP; dotted groups degrade to phone
+        ("from 999.12.13.45 x", "from <PHONE> x"),
+        # negatives
+        ("in 2024 2025", "in 2024 2025"),
+        ("v1.2 price 10.99.", "v1.2 price 10.99."),
+        ("order 12345678 units", "order 12345678 units"),
+        ("at 1.2.3 semver", "at 1.2.3 semver"),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "t string")
+    got = [r[0] for r in df.select(fn.mask_pii(F.col("t"))).collect()]
+    assert got == [r[1] for r in rows]
+
+
+def test_mask_pii_matches_independent_replica(spark):
+    """Spark regex chain vs the fixture's token-based masker over every
+    fixture sentence shape (all residue classes)."""
+    from pyspark.sql import functions as F
+
+    from markmuse_spark import functions as fn
+    from markmuse_spark.golden.query_fixtures import (
+        _mask_pii_tokens,
+        _pii_raw_text,
+    )
+
+    texts = [_pii_raw_text(d) for d in range(60)]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(fn.mask_pii(F.col("t"))).collect()]
+    assert got == [_mask_pii_tokens(t) for t in texts]
