@@ -79,8 +79,14 @@ from typing import Any, Sequence
 # bytes that happen to contain "endstream" can't truncate the slice
 # ONE level of dict nesting in stream headers: real writers put
 # sub-dicts there (``/DecodeParms << /Predictor 12 ... >>`` on xref
-# streams — corpus v9); the alternation is linear, no backtracking blowup
-_STREAM_HDR = re.compile(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n")
+# streams — corpus v9) and HEX STRINGS (``/ID [<f3..> <f3..>]`` in xref
+# stream dicts — every real producer's trailer fields, corpus v11; a
+# ``<`` that is not a sub-dict must not abort the dict match or the
+# xref stream loses its /Type in the scan); the alternation is linear,
+# no backtracking blowup
+_STREAM_HDR = re.compile(
+    rb"<<((?:[^<>]|<<[^<>]*>>|<[^<>]*>)*)>>\s*stream\r?\n"
+)
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
 # /Filter value: one name or an array of names (decode order = array
 # order, spec 7.4.1); abbreviated names are the inline-image aliases the
@@ -667,18 +673,122 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    o: bytes, p: int, file_id: bytes, r: int, n_bytes: int
+    o: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    n_bytes: int,
+    meta_tail: bool = False,
 ) -> bytes:
-    """Algorithm 2 (empty user password): the file encryption key."""
+    """Algorithm 2 (empty user password): the file encryption key.
+    ``meta_tail``: V4 files with /EncryptMetadata false append
+    0xFFFFFFFF to the hash input (spec algorithm 2 step f)."""
     import hashlib
 
     h = hashlib.md5(
         _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+        + (b"\xff\xff\xff\xff" if meta_tail else b"")
     ).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n_bytes]).digest()
     return h[:n_bytes]
+
+
+def _aesv3_file_key(enc: bytes, u_val: bytes, r: int) -> bytes:
+    """AES-256 Standard handler (V5, R5/R6), empty user password: verify
+    the /U hash, then unwrap the 32-byte file key from /UE
+    (ISO 32000-2 §7.6.4.4.10-11; R6 uses the hardened Algorithm-2.B
+    hash, R5 the interim single SHA-256).  /Perms, when present, is
+    decrypted with the recovered key and its ``adb`` magic checked — a
+    mismatch means a corrupt or hostile file, which must fail loudly."""
+    from markmuse_spark.kernel import aes
+
+    if len(u_val) < 48:
+        raise ValueError("encrypted PDF: /U shorter than 48 bytes (V5)")
+    vsalt, ksalt = u_val[32:40], u_val[40:48]
+    if aes.pdf2_hash(b"", vsalt, b"", r) != u_val[:32]:
+        raise ValueError("encrypted PDF: password required")
+    ue_m = re.search(rb"/UE\s*<([0-9A-Fa-f]+)>", enc)
+    if ue_m is None:
+        raise ValueError("encrypted PDF: /UE missing (V5)")
+    ue = bytes.fromhex(ue_m.group(1).decode())
+    key = aes.cbc_decrypt(
+        aes.pdf2_hash(b"", ksalt, b"", r), bytes(16), ue[:32]
+    )
+    perms_m = re.search(rb"/Perms\s*<([0-9A-Fa-f]+)>", enc)
+    if perms_m is not None:
+        dec = aes.cbc_decrypt(
+            key, bytes(16), bytes.fromhex(perms_m.group(1).decode())[:16]
+        )
+        if dec[9:12] != b"adb":
+            raise ValueError("encrypted PDF: /Perms integrity check failed")
+    return key
+
+
+_ENDSTREAM_OBJ_RE = re.compile(rb"\s*endstream\s*endobj")
+
+
+def _aes_rebuild(
+    payload: bytes,
+    todo: list,
+    file_key: bytes,
+    cipher: str,
+) -> bytes:
+    """Decrypt AES stream bodies (IV-prefixed CBC, PKCS#7 padding) and
+    rebuild the payload WITHOUT moving any byte offset: AES shrinks
+    every body (16-byte IV + padding), so each ``stream..endobj`` region
+    is rewritten in place as ``plaintext + endstream/endobj + newline
+    fill`` to its original byte length, and the header's direct
+    ``/Length`` integer is overwritten space-padded to its original
+    digit width.  Every offset-bearing structure (``startxref``, xref
+    table entries, object headers) therefore stays valid on the
+    decrypted copy.  One vectorized batch decrypts all streams of the
+    file (:func:`markmuse_spark.kernel.aes.cbc_decrypt_batch` — per-
+    block round keys, so AESV2's per-object keys share the pass)."""
+    import hashlib
+
+    from markmuse_spark.kernel import aes
+
+    segments = []
+    for (_h, _head, data, (_s, _e)), num in todo:
+        if len(data) < 32 or (len(data) - 16) % 16:
+            raise ValueError(
+                "encrypted PDF: AES stream body not block-aligned"
+            )
+        if cipher == "aesv2":
+            okey = hashlib.md5(
+                file_key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+            ).digest()[:16]
+        else:
+            okey = file_key
+        segments.append((okey, data[:16], data[16:]))
+    plains = aes.cbc_decrypt_batch(segments)
+    out = bytearray(payload)
+    for ((hdr_start, head, data, (s, e)), _num), pt in zip(todo, plains):
+        pad = pt[-1] if pt else 0
+        if not 1 <= pad <= 16 or pt[-pad:] != bytes([pad]) * pad:
+            raise ValueError("encrypted PDF: bad AES padding")
+        pt = pt[:-pad]
+        lm = _LENGTH.search(head)
+        if lm is not None:
+            # head is _STREAM_HDR group(1), which starts 2 bytes past the
+            # match start (after the opening "<<") — offsets inside head
+            # map to payload at hdr_start + 2 + offset
+            a = hdr_start + 2 + lm.start(1)
+            b = hdr_start + 2 + lm.end(1)
+            digits = str(len(pt)).encode()
+            if len(digits) <= b - a:
+                out[a:b] = digits.ljust(b - a)
+        tail = _ENDSTREAM_OBJ_RE.match(payload, e)
+        if tail is not None:
+            region_end = tail.end()
+            fixed = pt + b"\nendstream\nendobj"
+            out[s:region_end] = fixed + b"\n" * (region_end - s - len(fixed))
+        else:  # stream not directly followed by endobj: pad inside the
+            # slot; the scanner's endstream fallback rstrips newlines
+            out[s:e] = pt + b"\n" * (e - s - len(pt))
+    return bytes(out)
 
 
 def _std_user_check(key: bytes, file_id: bytes, r: int) -> bytes:
@@ -748,10 +858,18 @@ def _decrypt_payload(payload: bytes) -> bytes:
         if (m := rx.search(enc)) is not None
     }
     v, r = ints.get("V", 0), ints.get("R", 0)
-    if v not in (1, 2) or r not in (2, 3):
+    cfm_m = re.search(rb"/CFM\s*/(\w+)", enc)
+    cfm = cfm_m.group(1) if cfm_m else None
+    if v in (1, 2) and r in (2, 3):
+        cipher = "rc4"
+    elif v == 4 and r == 4 and cfm in (b"V2", b"AESV2"):
+        cipher = "rc4" if cfm == b"V2" else "aesv2"
+    elif v == 5 and r in (5, 6) and cfm == b"AESV3":
+        cipher = "aesv3"
+    else:
         raise ValueError(
-            f"encrypted PDF: unsupported cipher (V={v} R={r}"
-            + (" AES)" if v >= 4 else ")")
+            f"encrypted PDF: unsupported cipher (V={v} R={r} "
+            f"CFM={cfm.decode() if cfm else None})"
         )
     om_hex = _HEXSTR_FIELD["O"].search(enc)
     um_hex = _HEXSTR_FIELD["U"].search(enc)
@@ -759,29 +877,47 @@ def _decrypt_payload(payload: bytes) -> bytes:
         raise ValueError("encrypted PDF: /O or /U not a hex string")
     o_val = bytes.fromhex(om_hex.group(1).decode())
     u_val = bytes.fromhex(um_hex.group(1).decode())
-    idm = _FILE_ID_RE.search(region) or _FILE_ID_RE.search(
-        payload[tpos:] if tpos >= 0 else payload
-    )
-    if idm is None:
-        raise ValueError("encrypted PDF: trailer /ID missing")
-    file_id = bytes.fromhex(idm.group(1).decode())
-    n_bytes = ints.get("Length", 40) // 8 if v == 2 else 5
-    key = _std_file_key(o_val, ints.get("P", -1), file_id, r, n_bytes)
-    check = _std_user_check(key, file_id, r)
-    ok = check[:16] == u_val[:16] if r >= 3 else check == u_val[:32]
-    if not ok:
-        raise ValueError("encrypted PDF: password required")
-    out = bytearray(payload)
+    # /EncryptMetadata false: metadata streams stay plaintext AND (V4)
+    # the key derivation appends 0xFFFFFFFF (spec algorithm 2 step f)
+    plain_meta = re.search(rb"/EncryptMetadata\s+false", enc) is not None
+    if cipher == "aesv3":
+        key = _aesv3_file_key(enc, u_val, r)
+    else:
+        idm = _FILE_ID_RE.search(region) or _FILE_ID_RE.search(
+            payload[tpos:] if tpos >= 0 else payload
+        )
+        if idm is None:
+            raise ValueError("encrypted PDF: trailer /ID missing")
+        file_id = bytes.fromhex(idm.group(1).decode())
+        n_bytes = ints.get("Length", 40) // 8 if v >= 2 else 5
+        key = _std_file_key(
+            o_val, ints.get("P", -1), file_id, r, n_bytes,
+            meta_tail=plain_meta and v == 4,
+        )
+        check = _std_user_check(key, file_id, r)
+        ok = check[:16] == u_val[:16] if r >= 3 else check == u_val[:32]
+        if not ok:
+            raise ValueError("encrypted PDF: password required")
     obj_marks = [(m.start(), int(m.group(1))) for m in _OBJ_RE.finditer(payload)]
     starts = [pos for pos, _ in obj_marks]
-    for hdr_start, head, data, (s, e) in _scan_streams(payload):
+    todo = []  # (stream tuple, object number) pairs to decrypt
+    for tup in _scan_streams(payload):
+        hdr_start, head = tup[0], tup[1]
         if _TYPE_XREF_RE.search(head):
             continue  # xref streams are never encrypted (spec 7.5.8)
+        if plain_meta and re.search(rb"/Type\s*/Metadata\b", head):
+            continue
         k = bisect.bisect_right(starts, hdr_start) - 1
         if k < 0:
             continue
-        out[s:e] = _rc4(_object_key(key, obj_marks[k][1]), data)
-    return bytes(out)
+        todo.append((tup, obj_marks[k][1]))
+    if cipher == "rc4":
+        out = bytearray(payload)
+        for (_h, _head, data, (s, e)), num in todo:
+            okey = _object_key(key, num)
+            out[s:e] = _rc4(okey, data)
+        return bytes(out)
+    return _aes_rebuild(payload, todo, key, cipher)
 
 
 def _png_paeth_pred(a: int, b: int, c: int) -> int:

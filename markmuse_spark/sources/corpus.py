@@ -91,7 +91,18 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # ~10% of classic-xref documents are RC4-ENCRYPTED (Standard
         # handler V2/R3, empty user password — the dominant wild
         # encrypted form; the kernel decrypts, verifies /U, and fails
-        # LOUDLY on AES or a real password)
+        # LOUDLY on a real password);
+        # corpus v11 (draws again APPENDED, content untouched): the
+        # encrypted population gains the AES forms — ~35% of classic-
+        # xref encrypted files use V4/AESV2 (the Acrobat-7-era form),
+        # and ~12% of MODERN files (xref-stream / ObjStm dialects, which
+        # RC4 never touches) are AES-256 V5 Standard-handler encrypted.
+        # V5 splits ~2% revision 6 (PDF 2.0 Algorithm-2.B hardened KDF)
+        # / ~98% revision 5 (single-SHA-256): R6's KDF is DELIBERATELY
+        # ~0.2s/file (password hardening — every conforming reader pays
+        # it), so the corpus keeps it present-but-rare to keep the bench
+        # measuring extraction rather than key stretching — disclosed in
+        # BASELINE.md
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -114,13 +125,19 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 and not pm.get("cid_noto")
             )
         encrypt = rng.random() < 0.10 and not (xref_stream or object_streams)
+        cdraw = rng.random()  # v11: appended — prior knobs see the same stream
+        cipher: object = False
+        if encrypt:
+            cipher = "rc4" if cdraw < 0.65 else "aesv2"
+        elif (xref_stream or object_streams) and cdraw < 0.12:
+            cipher = "aesv3" if rng.random() < 0.02 else "aesv3r5"
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,
             xref_stream=xref_stream,
             object_streams=object_streams,
             xref_predictor=xref_predictor,
-            encrypt=encrypt,
+            encrypt=cipher,
         )
         expected = [
             {

@@ -387,18 +387,82 @@ def _std_security(file_id: bytes, p: int) -> tuple[bytes, bytes, bytes]:
 _OBJ_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
 
-def _encrypt_obj_streams(obj: bytes, num: int, file_key: bytes) -> bytes:
-    """RC4 the stream span of one object body with its per-object key
-    (spec algorithm 1) — length-preserving, so /Length stays valid."""
+def _aesv3_security(
+    file_id: bytes, p: int, r: int
+) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes]:
+    """(file key, /O, /U, /OE, /UE, /Perms) for the AES-256 Standard
+    handler (V5, revision ``r`` in {5, 6}), empty user AND owner
+    passwords (ISO 32000-2 §7.6.4.4.6-8).  All salts and the file key
+    are deterministic functions of ``file_id`` so corpus bytes stay a
+    pure function of (seed, row).  The cipher itself comes from the
+    kernel's FIPS-KAT-pinned module — AES is a public standard, not
+    extraction semantics, so sharing the primitive does not couple the
+    content oracle to the code under test."""
+    from markmuse_spark.kernel import aes
+
+    def _tag(name: bytes, n: int) -> bytes:
+        return hashlib.sha256(b"markmuse:v11:" + name + b":" + file_id).digest()[:n]
+
+    filekey = _tag(b"filekey", 32)
+    vs_u, ks_u = _tag(b"vsu", 8), _tag(b"ksu", 8)
+    u_val = aes.pdf2_hash(b"", vs_u, b"", r) + vs_u + ks_u
+    ue = aes.cbc_encrypt(aes.pdf2_hash(b"", ks_u, b"", r), bytes(16), filekey)
+    vs_o, ks_o = _tag(b"vso", 8), _tag(b"kso", 8)
+    o_val = aes.pdf2_hash(b"", vs_o, u_val, r) + vs_o + ks_o
+    oe = aes.cbc_encrypt(aes.pdf2_hash(b"", ks_o, u_val, r), bytes(16), filekey)
+    perms = aes.ecb_encrypt(
+        filekey,
+        (p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+        + b"Tadb" + _tag(b"perms", 4),
+    )
+    return filekey, o_val, u_val, oe, ue, perms
+
+
+def _stream_cipher(cipher: str, file_key: bytes, file_id: bytes):
+    """``fn(num, data) -> bytes`` transforming one raw stream body.
+
+    RC4 is length-preserving; the AES forms prepend a deterministic
+    per-object IV and CBC-encrypt with PKCS#7 padding (ISO 32000
+    §7.6.3), so callers must re-derive /Length from the result."""
+    from markmuse_spark.kernel import aes
+
+    if cipher == "rc4":
+
+        def fn(num: int, data: bytes) -> bytes:
+            okey = hashlib.md5(
+                file_key + num.to_bytes(3, "little") + b"\x00\x00"
+            ).digest()[: min(len(file_key) + 5, 16)]
+            return _rc4(okey, data)
+
+    else:
+
+        def fn(num: int, data: bytes) -> bytes:
+            if cipher == "aesv2":
+                okey = hashlib.md5(
+                    file_key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+                ).digest()[:16]
+            else:  # aesv3: the file key directly (spec: no per-object step)
+                okey = file_key
+            iv = hashlib.md5(b"iv:%d:" % num + file_id).digest()
+            pad = 16 - len(data) % 16
+            return iv + aes.cbc_encrypt(okey, iv, data + bytes([pad]) * pad)
+
+    return fn
+
+
+def _encrypt_obj_streams(obj: bytes, num: int, fn) -> bytes:
+    """Apply the stream cipher to the stream span of one object body,
+    re-deriving /Length when the cipher changed the byte count (AES)."""
     idx = obj.find(b"stream\n")
     if idx < 0:
         return obj
     start = idx + len(b"stream\n")
     end = start + int(_OBJ_LENGTH_RE.search(obj).group(1))
-    okey = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + b"\x00\x00"
-    ).digest()[: min(len(file_key) + 5, 16)]
-    return obj[:start] + _rc4(okey, obj[start:end]) + obj[end:]
+    data = fn(num, obj[start:end])
+    head = obj[:idx]
+    if len(data) != end - start:
+        head = _OBJ_LENGTH_RE.sub(b"/Length %d" % len(data), head, count=1)
+    return head + b"stream\n" + data + obj[end:]
 
 
 def write_pdf(
@@ -587,29 +651,77 @@ def write_pdf(
 
     enc_id = 0
     file_id = b""
-    if encrypt:
-        # dialect constraint (documented): encrypted corpus files use
-        # the classic xref table — matching the wild population, where
-        # RC4 Standard-handler files are overwhelmingly the pre-1.5 era
-        if xref_stream or object_streams:
-            raise ValueError("encrypt requires the classic-xref dialect")
+    stream_fn = None
+    cipher = {False: None, True: "rc4"}.get(encrypt, encrypt)
+    if cipher:
+        if cipher == "rc4" and (xref_stream or object_streams):
+            # dialect constraint (documented): RC4 corpus files use the
+            # classic xref table — matching the wild population, where
+            # Standard-RC4 files are overwhelmingly the pre-1.5 era.
+            # The AES forms ALLOW the modern combinations (AES-256 +
+            # xref streams + ObjStm is today's default producer output).
+            raise ValueError("rc4 encrypt requires the classic-xref dialect")
         file_id = hashlib.md5(b"\x00".join(objects)).digest()
-        key, o_val, u_val = _std_security(file_id, p=-44)
+        if cipher == "rc4":
+            key, o_val, u_val = _std_security(file_id, p=-44)
+            enc_dict = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 "
+                b"/O <%b> /U <%b> >>"
+                % (o_val.hex().encode(), u_val.hex().encode())
+            )
+        elif cipher == "aesv2":
+            key, o_val, u_val = _std_security(file_id, p=-44)
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF /P -44 "
+                b"/O <%b> /U <%b> >>"
+                % (o_val.hex().encode(), u_val.hex().encode())
+            )
+        elif cipher in ("aesv3", "aesv3r5"):
+            r = 6 if cipher == "aesv3" else 5
+            key, o_val, u_val, oe, ue, perms = _aesv3_security(
+                file_id, p=-44, r=r
+            )
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R %d /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF /P -44 "
+                b"/O <%b> /U <%b> /OE <%b> /UE <%b> /Perms <%b> >>"
+                % (
+                    r,
+                    o_val.hex().encode(),
+                    u_val.hex().encode(),
+                    oe.hex().encode(),
+                    ue.hex().encode(),
+                    perms.hex().encode(),
+                )
+            )
+        else:
+            raise ValueError(f"unknown cipher {cipher!r}")
+        stream_fn = _stream_cipher(
+            "rc4" if cipher == "rc4" else ("aesv2" if cipher == "aesv2" else "aesv3"),
+            key,
+            file_id,
+        )
         objects = [
-            _encrypt_obj_streams(obj, oid, key)
+            _encrypt_obj_streams(obj, oid, stream_fn)
             for oid, obj in enumerate(objects, 1)
         ]
         enc_id = len(objects) + 1
-        objects.append(
-            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 "
-            b"/O <%b> /U <%b> >>"
-            % (o_val.hex().encode(), u_val.hex().encode())
-        )
+        objects.append(enc_dict)
 
     if object_streams:
         xref_stream = True  # ObjStm entries are only addressable from one
     header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
     out = bytearray(header + b"%\xe2\xe3\xcf\xd3\n")
+
+    # trailer fields shared by the xref-STREAM forms: the /Encrypt ref
+    # and /ID live in the /Type /XRef stream's own dict (spec 7.5.8)
+    xref_extra = b""
+    if cipher:
+        idh = file_id.hex().encode()
+        xref_extra = b"/Encrypt %d 0 R /ID [<%b> <%b>] " % (enc_id, idh, idh)
 
     def _t1(off: int) -> bytes:  # type-1: in use at byte offset
         return b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
@@ -633,12 +745,18 @@ def write_pdf(
 
     if object_streams:
         # split by stream-ness: packed objects may not carry streams
-        # (spec 7.5.7), so content/CMap/metadata objects stay top-level
+        # (spec 7.5.7), so content/CMap/metadata objects stay top-level;
+        # the /Encrypt dict also may not be packed (it must be readable
+        # BEFORE any decryption, and the ObjStm body is itself encrypted)
         packed = [
-            (i, obj) for i, obj in enumerate(objects, 1) if b"stream\n" not in obj
+            (i, obj)
+            for i, obj in enumerate(objects, 1)
+            if b"stream\n" not in obj and i != enc_id
         ]
         top = [
-            (i, obj) for i, obj in enumerate(objects, 1) if b"stream\n" in obj
+            (i, obj)
+            for i, obj in enumerate(objects, 1)
+            if b"stream\n" in obj or i == enc_id
         ]
         objstm_id = len(objects) + 1
         xref_id = len(objects) + 2
@@ -652,6 +770,8 @@ def write_pdf(
         stm_hdr = b" ".join(hdr_parts) + b"\n"
         stm = stm_hdr + b"".join(body_parts)
         stm_z = zlib.compress(stm, 6)
+        if stream_fn is not None:  # the ObjStm body is a stream like any
+            stm_z = stream_fn(objstm_id, stm_z)
         entry: dict[int, bytes] = {}  # obj id -> xref row
         for k, (oid, _obj) in enumerate(packed):  # type-2: in ObjStm
             entry[oid] = b"\x02" + objstm_id.to_bytes(4, "big") + k.to_bytes(2, "big")
@@ -671,8 +791,8 @@ def write_pdf(
         entries, parms = _entry_stream(rows)
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-            b"%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
-            % (xref_id, xref_id + 1, parms, len(entries), entries)
+            b"%b%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, xref_extra, parms, len(entries), entries)
         )
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
         return bytes(out)
@@ -695,8 +815,8 @@ def write_pdf(
         entries, parms = _entry_stream(rows)
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-            b"%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
-            % (xref_id, xref_id + 1, parms, len(entries), entries)
+            b"%b%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, xref_extra, parms, len(entries), entries)
         )
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     else:

@@ -266,3 +266,27 @@ def test_mutated_filter_chain_pdf_never_raises(seed, flip):
     payload[flip % len(payload)] ^= 0x5A
     row = extract_document("https://x/ffz.pdf", bytes(payload))
     assert (row["markdown"] is None) == (row["error"] is not None)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 400), st.sampled_from(["aesv2", "aesv3r5"]))
+def test_mutated_aes_pdf_never_raises(seed, flip, cipher):
+    """Bit-flipped AES-encrypted files (V4 per-object keys, V5 file key)
+    follow the same per-row error contract: structured error or a
+    still-parsing doc, never an uncaught exception or silent byte salad.
+    (R6 is excluded here only for its deliberate ~1s/file KDF cost; it
+    shares every code path past the password hash.)"""
+    import random as _random
+
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources import pdf_writer
+
+    rng = _random.Random(f"aesfz:{seed}:{cipher}")
+    pages = docmodel.random_pdf_pages(rng, "en")
+    xs = cipher == "aesv3r5"
+    payload = bytearray(
+        pdf_writer.write_pdf(pages, encrypt=cipher, xref_stream=xs)
+    )
+    payload[flip % len(payload)] ^= 0xA5
+    row = extract_document("https://x/aesfz.pdf", bytes(payload))
+    assert (row["markdown"] is None) == (row["error"] is not None)
