@@ -77,15 +77,19 @@ from typing import Any, Sequence
 # a stream-bearing object: simple (non-nested) dict immediately followed by
 # the stream keyword — /Length delimits the exact payload so compressed
 # bytes that happen to contain "endstream" can't truncate the slice
-# ONE level of dict nesting in stream headers: real writers put
+# TWO levels of dict nesting in stream headers: real writers put
 # sub-dicts there (``/DecodeParms << /Predictor 12 ... >>`` on xref
-# streams — corpus v9) and HEX STRINGS (``/ID [<f3..> <f3..>]`` in xref
-# stream dicts — every real producer's trailer fields, corpus v11; a
-# ``<`` that is not a sub-dict must not abort the dict match or the
-# xref stream loses its /Type in the scan); the alternation is linear,
-# no backtracking blowup
+# streams — corpus v9; ``/Resources << /Font << ... >> >>`` on Form
+# XObject streams — corpus v12, which needs the second level) and HEX
+# STRINGS (``/ID [<f3..> <f3..>]`` in xref stream dicts — every real
+# producer's trailer fields, corpus v11; a ``<`` that is not a sub-dict
+# must not abort the dict match or the xref stream loses its /Type in
+# the scan).  Every quantifier is POSSESSIVE (Python 3.11 ``*+``/``++``)
+# so nested-quantifier backtracking cannot blow up on adversarial
+# ``<<<<...`` soup — the fuzz corpus feeds exactly that.
 _STREAM_HDR = re.compile(
-    rb"<<((?:[^<>]|<<[^<>]*>>|<[^<>]*>)*)>>\s*stream\r?\n"
+    rb"<<((?:[^<>]++|<<(?:[^<>]++|<<[^<>]*+>>|<[^<>]*+>)*+>>|<[^<>]*+>)*+)"
+    rb">>\s*stream\r?\n"
 )
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
 # /Filter value: one name or an array of names (decode order = array
@@ -344,6 +348,13 @@ def _blanked_objects(
 _FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+# the /XObject sub-dictionary of a page's (or form's) /Resources: name ->
+# object-ref pairs for Form XObjects invoked from the content stream via
+# `/Name Do` (spec 8.10; corpus v12).  The inner dict is flat per spec
+# (names map directly to indirect refs), so a non-greedy no-nesting match
+# is exact.
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<([^<>]*)>>")
+_NAME_REF_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+0\s+R")
 
 # sentinel for a composite (Type0) font with NO usable ToUnicode CMap:
 # its code space is the embedded font program's private glyph ids, so
@@ -1184,10 +1195,11 @@ def _page_graph(payload: bytes, scanned: list):
     falls back to every-stream-is-a-page, which is also how
     partial/truncated documents keep yielding their text).
 
-    Returns ``(groups, fonts_per_page, owner, bodies)``: one stream-index
-    group per page in /Kids order, each page's ``{font_name: obj_id}``,
+    Returns ``(groups, fonts_per_page, xobjs_per_page, owner, bodies)``:
+    one stream-index group per page in /Kids order, each page's
+    ``{font_name: obj_id}`` and ``{xobject_name: obj_id}`` resource maps,
     the stream-ownership map and the blanked object bodies (for resolving
-    /ToUnicode refs)."""
+    /ToUnicode and Form-XObject refs)."""
     blanked, bounds = _blanked_objects(payload, scanned)
     if not bounds:
         return None
@@ -1247,14 +1259,23 @@ def _page_graph(payload: bytes, scanned: list):
             nm.decode("ascii"): int(fid)
             for nm, fid in _FONT_REF_RE.findall(body)
         }
+        xm = _XOBJ_DICT_RE.search(body)
+        xobjs = (
+            {
+                nm.decode("latin-1"): int(xid)
+                for nm, xid in _NAME_REF_RE.findall(xm.group(1))
+            }
+            if xm
+            else {}
+        )
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
-        pages.append((oid, cids, fonts))
+        pages.append((oid, cids, fonts, xobjs))
     if not pages:
         return None
-    page_by_id = {oid: (cids, fonts) for oid, cids, fonts in pages}
-    order = [(cids, fonts) for _oid, cids, fonts in pages]  # file order
+    page_by_id = {oid: rest for oid, *rest in pages}
+    order = [tuple(rest) for _oid, *rest in pages]  # file order
     walk, from_catalog, truncated = _walk_page_tree(
         bodies, set(page_by_id), catalog_hint=_trailer_root(blanked, scanned)
     )
@@ -1274,7 +1295,8 @@ def _page_graph(payload: bytes, scanned: list):
         order = [page_by_id[k] for k in walk]
     groups: list[list[int]] = []
     fonts_per_page: list[dict[str, int]] = []
-    for cids, fonts in order:
+    xobjs_per_page: list[dict[str, int]] = []
+    for cids, fonts, xobjs in order:
         group = []
         for cid in cids:
             if cid not in owner:
@@ -1282,7 +1304,8 @@ def _page_graph(payload: bytes, scanned: list):
             group.append(owner[cid])
         groups.append(group)
         fonts_per_page.append(fonts)
-    return groups, fonts_per_page, owner, bodies
+        xobjs_per_page.append(xobjs)
+    return groups, fonts_per_page, xobjs_per_page, owner, bodies
 
 
 _WALK_NODE_CAP = 4096
@@ -1399,6 +1422,59 @@ def _strip_inline_images(content: str) -> str:
     return "".join(out)
 
 
+_FORM_DEPTH_CAP = 8
+
+
+def _splice_forms(
+    text: str,
+    xobjs: dict[str, int],
+    owner: dict[int, int],
+    bodies: dict[int, bytes],
+    scanned: list,
+    fonts: dict[str, int],
+    seen: frozenset = frozenset(),
+) -> str:
+    """Replace each ``/Name Do`` invocation with the decoded content of
+    its Form XObject (spec 8.10) — a stream of page-description operators
+    drawn at the invocation point; text inside forms (letterheads,
+    stamps, PDF/A headers) is corpus v12's dialect addition.  The form's
+    own ``/Resources /Font`` entries merge into the page's font map
+    (a ``/F9`` declared only inside the form must still resolve its
+    ``Tf``; ``setdefault`` keeps page-level names authoritative on a
+    clash).  Nested forms expand recursively under a depth cap and a
+    cycle guard — a self-referencing form (bomb or damage) degrades to
+    dropping the inner invocation, never to unbounded recursion.  A
+    dangling form ref drops the ``Do`` silently: the operator pair must
+    not survive into text heuristics, and there is nothing to mint."""
+    for name, foid in xobjs.items():
+        pat = re.compile(r"/" + re.escape(name) + r"\s+Do")
+        if not pat.search(text):
+            continue
+        if foid in seen or len(seen) >= _FORM_DEPTH_CAP:
+            repl = ""
+        else:
+            si = owner.get(foid)
+            if si is None:
+                repl = ""
+            else:
+                repl = _decode_stream(scanned[si][1], scanned[si][2])
+                fbody = bodies.get(foid, b"")
+                for nm, fid in _FONT_REF_RE.findall(fbody):
+                    fonts.setdefault(nm.decode("ascii"), int(fid))
+                fxm = _XOBJ_DICT_RE.search(fbody)
+                if fxm:
+                    nested = {
+                        nm.decode("latin-1"): int(xid)
+                        for nm, xid in _NAME_REF_RE.findall(fxm.group(1))
+                    }
+                    repl = _splice_forms(
+                        repl, nested, owner, bodies, scanned, fonts,
+                        seen | {foid},
+                    )
+        text = pat.sub(lambda _m: repl, text)
+    return text
+
+
 def _document_pages(
     payload: bytes,
 ) -> list[tuple[str, dict[str, dict[int, str]]]]:
@@ -1424,7 +1500,7 @@ def _document_pages(
             for _s, h, d, _sp in scanned
             if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
         ]
-    groups, fonts_per_page, owner, bodies = graph
+    groups, fonts_per_page, xobjs_per_page, owner, bodies = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
 
     def _cmap_for(font_oid: int):
@@ -1450,10 +1526,16 @@ def _document_pages(
         return cmap_cache[font_oid]
 
     pages: list[tuple[str, dict[str, dict[int, str]]]] = []
-    for group, fonts in zip(groups, fonts_per_page):
+    for group, fonts, xobjs in zip(groups, fonts_per_page, xobjs_per_page):
         text = "\n".join(
             _decode_stream(scanned[si][1], scanned[si][2]) for si in group
         )
+        if xobjs:
+            # corpus v12: Form XObject content splices in at its `Do`
+            # invocation; the form's own fonts merge into ``fonts``
+            # BEFORE the cmap resolution below, so a CID font declared
+            # only inside a form still decodes
+            text = _splice_forms(text, xobjs, owner, bodies, scanned, fonts)
         cmaps = {
             name: cm
             for name, foid in fonts.items()

@@ -30,6 +30,15 @@ from markmuse_spark.golden import oracle
 from markmuse_spark.sources import docmodel, pdf_writer
 
 _CATEGORIES = ("articles", "docs", "news", "blog", "papers")
+# corpus v12 letterhead texts (Form XObject stamps; one per document,
+# drawn on every page — the shared-letterhead shape real producers emit)
+_FORM_TEXTS = (
+    "Example Corp — Confidential",
+    "ACME Industries official letterhead",
+    "Draft — do not distribute",
+    "Filed with the Example County Clerk",
+    "Ejemplo S.A. — uso interno",
+)
 _LANGS = ("en", "zh", "de", "fr", "es")
 _EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -102,7 +111,17 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # ~0.2s/file (password hardening — every conforming reader pays
         # it), so the corpus keeps it present-but-rare to keep the bench
         # measuring extraction rather than key stretching — disclosed in
-        # BASELINE.md
+        # BASELINE.md;
+        # corpus v12 (draws again APPENDED, content untouched): ~15% of
+        # PDFs carry a shared FORM XOBJECT letterhead (spec 8.10) — one
+        # /Subtype /Form stream invoked from every page's content via
+        # `/Fm1 Do`, its font declared ONLY in the form's own
+        # /Resources.  Text inside Form XObjects (letterheads, stamps,
+        # PDF/A headers) is the dominant remaining wild-PDF text form:
+        # the extractor must splice the form's operators at the
+        # invocation point and resolve form-scoped font resources —
+        # including on glyph-only pages, where the stamp is the page's
+        # ONLY readable text
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -131,6 +150,11 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             cipher = "rc4" if cdraw < 0.65 else "aesv2"
         elif (xref_stream or object_streams) and cdraw < 0.12:
             cipher = "aesv3" if rng.random() < 0.02 else "aesv3r5"
+        form_draw = rng.random()  # v12: appended — prior knobs unchanged
+        if form_draw < 0.15:
+            ltext = _FORM_TEXTS[int(rng.random() * len(_FORM_TEXTS))]
+            for pm in pages_model:
+                pm["form_text"] = ltext
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

@@ -35,6 +35,8 @@ from typing import Any
 
 PAGE_W, PAGE_H = 612, 792
 MARGIN_TOP = 720
+FORM_Y = 756  # letterhead line: above MARGIN_TOP by > the extractor's
+# block gap, so the form's text reads as its own leading block
 COL_X = {1: (72,), 2: (72, 326)}
 WRAP = {1: 62, 2: 28}
 BODY_SIZE = 10
@@ -504,6 +506,17 @@ def write_pdf(
       with a ``BI..ID..EI`` inline image (spec 8.9.7) whose 18 sample
       bytes deliberately read as ``(trap)Tj``: an extractor that
       tokenizes the opaque data as page text mints a phantom run
+    * ``"form_text": str`` (corpus v12) — the page invokes a FORM
+      XOBJECT letterhead (spec 8.10): one shared ``/Subtype /Form``
+      stream per distinct text, Flate-compressed, referenced from the
+      page's ``/Resources /XObject`` and drawn via ``/Fm1 Do`` at the
+      head of the content stream.  The form's font (``/F9``) is declared
+      ONLY in the form's own ``/Resources`` — an extractor that resolves
+      fonts purely from the page dict drops the stamp; one that
+      tokenizes without splicing reads a bare ``/Fm1 Do`` and must mint
+      nothing.  The stamp line sits above the body margin, so it reads
+      as the page's leading block (and on a glyph-only ``cid_noto``
+      page it is the page's ONLY readable text)
 
     ``metadata``: emit an XMP metadata stream object (corpus v5) — a
     NON-content stream the extractor must not turn into a phantom page.
@@ -578,6 +591,18 @@ def write_pdf(
     if metadata:
         meta_id = next_id
         next_id += 1
+    # corpus v12: one Form XObject per DISTINCT letterhead text, in
+    # first-appearance order — global stream objects like the CMap, so
+    # the 2-objects-per-page arithmetic below is untouched
+    form_texts: list[str] = []
+    for p in pages:
+        ft = p.get("form_text")
+        if ft and ft not in form_texts:
+            form_texts.append(ft)
+    form_ids = {}
+    for ft in form_texts:
+        form_ids[ft] = next_id
+        next_id += 1
     first_page_id = next_id
     kids = " ".join(f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
     catalog = b"<< /Type /Catalog /Pages 2 0 R"
@@ -613,6 +638,23 @@ def write_pdf(
             b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%b\nendstream"
             % (len(_XMP_METADATA), _XMP_METADATA)
         )
+    for ft in form_texts:
+        # the form's font is declared ONLY in its own /Resources: the
+        # extractor must merge form-scoped resources, not just the
+        # page's, to resolve the /F9 Tf inside
+        body = b"BT /F9 %d Tf 1 0 0 1 %d %d Tm (%b) Tj ET" % (
+            BODY_SIZE,
+            COL_X[1][0],
+            FORM_Y,
+            _escape(ft),
+        )
+        data = zlib.compress(body, 6)
+        objects.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 %d %d] "
+            b"/Resources << /Font << /F9 3 0 R >> >> /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n%b\nendstream"
+            % (PAGE_W, PAGE_H, len(data), data)
+        )
     for i, page in enumerate(pages):
         content_num = first_page_id + 2 * i + 1
         font_res = b"/F1 3 0 R"
@@ -620,10 +662,14 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F2 %d 0 R" % f2_id
         elif page.get("cid_noto"):
             font_res = b"/F1 3 0 R /F3 %d 0 R" % f3_id
+        xobj_res = b""
+        ft = page.get("form_text")
+        if ft:
+            xobj_res = b" /XObject << /Fm1 %d 0 R >>" % form_ids[ft]
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
-            b"/Resources << /Font << %b >> >> /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, font_res, content_num)
+            b"/Resources << /Font << %b >>%b >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_res, xobj_res, content_num)
         )
         if page.get("cid"):
             stream = _cid_content_stream(
@@ -640,6 +686,9 @@ def write_pdf(
                 bool(page.get("hex")) or bool(page.get("hex16")),
                 bool(page.get("hex16")),
             )
+        if ft:
+            # letterhead drawn first, as real producers stamp it
+            stream = b"/Fm1 Do\n" + stream
         if page.get("inline_image"):
             # prepended so the trap bytes precede every real text op
             stream = _INLINE_IMAGE + stream
@@ -846,9 +895,13 @@ def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
     ``cid_noto`` pages expect the EMPTY string: every string operand sits
     under the ToUnicode-less Type0 font, whose code space is unreadable
     without font-embedding analysis — the documented glyph-only fallback
-    (suppress, never mis-decode)."""
+    (suppress, never mis-decode).  A ``form_text`` letterhead (corpus
+    v12) renders as the page's LEADING block — and on a ``cid_noto``
+    page it is the page's ONLY text (the stamp's simple font is readable
+    even when the body is glyph-only)."""
+    form = page_model.get("form_text")
     if page_model.get("cid_noto"):
-        return ""
+        return form or ""
     cols = page_model.get("columns", 1)
     blocks = page_model["blocks"]
     if cols == 2:
@@ -856,7 +909,7 @@ def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
         ordered = blocks[:half] + blocks[half:]
     else:
         ordered = blocks
-    md: list[str] = []
+    md: list[str] = [form] if form else []
     for b in ordered:
         t = b["t"]
         if t == "h":
