@@ -74,6 +74,8 @@ import zlib
 from collections import Counter
 from typing import Any, Sequence
 
+from markmuse_spark.kernel import glyphlist
+
 # a stream-bearing object: simple (non-nested) dict immediately followed by
 # the stream keyword — /Length delimits the exact payload so compressed
 # bytes that happen to contain "endstream" can't truncate the slice
@@ -109,7 +111,11 @@ _OP = re.compile(
 _TJ_PIECE = re.compile(
     r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)"
 )
-_UNESCAPE = re.compile(r"\\([\\()])")
+# literal-string escapes, spec 7.3.4.2: octal (1-3 digits), the named
+# control escapes, escaped delimiters, line continuations (backslash-EOL
+# joins), and backslash-before-anything-else dropping the backslash
+_ESCAPE_RE = re.compile(r"\\([0-7]{1,3}|\r\n|[\n\r]|.)", re.S)
+_ESC_CTRL = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
 _LIST_LINE = re.compile(r"^(?:- |\d+\. )")
 
 _COLUMN_GAP = 60.0
@@ -118,9 +124,24 @@ _LINE_GAP = 20.0
 _TJ_SPACE_ADJ = -150.0
 
 
+def _esc_one(m: "re.Match[str]") -> str:
+    e = m.group(1)
+    if e[0] in "01234567":
+        return chr(int(e, 8) & 0xFF)  # spec: high overflow wraps mod 256
+    if e in ("\n", "\r", "\r\n"):
+        return ""  # line continuation: backslash-EOL emits nothing
+    return _ESC_CTRL.get(e, e)
+
+
+def _unescape_literal(raw: str) -> str:
+    """Full spec 7.3.4.2 literal-string unescape (corpus v13 adds octal
+    escapes — WinAnsi-era producers emit high bytes as ``\\2xx``)."""
+    return _ESCAPE_RE.sub(_esc_one, raw) if "\\" in raw else raw
+
+
 def _decode_pdf_string(raw: str) -> str:
     """Literal-string unescape, then recover UTF-8 from the latin-1 view."""
-    s = _UNESCAPE.sub(r"\1", raw) if "\\" in raw else raw
+    s = _unescape_literal(raw)
     if s.isascii():  # fast path: ASCII round-trips identically
         return s
     try:
@@ -161,6 +182,35 @@ class _CidTable(dict):
 
     def __missing__(self, key: int) -> str:
         return "\ufffd"
+
+
+class _ByteEncoding(dict):
+    """code -> text table for a SIMPLE font with a declared ``/Encoding``
+    (corpus v13): ``/BaseEncoding /WinAnsiEncoding|/MacRomanEncoding``
+    seeded from the matching byte codec, overlaid by the ``/Differences``
+    array's glyph-name assignments (spec 9.6.6.1, names resolved through
+    the Adobe Glyph List subset in :mod:`glyphlist`).  String operands
+    under such a font are BYTE CODES, not UTF-8 — each byte maps through
+    this table.  Unmapped codes render U+FFFD via ``__missing__`` (the
+    same visible-gap contract as :class:`_CidTable`); a Differences
+    entry naming an unresolvable glyph maps to '' (suppressed — there is
+    nothing to extract, and U+FFFD is reserved for mapped-then-broken)."""
+
+    def __missing__(self, key: int) -> str:
+        return "�"
+
+    def decode_literal(self, raw: str) -> str:
+        return _unescape_literal(raw).translate(self)
+
+    def decode_hex(self, raw: str) -> str:
+        h = "".join(raw.split())
+        if len(h) % 2:
+            h += "0"
+        try:
+            b = bytes.fromhex(h)
+        except ValueError:
+            return ""
+        return b.decode("latin-1").translate(self)
 
 
 _SURR_HI = bytes(range(0xD8, 0xE0))  # UTF-16 surrogate-range high bytes
@@ -211,17 +261,22 @@ def _tj_text(body: str, cmap: dict[int, str] | None = None) -> str:
     piece ``()`` yields ``('', '')`` and falls through to the string
     branch, appending '' (harmless and order-preserving)."""
     parts: list[str] = []
+    byte_enc = isinstance(cmap, _ByteEncoding)
     for s, hx, num in _TJ_PIECE.findall(body):
         if num:
             if float(num) <= _TJ_SPACE_ADJ:
                 parts.append(" ")
         elif hx:
-            parts.append(
-                _decode_cids(hx, cmap) if cmap is not None
-                else _decode_hex_string(hx)
-            )
+            if byte_enc:
+                parts.append(cmap.decode_hex(hx))
+            elif cmap is not None:
+                parts.append(_decode_cids(hx, cmap))
+            else:
+                parts.append(_decode_hex_string(hx))
         else:
-            parts.append(_decode_pdf_string(s))
+            parts.append(
+                cmap.decode_literal(s) if byte_enc else _decode_pdf_string(s)
+            )
     return "".join(parts)
 
 
@@ -256,12 +311,18 @@ def _parse_runs(
         if cmap is GLYPH_ONLY:
             continue  # unreadable code space: no run, never byte salad
         if li == 5:
-            text = _decode_pdf_string(m[5])
-        elif li == 6:
             text = (
-                _decode_cids(m[6], cmap) if cmap is not None
-                else _decode_hex_string(m[6])
+                cmap.decode_literal(m[5])
+                if isinstance(cmap, _ByteEncoding)
+                else _decode_pdf_string(m[5])
             )
+        elif li == 6:
+            if isinstance(cmap, _ByteEncoding):
+                text = cmap.decode_hex(m[6])
+            elif cmap is not None:
+                text = _decode_cids(m[6], cmap)
+            else:
+                text = _decode_hex_string(m[6])
         else:
             text = _tj_text(m[7], cmap)
         if text:
@@ -355,6 +416,66 @@ _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 # is exact.
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<([^<>]*)>>")
 _NAME_REF_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+0\s+R")
+
+# simple-font /Encoding forms (corpus v13): a bare base-encoding name, an
+# inline encoding dict, or an indirect ref to an encoding object
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_ENC_INLINE_RE = re.compile(rb"/Encoding\s*<<([^<>]*)>>")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z]+)")
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z]+)")
+_DIFF_ARR_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]<>()]+)|(\d+)")
+# base encodings seeded from Python's byte codecs: WinAnsi tracks cp1252
+# and MacRoman tracks mac_roman byte-for-byte over the printable range
+_BASE_ENCODINGS = {b"WinAnsiEncoding": "cp1252", b"MacRomanEncoding": "mac_roman"}
+
+
+def _encoding_table(font_body: bytes, bodies: dict) -> "_ByteEncoding | None":
+    """Build the :class:`_ByteEncoding` a simple font declares, or None
+    when the font carries no decodable /Encoding (absent, or a name this
+    dialect does not know): such fonts keep the writer's UTF-8 literal
+    dialect, the pre-v13 behavior.  A /Differences array with no usable
+    /BaseEncoding seeds from ASCII identity — the compatible subset of
+    every standard base; the font's true built-in encoding would need
+    the embedded font program, which is out of dialect."""
+    enc_body = None
+    m = _ENC_REF_RE.search(font_body)
+    if m:
+        enc_body = bodies.get(int(m.group(1)))
+    else:
+        m = _ENC_INLINE_RE.search(font_body)
+        if m:
+            enc_body = m.group(1)
+        else:
+            m = _ENC_NAME_RE.search(font_body)
+            if m:
+                enc_body = b"/BaseEncoding /" + m.group(1)
+    if enc_body is None:
+        return None
+    bm = _BASEENC_RE.search(enc_body)
+    codec = _BASE_ENCODINGS.get(bm.group(1)) if bm else None
+    dm = _DIFF_ARR_RE.search(enc_body)
+    if codec is None and dm is None:
+        return None
+    table = _ByteEncoding()
+    if codec is not None:
+        for code in range(32, 256):
+            try:
+                table[code] = bytes([code]).decode(codec)
+            except UnicodeDecodeError:
+                pass  # undefined code point (e.g. cp1252 0x81): __missing__
+    else:
+        for code in range(32, 127):
+            table[code] = chr(code)
+    if dm:
+        cur = 0
+        for nm, num in _DIFF_TOK_RE.findall(dm.group(1)):
+            if num:
+                cur = int(num)
+            elif cur < 256:
+                table[cur] = glyphlist.glyph_to_char(nm.decode("latin-1"))
+                cur += 1
+    return table
 
 # sentinel for a composite (Type0) font with NO usable ToUnicode CMap:
 # its code space is the embedded font program's private glyph ids, so
@@ -1522,6 +1643,11 @@ def _document_pages(
                 # the one documented dialect exclusion, now exercised
                 # end-to-end by corpus v8's cid_noto pages
                 cm = GLYPH_ONLY
+            elif cm is None and body is not None:
+                # corpus v13: a simple font may declare /Encoding
+                # (WinAnsi/MacRoman base + /Differences glyph remaps) —
+                # its strings are byte codes through that table
+                cm = _encoding_table(body, bodies)
             cmap_cache[font_oid] = cm
         return cmap_cache[font_oid]
 

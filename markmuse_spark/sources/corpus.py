@@ -39,6 +39,14 @@ _FORM_TEXTS = (
     "Filed with the Example County Clerk",
     "Ejemplo S.A. — uso interno",
 )
+# corpus v13 heading decorations: cp1252-exercising typographic text so
+# the winansi /Differences remap (and octal escapes) actually bite
+_WINANSI_SUFFIXES = (
+    "— “édition spéciale”…",
+    "“Œuvre complète” — 20 €",
+    "Groß & Söhne — Müßiggang…",
+    "«résumé» ¡España! ±½",
+)
 _LANGS = ("en", "zh", "de", "fr", "es")
 _EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -121,7 +129,15 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # the extractor must splice the form's operators at the
         # invocation point and resolve form-scoped font resources —
         # including on glyph-only pages, where the stamp is the page's
-        # ONLY readable text
+        # ONLY readable text;
+        # corpus v13 (draws again APPENDED, prior knobs unchanged):
+        # ~12% of eligible simple-font pages (not cid/cid_noto/hex/
+        # hex16, non-zh docs) declare /BaseEncoding /WinAnsiEncoding
+        # with a /Differences block remapping typographic chars to low
+        # codes 16..23 — string operands become BYTE CODES (raw or
+        # \2xx octal escapes), the pdflatex/office-era wild form; the
+        # page's first heading gains cp1252-exercising punctuation so
+        # the Differences remap actually bites
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -155,6 +171,23 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             ltext = _FORM_TEXTS[int(rng.random() * len(_FORM_TEXTS))]
             for pm in pages_model:
                 pm["form_text"] = ltext
+        if lang != "zh":  # v13: appended — cp1252 cannot carry CJK text
+            for pm in pages_model:
+                wdraw = rng.random()
+                if wdraw < 0.12 and not (
+                    pm.get("cid")
+                    or pm.get("cid_noto")
+                    or pm.get("hex")
+                    or pm.get("hex16")
+                ):
+                    pm["winansi"] = True
+                    deco = _WINANSI_SUFFIXES[
+                        int(rng.random() * len(_WINANSI_SUFFIXES))
+                    ]
+                    for b in pm["blocks"]:
+                        if b["t"] == "h":
+                            b["text"] = b["text"] + " " + deco
+                            break
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

@@ -108,6 +108,80 @@ def page_runs(page_model: dict[str, Any]) -> list[tuple[int, int, int, str]]:
     return runs
 
 
+# corpus v13: the /Differences block remaps these typographic chars to
+# LOW byte codes (16..23) — their natural cp1252 positions would also
+# decode through the base encoding alone, proving nothing; at 16..23 a
+# reader MUST honor the Differences array or emit U+FFFD garbage
+_DIFF_NAMES = (
+    (16, "quotedblleft", "“"),
+    (17, "quotedblright", "”"),
+    (18, "emdash", "—"),
+    (19, "ellipsis", "…"),
+    (20, "Euro", "€"),
+    (21, "oe", "œ"),
+    (22, "OE", "Œ"),
+    (23, "germandbls", "ß"),
+)
+_WINANSI_DIFF_ARR = b"/Differences [ 16 " + b" ".join(
+    b"/" + n.encode() for _c, n, _ch in _DIFF_NAMES
+) + b" ]"
+_WINANSI_CODE_OF: dict[str, int] = {}
+for _code in range(32, 256):
+    try:
+        _WINANSI_CODE_OF.setdefault(bytes([_code]).decode("cp1252"), _code)
+    except UnicodeDecodeError:
+        pass
+for _c, _n, _ch in _DIFF_NAMES:  # Differences codes override: exercise them
+    _WINANSI_CODE_OF[_ch] = _c
+
+
+def _winansi_string(text: str, octal: bool) -> bytes:
+    """One literal string of BYTE CODES through the page's declared
+    encoding; with ``octal``, non-printable/high codes emit as ``\\2xx``
+    escapes (the form WinAnsi-era producers write) instead of raw bytes."""
+    out = bytearray(b"(")
+    for ch in text:
+        code = _WINANSI_CODE_OF.get(ch)
+        if code is None:
+            raise ValueError(f"char {ch!r} not encodable in winansi dialect")
+        if code in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([code])
+        elif octal and (code < 32 or code > 126):
+            out += b"\\%03o" % code
+        else:
+            out.append(code)
+    out += b")"
+    return bytes(out)
+
+
+def _winansi_content_stream(
+    runs: list[tuple[int, int, int, str]], use_tj: bool
+) -> bytes:
+    """Content stream under /F4 (the declared-encoding font): every
+    string operand is byte codes, alternating raw-byte and octal-escape
+    emission per run so both spellings are corpus-exercised."""
+    parts = []
+    for k, (size, x, y, text) in enumerate(runs):
+        octal = bool(k % 2)
+        if use_tj and " " in text:
+            words = text.split(" ")
+            pieces = []
+            for j, w in enumerate(words):
+                if j:
+                    pieces.append(b"-250")
+                pieces.append(_winansi_string(w, octal))
+            parts.append(
+                b"BT /F4 %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
+                % (size, x, y, b" ".join(pieces))
+            )
+        else:
+            parts.append(
+                b"BT /F4 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
+                % (size, x, y, _winansi_string(text, octal))
+            )
+    return b"\n".join(parts)
+
+
 def _hex_string(text: str, bom16: bool = False) -> bytes:
     """PDF hex string (spec 7.3.4.3): utf-8 bytes as hex — or, with
     ``bom16``, UTF-16BE prefixed with the U+FEFF BOM, the standard
@@ -506,6 +580,17 @@ def write_pdf(
       with a ``BI..ID..EI`` inline image (spec 8.9.7) whose 18 sample
       bytes deliberately read as ``(trap)Tj``: an extractor that
       tokenizes the opaque data as page text mints a phantom run
+    * ``"winansi": True`` (corpus v13) — the page uses /F4, a simple
+      Type1 font with a DECLARED ``/Encoding``: ``/BaseEncoding
+      /WinAnsiEncoding`` overlaid by a ``/Differences`` block that
+      remaps typographic chars (curly quotes, em-dash, ellipsis, euro,
+      ligatures, eszett) to LOW codes 16..23 — the pdflatex/office-era
+      wild form.  String operands are BYTE CODES through that table
+      (emitted alternately as raw bytes and ``\\2xx`` octal escapes),
+      not UTF-8: a reader must honor the base encoding AND the
+      Differences array (resolving glyph names through the Adobe Glyph
+      List) or it mints mojibake.  Mutually exclusive with
+      ``cid``/``cid_noto``/``hex``/``hex16``
     * ``"form_text": str`` (corpus v12) — the page invokes a FORM
       XOBJECT letterhead (spec 8.10): one shared ``/Subtype /Form``
       stream per distinct text, Flate-compressed, referenced from the
@@ -575,18 +660,22 @@ def write_pdf(
     # page: _cid_charset and the emit loop below share these runs
     any_cid = any(p.get("cid") for p in pages)
     any_noto = any(p.get("cid_noto") for p in pages)
+    any_winansi = any(p.get("winansi") for p in pages)
     charset = _cid_charset(pages, runs_by_page) if any_cid or any_noto else []
     cid_of = {c: k + 1 for k, c in enumerate(charset)}
 
     objects: list[bytes] = []
     n_pages = len(pages)
     next_id = 4
-    f2_id = f3_id = cmap_id = meta_id = None
+    f2_id = f3_id = f4_id = cmap_id = meta_id = None
     if any_cid:
         f2_id, cmap_id = next_id, next_id + 1
         next_id += 2
     if any_noto:
         f3_id = next_id
+        next_id += 1
+    if any_winansi:
+        f4_id = next_id
         next_id += 1
     if metadata:
         meta_id = next_id
@@ -633,6 +722,15 @@ def write_pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /MMSUB2+Helvetica "
             b"/Encoding /Identity-H >>"
         )
+    if any_winansi:
+        # corpus v13: a simple font with a DECLARED encoding — WinAnsi
+        # base plus a /Differences block remapping typographic chars to
+        # low codes; string operands under /F4 are byte codes, not UTF-8
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"%b >> >>" % _WINANSI_DIFF_ARR
+        )
     if metadata:
         objects.append(
             b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%b\nendstream"
@@ -662,6 +760,8 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F2 %d 0 R" % f2_id
         elif page.get("cid_noto"):
             font_res = b"/F1 3 0 R /F3 %d 0 R" % f3_id
+        elif page.get("winansi"):
+            font_res = b"/F1 3 0 R /F4 %d 0 R" % f4_id
         xobj_res = b""
         ft = page.get("form_text")
         if ft:
@@ -674,6 +774,10 @@ def write_pdf(
         if page.get("cid"):
             stream = _cid_content_stream(
                 runs_by_page[i], bool(page.get("tj")), cid_of
+            )
+        elif page.get("winansi"):
+            stream = _winansi_content_stream(
+                runs_by_page[i], bool(page.get("tj"))
             )
         elif page.get("cid_noto"):
             stream = _cid_content_stream(

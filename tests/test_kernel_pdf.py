@@ -1476,3 +1476,135 @@ def test_corpus_v12_emits_and_roundtrips_form_xobjects():
     assert n_form >= 20, n_form
     assert n_form_enc >= 1, "forms never composed with encryption"
     assert n_form_noto >= 1, "no glyph-only page carries the stamp"
+
+
+# ------------------------------------------------------------------
+# corpus v13: declared simple-font encodings (/Differences, WinAnsi)
+# ------------------------------------------------------------------
+
+
+def test_literal_string_escapes_spec_complete():
+    """Octal escapes, named control escapes, line continuations and
+    backslash-dropping (spec 7.3.4.2) — corpus v13 emits octal forms."""
+    f = pdf_extract._unescape_literal
+    assert f(r"\101\102C") == "ABC"
+    assert f(r"\050ok\051") == "(ok)"
+    assert f("a\\\nb") == "ab"  # line continuation
+    assert f(r"\n\t\r\b\f") == "\n\t\r\b\f"
+    assert f(r"\q") == "q"  # unknown escape: backslash dropped
+    assert f(r"\0503") == "(3"  # 3-digit octal then literal digit
+    assert f(r"\401") == "\x01"  # overflow wraps mod 256
+
+
+_WINANSI_PAGES = [
+    {
+        "columns": 1,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "Überschrift — “Œuvre”…"},
+            {"t": "p", "text": "résumé für 20 € — ßœŒ «quoted» ±½ naïve"},
+            {"t": "ul", "items": ["côté garçon", "señor años"]},
+        ],
+        "winansi": True,
+    }
+]
+
+
+def test_winansi_differences_roundtrip_all_dialects():
+    """Byte-coded strings under a declared WinAnsi+Differences encoding
+    decode exactly — raw bytes and \\2xx octal spellings, plain Tj and
+    kerned TJ, across the transport dialects."""
+    for kw in (
+        {},
+        {"xref_stream": True},
+        {"object_streams": True},
+        {"encrypt": "rc4"},
+        {"encrypt": "aesv3r5", "xref_stream": True},
+    ):
+        for tj in (False, True):
+            pages = [dict(_WINANSI_PAGES[0], tj=tj)]
+            pdf = pdf_writer.write_pdf(pages, **kw)
+            got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+            want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+            assert got == want, (kw, tj)
+
+
+def test_winansi_differences_low_codes_require_the_array():
+    """The Differences block sits at codes 16..23: a reader ignoring it
+    has NO base-encoding fallback for those codes — pin that the payload
+    really uses them (the dialect proves remap handling, not cp1252)."""
+    pdf = pdf_writer.write_pdf(_WINANSI_PAGES)
+    scanned = pdf_extract._scan_streams(pdf)
+    content = b"".join(
+        pdf_extract._decode_stream(h, d).encode("latin-1", "ignore")
+        for _s, h, d, _sp in scanned
+    )
+    assert any(bytes([c]) in content or b"\\%03o" % c in content
+               for c in range(16, 24))
+
+
+def test_encoding_indirect_ref_and_unknown_glyph_suppressed():
+    """/Encoding as an indirect object resolves through the graph; a
+    Differences entry naming an unresolvable glyph contributes NO text
+    (suppress, never byte salad) while uniXXXX forms resolve."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (A\x10\x11\x12B) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+        b"/Encoding 6 0 R >>",
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 16 /uni2042 /nosuchglyphname /emdash ] >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(bytes(out))]
+    assert got == ["A⁂—B"]  # uni2042 resolves, unknown glyph vanishes
+
+
+def test_macroman_base_encoding():
+    table = pdf_extract._encoding_table(
+        b"<< /Type /Font /Encoding /MacRomanEncoding >>", {}
+    )
+    assert table is not None
+    assert table[0xD0] == "–" and table[0xA5] == "•"  # mac_roman facts
+    # absent/unknown encodings keep the pre-v13 UTF-8 dialect behavior
+    assert pdf_extract._encoding_table(b"<< /Type /Font >>", {}) is None
+    assert (
+        pdf_extract._encoding_table(
+            b"<< /Type /Font /Encoding /SomeCustomEncoding >>", {}
+        )
+        is None
+    )
+
+
+def test_corpus_v13_emits_and_roundtrips_winansi_pages():
+    """~12% of eligible pages declare WinAnsi+Differences; they compose
+    with the transport/encryption dialects and extract exactly."""
+    from markmuse_spark.sources import corpus
+
+    n_win = 0
+    for i in range(4, 2000, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/WinAnsiEncoding" not in payload:
+            continue
+        n_win += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_win >= 10, n_win
