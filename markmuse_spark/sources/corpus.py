@@ -137,7 +137,15 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # codes 16..23 — string operands become BYTE CODES (raw or
         # \2xx octal escapes), the pdflatex/office-era wild form; the
         # page's first heading gains cp1252-exercising punctuation so
-        # the Differences remap actually bites
+        # the Differences remap actually bites;
+        # corpus v14 (draws again APPENDED): ~6% of eligible documents
+        # render ENTIRELY through a TYPE3 font (spec 9.6.5 — the
+        # dvips/bitmap era, incl. CJK docs via /uniXXXX glyph names):
+        # every used char gets a /CharProcs glyph-procedure stream and
+        # a /Differences code; no base encoding, no ToUnicode — the
+        # glyph-name path is the only decode route, and the glyph
+        # procedures are opaque drawing streams that must never become
+        # pages or text
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -188,6 +196,29 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                         if b["t"] == "h":
                             b["text"] = b["text"] + " " + deco
                             break
+        t3draw = rng.random()  # v14: appended — prior knobs unchanged
+        if t3draw < 0.06:
+            chars = set("- .0123456789")  # list markers the layout adds
+            for pm in pages_model:
+                for b in pm["blocks"]:
+                    if b["t"] in ("h", "p"):
+                        chars.update(
+                            " ".join(t for _, t in b["spans"])
+                            if "spans" in b
+                            else b["text"]
+                        )
+                    else:
+                        for it in b["items"]:
+                            chars.update(it)
+            if len(chars) <= 200 and all(ord(c) <= 0xFFFF for c in chars):
+                # a dvips-era document is UNIFORMLY Type3: the font-form
+                # knobs its pages drew are overridden (text and layout
+                # stay as drawn — incl. glyph-only pages, whose text
+                # becomes readable again through the glyph-name path)
+                for pm in pages_model:
+                    pm["type3"] = True
+                    for k in ("cid", "cid_noto", "hex", "hex16", "winansi"):
+                        pm.pop(k, None)
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

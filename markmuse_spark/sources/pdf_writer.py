@@ -135,15 +135,40 @@ for _c, _n, _ch in _DIFF_NAMES:  # Differences codes override: exercise them
     _WINANSI_CODE_OF[_ch] = _c
 
 
-def _winansi_string(text: str, octal: bool) -> bytes:
-    """One literal string of BYTE CODES through the page's declared
-    encoding; with ``octal``, non-printable/high codes emit as ``\\2xx``
-    escapes (the form WinAnsi-era producers write) instead of raw bytes."""
+# corpus v14: Type3 glyph names.  The writer stays INDEPENDENT of the
+# kernel's AGL module (fixture-vs-extractor independence is the oracle
+# argument), so it carries its own tiny name table for the common chars
+# and falls back to the algorithmic /uniXXXX form for everything else —
+# exercising BOTH of the extractor's name-resolution paths.
+_T3_NAME_OF = {c: c for c in
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"}
+_T3_NAME_OF.update({
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+    " ": "space", ".": "period", ",": "comma", "-": "hyphen",
+    "!": "exclam", "?": "question", ":": "colon", ";": "semicolon",
+})
+
+
+def _t3_glyph_name(ch: str) -> str:
+    name = _T3_NAME_OF.get(ch)
+    if name is not None:
+        return name
+    cp = ord(ch)
+    if cp > 0xFFFF:
+        raise ValueError(f"char {ch!r} outside the Type3 dialect (non-BMP)")
+    return "uni%04X" % cp
+
+
+def _coded_string(text: str, code_of: dict[str, int], octal: bool) -> bytes:
+    """One literal string of BYTE CODES through a declared encoding;
+    with ``octal``, non-printable/high codes emit as ``\\2xx`` escapes
+    (the form WinAnsi-era producers write) instead of raw bytes."""
     out = bytearray(b"(")
     for ch in text:
-        code = _WINANSI_CODE_OF.get(ch)
+        code = code_of.get(ch)
         if code is None:
-            raise ValueError(f"char {ch!r} not encodable in winansi dialect")
+            raise ValueError(f"char {ch!r} not encodable in this encoding")
         if code in (0x28, 0x29, 0x5C):
             out += b"\\" + bytes([code])
         elif octal and (code < 32 or code > 126):
@@ -154,12 +179,16 @@ def _winansi_string(text: str, octal: bool) -> bytes:
     return bytes(out)
 
 
-def _winansi_content_stream(
-    runs: list[tuple[int, int, int, str]], use_tj: bool
+def _coded_content_stream(
+    runs: list[tuple[int, int, int, str]],
+    use_tj: bool,
+    code_of: dict[str, int],
+    font: bytes,
 ) -> bytes:
-    """Content stream under /F4 (the declared-encoding font): every
-    string operand is byte codes, alternating raw-byte and octal-escape
-    emission per run so both spellings are corpus-exercised."""
+    """Content stream under a declared-encoding font (/F4 WinAnsi —
+    corpus v13 — or /F5 Type3 — corpus v14): every string operand is
+    byte codes, alternating raw-byte and octal-escape emission per run
+    so both spellings are corpus-exercised."""
     parts = []
     for k, (size, x, y, text) in enumerate(runs):
         octal = bool(k % 2)
@@ -169,15 +198,15 @@ def _winansi_content_stream(
             for j, w in enumerate(words):
                 if j:
                     pieces.append(b"-250")
-                pieces.append(_winansi_string(w, octal))
+                pieces.append(_coded_string(w, code_of, octal))
             parts.append(
-                b"BT /F4 %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
-                % (size, x, y, b" ".join(pieces))
+                b"BT /%b %d Tf 1 0 0 1 %d %d Tm [%b] TJ ET"
+                % (font, size, x, y, b" ".join(pieces))
             )
         else:
             parts.append(
-                b"BT /F4 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
-                % (size, x, y, _winansi_string(text, octal))
+                b"BT /%b %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
+                % (font, size, x, y, _coded_string(text, code_of, octal))
             )
     return b"\n".join(parts)
 
@@ -591,6 +620,15 @@ def write_pdf(
       Differences array (resolving glyph names through the Adobe Glyph
       List) or it mints mojibake.  Mutually exclusive with
       ``cid``/``cid_noto``/``hex``/``hex16``
+    * ``"type3": True`` (corpus v14) — the page uses /F5, a TYPE3 font
+      (spec 9.6.5, the dvips/bitmap era): one shared document font whose
+      every used char has a ``/CharProcs`` glyph-procedure stream and a
+      ``/Differences`` code starting at 32.  No base encoding, no
+      ToUnicode — Differences -> glyph name (common AGL names and
+      ``/uniXXXX`` forms both emitted) is the ONLY decode path, and the
+      glyph procedures are opaque drawing streams that must never
+      become text or pages.  Document-level in practice: the corpus
+      stamps every page of a doc or none
     * ``"form_text": str`` (corpus v12) — the page invokes a FORM
       XOBJECT letterhead (spec 8.10): one shared ``/Subtype /Form``
       stream per distinct text, Flate-compressed, referenced from the
@@ -677,6 +715,28 @@ def write_pdf(
     if any_winansi:
         f4_id = next_id
         next_id += 1
+    any_type3 = any(p.get("type3") for p in pages)
+    t3_code_of: dict[str, int] = {}
+    t3_charset: list[str] = []
+    f5_id = None
+    t3_proc_ids: dict[str, int] = {}
+    if any_type3:
+        t3_charset = sorted({
+            ch
+            for p, runs in zip(pages, runs_by_page)
+            if p.get("type3")
+            for _s, _x, _y, t in runs
+            for ch in t
+        })
+        if len(t3_charset) > 224:  # codes 32..255
+            raise ValueError("Type3 charset exceeds one byte of codes")
+        t3_code_of = {ch: 32 + k for k, ch in enumerate(t3_charset)}
+        f5_id = next_id
+        next_id += 1
+        t3_proc_ids = {
+            ch: f5_id + 1 + k for k, ch in enumerate(t3_charset)
+        }
+        next_id += len(t3_charset)
     if metadata:
         meta_id = next_id
         next_id += 1
@@ -731,6 +791,36 @@ def write_pdf(
             b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
             b"%b >> >>" % _WINANSI_DIFF_ARR
         )
+    if any_type3:
+        # corpus v14: a TYPE3 font (spec 9.6.5) — the dvips/bitmap-era
+        # form where the entire document renders through custom glyph
+        # procedures.  Every used char gets a /CharProcs stream and a
+        # /Differences code; there is no base encoding and no ToUnicode:
+        # the ONLY decode path is Differences -> glyph name -> AGL (or
+        # /uniXXXX), exactly what the extractor's encoding table does
+        names = [_t3_glyph_name(ch) for ch in t3_charset]
+        charprocs = b" ".join(
+            b"/%b %d 0 R" % (n.encode(), t3_proc_ids[ch])
+            for n, ch in zip(names, t3_charset)
+        )
+        diffs = b"/Differences [ 32 " + b" ".join(
+            b"/" + n.encode() for n in names
+        ) + b" ]"
+        widths = b" ".join(b"500" for _ in t3_charset)
+        objects.append(
+            b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+            b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs << %b >> "
+            b"/Encoding << /Type /Encoding %b >> "
+            b"/FirstChar 32 /LastChar %d /Widths [%b] >>"
+            % (charprocs, diffs, 31 + len(t3_charset), widths)
+        )
+        for ch in t3_charset:
+            # a minimal glyph procedure: width declaration + one stroke
+            # (opaque drawing ops the extractor must never read as text)
+            proc = b"500 0 d0\n10 10 m 490 700 l S"
+            objects.append(
+                b"<< /Length %d >>\nstream\n%b\nendstream" % (len(proc), proc)
+            )
     if metadata:
         objects.append(
             b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%b\nendstream"
@@ -762,6 +852,8 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F3 %d 0 R" % f3_id
         elif page.get("winansi"):
             font_res = b"/F1 3 0 R /F4 %d 0 R" % f4_id
+        elif page.get("type3"):
+            font_res = b"/F5 %d 0 R" % f5_id
         xobj_res = b""
         ft = page.get("form_text")
         if ft:
@@ -776,8 +868,12 @@ def write_pdf(
                 runs_by_page[i], bool(page.get("tj")), cid_of
             )
         elif page.get("winansi"):
-            stream = _winansi_content_stream(
-                runs_by_page[i], bool(page.get("tj"))
+            stream = _coded_content_stream(
+                runs_by_page[i], bool(page.get("tj")), _WINANSI_CODE_OF, b"F4"
+            )
+        elif page.get("type3"):
+            stream = _coded_content_stream(
+                runs_by_page[i], bool(page.get("tj")), t3_code_of, b"F5"
             )
         elif page.get("cid_noto"):
             stream = _cid_content_stream(

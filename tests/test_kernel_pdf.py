@@ -786,6 +786,11 @@ def test_corpus_v8_emits_and_roundtrips_cid_noto_pages():
         models = docmodel.random_pdf_pages(rng, docmodel._LANGS[i % 5])
         if not any(m.get("cid_noto") for m in models):
             continue
+        if b"/Subtype /Type3" in payload:
+            # corpus v14 promoted this doc to a uniform Type3 rendering:
+            # its formerly glyph-only pages are readable again through
+            # the glyph-name path — the v14 test owns that case
+            continue
         n_noto += 1
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [e["markdown"] for e in expected]
@@ -1608,3 +1613,76 @@ def test_corpus_v13_emits_and_roundtrips_winansi_pages():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n_win >= 10, n_win
+
+
+# ------------------------------------------------------------------
+# corpus v14: Type3 fonts (spec 9.6.5)
+# ------------------------------------------------------------------
+
+_TYPE3_PAGES = [
+    {
+        "columns": 1,
+        "blocks": [
+            {"t": "h", "level": 1, "text": "Type Three Title"},
+            {"t": "p", "text": "body text, punctuation! naïve café — 你好"},
+            {"t": "ol", "items": ["first item", "second item"]},
+        ],
+        "type3": True,
+    }
+]
+
+
+def test_type3_font_roundtrips_all_dialects():
+    """A document rendered entirely through a Type3 font decodes via
+    Differences -> glyph name (AGL + /uniXXXX) — no base encoding, no
+    ToUnicode — across transports; glyph procedures never become text."""
+    for kw in (
+        {},
+        {"xref_stream": True},
+        {"object_streams": True},
+        {"encrypt": "rc4"},
+        {"encrypt": "aesv3r5", "xref_stream": True},
+    ):
+        for tj in (False, True):
+            pages = [dict(_TYPE3_PAGES[0], tj=tj)]
+            pdf = pdf_writer.write_pdf(pages, **kw)
+            got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+            want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+            assert got == want, (kw, tj)
+            if "object_streams" not in kw:  # ObjStm packs the font dict
+                assert b"/CharProcs" in pdf
+            if not kw:  # plaintext classic file: glyph ops visible
+                assert b"d0" in pdf
+
+
+def test_type3_charprocs_never_become_pages_or_text():
+    """The glyph-procedure streams outnumber the page content streams;
+    page_idx stays aligned and no drawing op leaks into markdown."""
+    pdf = pdf_writer.write_pdf(_TYPE3_PAGES)
+    pages = pdf_extract.extract_pages(pdf)
+    assert len(pages) == 1
+    assert "d0" not in pages[0]["markdown"]
+    assert "500" not in pages[0]["markdown"]
+
+
+def test_corpus_v14_emits_and_roundtrips_type3_docs():
+    """~6% of docs render uniformly Type3 (overriding the other
+    font-form knobs, dvips-style); every one extracts exactly and the
+    /uniXXXX glyph-name path is corpus-exercised."""
+    from markmuse_spark.sources import corpus
+
+    n_t3 = n_uni = 0
+    for i in range(4, 2500, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/Subtype /Type3" not in payload:
+            continue
+        n_t3 += 1
+        if b"/uni0" in payload:
+            n_uni += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_t3 >= 10, n_t3
+    assert n_uni >= 5, "uniXXXX glyph names never exercised"
