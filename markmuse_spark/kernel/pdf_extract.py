@@ -101,15 +101,20 @@ _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _ENDSTREAM = re.compile(rb"\r?\n?endstream")
+# re.S: the `\\.` escape alternatives must match backslash-NEWLINE too —
+# a literal string legally split across lines with a line continuation
+# (spec 7.3.4.2) would otherwise fail the whole operand match and
+# silently drop the run, instead of joining through _unescape_literal
 _OP = re.compile(
     r"/(F\d+)\s+(\d+(?:\.\d+)?)\s+Tf"
     r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
     r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
     r"|<([0-9A-Fa-f\s]*)>\s*Tj"
-    r"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\[\]()<>])*)\]\s*TJ"
+    r"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\[\]()<>])*)\]\s*TJ",
+    re.S,
 )
 _TJ_PIECE = re.compile(
-    r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)"
+    r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)", re.S
 )
 # literal-string escapes, spec 7.3.4.2: octal (1-3 digits), the named
 # control escapes, escaped delimiters, line continuations (backslash-EOL
@@ -150,18 +155,28 @@ def _decode_pdf_string(raw: str) -> str:
         return s
 
 
-def _decode_hex_string(raw: str) -> str:
-    """Hex string ``<48656C6C6F>``: whitespace-tolerant, odd length padded
-    with 0 (PDF spec 7.3.4.3).  Bytes beginning with the U+FEFF BOM are
-    the spec 7.9.2.2 Unicode text-string form (UTF-16BE — corpus v4, the
-    encoding real producers emit for non-WinAnsi text); otherwise the
-    writer's UTF-8, with latin-1 as the never-fails fallback."""
+def _hex_to_bytes(raw: str) -> bytes | None:
+    """Hex-string operand -> bytes: whitespace-tolerant, odd length
+    padded with 0 (spec 7.3.4.3); None on non-hex junk.  The ONE place
+    those rules live — _decode_hex_string, _decode_cids and
+    _ByteEncoding.decode_hex all normalize through here."""
     h = "".join(raw.split())
     if len(h) % 2:
         h += "0"
     try:
-        b = bytes.fromhex(h)
+        return bytes.fromhex(h)
     except ValueError:
+        return None
+
+
+def _decode_hex_string(raw: str) -> str:
+    """Hex string ``<48656C6C6F>`` (spec 7.3.4.3).  Bytes beginning with
+    the U+FEFF BOM are the spec 7.9.2.2 Unicode text-string form
+    (UTF-16BE — corpus v4, the encoding real producers emit for
+    non-WinAnsi text); otherwise the writer's UTF-8, with latin-1 as the
+    never-fails fallback."""
+    b = _hex_to_bytes(raw)
+    if b is None:
         return ""
     if b.startswith(b"\xfe\xff"):
         try:
@@ -203,14 +218,8 @@ class _ByteEncoding(dict):
         return _unescape_literal(raw).translate(self)
 
     def decode_hex(self, raw: str) -> str:
-        h = "".join(raw.split())
-        if len(h) % 2:
-            h += "0"
-        try:
-            b = bytes.fromhex(h)
-        except ValueError:
-            return ""
-        return b.decode("latin-1").translate(self)
+        b = _hex_to_bytes(raw)
+        return "" if b is None else b.decode("latin-1").translate(self)
 
 
 _SURR_HI = bytes(range(0xD8, 0xE0))  # UTF-16 surrogate-range high bytes
@@ -229,12 +238,8 @@ def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
     check rules out without a Python-level loop."""
     if not isinstance(cmap, _CidTable):  # fast/slow paths must agree on
         cmap = _CidTable(cmap)  # unmapped CIDs regardless of caller type
-    h = "".join(raw.split())
-    if len(h) % 2:
-        h += "0"
-    try:
-        b = bytes.fromhex(h)
-    except ValueError:
+    b = _hex_to_bytes(raw)
+    if b is None:
         return ""
     b = b[: len(b) - (len(b) % 2)]
     if not b:
@@ -1380,15 +1385,7 @@ def _page_graph(payload: bytes, scanned: list):
             nm.decode("ascii"): int(fid)
             for nm, fid in _FONT_REF_RE.findall(body)
         }
-        xm = _XOBJ_DICT_RE.search(body)
-        xobjs = (
-            {
-                nm.decode("latin-1"): int(xid)
-                for nm, xid in _NAME_REF_RE.findall(xm.group(1))
-            }
-            if xm
-            else {}
-        )
+        xobjs = _xobj_map(body)
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
@@ -1544,6 +1541,51 @@ def _strip_inline_images(content: str) -> str:
 
 
 _FORM_DEPTH_CAP = 8
+_TYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
+
+
+def _xobj_map(body: bytes) -> dict[str, int]:
+    """name -> object id from a /Resources /XObject sub-dictionary."""
+    xm = _XOBJ_DICT_RE.search(body)
+    if not xm:
+        return {}
+    return {
+        nm.decode("latin-1"): int(xid)
+        for nm, xid in _NAME_REF_RE.findall(xm.group(1))
+    }
+
+
+def _form_entry(
+    foid: int,
+    owner: dict[int, int],
+    bodies: dict[int, bytes],
+    scanned: list,
+    cache: dict,
+) -> tuple[str, list, dict[str, int]]:
+    """(decoded content, font refs, xobject refs) of one Form XObject,
+    decoded ONCE per document (the corpus letterhead is drawn on every
+    page — without the cache a 5-page doc inflates the same stream 5
+    times on the extraction hot path).  Only ``/Subtype /Form`` streams
+    yield content: an IMAGE XObject's bytes are opaque sample data that
+    must never be tokenized as text (same stance as inline images), and
+    one with an undecodable filter (DCT, JPX...) yields '' instead of
+    aborting the document — before v12 its ``Do`` was a no-op, and a
+    scanned-JPEG page must keep extracting its real text."""
+    if foid not in cache:
+        content = ""
+        ffonts: list = []
+        fxobjs: dict[str, int] = {}
+        si = owner.get(foid)
+        if si is not None and _TYPE_FORM_RE.search(scanned[si][1]):
+            try:
+                content = _decode_stream(scanned[si][1], scanned[si][2])
+            except ValueError:
+                content = ""
+            fbody = bodies.get(foid, b"")
+            ffonts = _FONT_REF_RE.findall(fbody)
+            fxobjs = _xobj_map(fbody)
+        cache[foid] = (content, ffonts, fxobjs)
+    return cache[foid]
 
 
 def _splice_forms(
@@ -1553,7 +1595,9 @@ def _splice_forms(
     bodies: dict[int, bytes],
     scanned: list,
     fonts: dict[str, int],
+    cache: dict,
     seen: frozenset = frozenset(),
+    budget: "list[int] | None" = None,
 ) -> str:
     """Replace each ``/Name Do`` invocation with the decoded content of
     its Form XObject (spec 8.10) — a stream of page-description operators
@@ -1562,36 +1606,39 @@ def _splice_forms(
     own ``/Resources /Font`` entries merge into the page's font map
     (a ``/F9`` declared only inside the form must still resolve its
     ``Tf``; ``setdefault`` keeps page-level names authoritative on a
-    clash).  Nested forms expand recursively under a depth cap and a
-    cycle guard — a self-referencing form (bomb or damage) degrades to
-    dropping the inner invocation, never to unbounded recursion.  A
-    dangling form ref drops the ``Do`` silently: the operator pair must
-    not survive into text heuristics, and there is nothing to mint."""
+    clash).  Nested invocations resolve against the UNION of the page's
+    and the form's XObject names (spec 8.10.3 resource fallback: a form
+    with no own /Resources inherits the page's), the form's own names
+    winning a clash; expansion recurses under a depth cap and a cycle
+    guard, and a shared ``budget`` (one document's ``_MAX_DECODED``)
+    bounds TOTAL spliced size — a fan-out amplification bomb (six tiny
+    chained forms invoking each other 8× expand to 30^7 × leaf)
+    degrades to dropped invocations, never executor OOM.  A dangling or
+    non-Form ref drops the ``Do`` silently: the operator pair must not
+    survive into text heuristics, and there is nothing to mint."""
+    if budget is None:
+        budget = [_MAX_DECODED]
     for name, foid in xobjs.items():
         pat = re.compile(r"/" + re.escape(name) + r"\s+Do")
-        if not pat.search(text):
+        n = len(pat.findall(text))
+        if not n:
             continue
         if foid in seen or len(seen) >= _FORM_DEPTH_CAP:
             repl = ""
         else:
-            si = owner.get(foid)
-            if si is None:
-                repl = ""
-            else:
-                repl = _decode_stream(scanned[si][1], scanned[si][2])
-                fbody = bodies.get(foid, b"")
-                for nm, fid in _FONT_REF_RE.findall(fbody):
-                    fonts.setdefault(nm.decode("ascii"), int(fid))
-                fxm = _XOBJ_DICT_RE.search(fbody)
-                if fxm:
-                    nested = {
-                        nm.decode("latin-1"): int(xid)
-                        for nm, xid in _NAME_REF_RE.findall(fxm.group(1))
-                    }
-                    repl = _splice_forms(
-                        repl, nested, owner, bodies, scanned, fonts,
-                        seen | {foid},
-                    )
+            content, ffonts, fxobjs = _form_entry(
+                foid, owner, bodies, scanned, cache
+            )
+            for nm, fid in ffonts:
+                fonts.setdefault(nm.decode("ascii"), int(fid))
+            repl = _splice_forms(
+                content, {**xobjs, **fxobjs}, owner, bodies, scanned,
+                fonts, cache, seen | {foid}, budget,
+            )
+        if n * len(repl) > budget[0]:
+            repl = ""
+        else:
+            budget[0] -= n * len(repl)
         text = pat.sub(lambda _m: repl, text)
     return text
 
@@ -1623,6 +1670,7 @@ def _document_pages(
         ]
     groups, fonts_per_page, xobjs_per_page, owner, bodies = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
+    form_cache: dict[int, tuple] = {}  # one decode per form per document
 
     def _cmap_for(font_oid: int):
         if font_oid not in cmap_cache:
@@ -1661,7 +1709,9 @@ def _document_pages(
             # invocation; the form's own fonts merge into ``fonts``
             # BEFORE the cmap resolution below, so a CID font declared
             # only inside a form still decodes
-            text = _splice_forms(text, xobjs, owner, bodies, scanned, fonts)
+            text = _splice_forms(
+                text, xobjs, owner, bodies, scanned, fonts, form_cache
+            )
         cmaps = {
             name: cm
             for name, foid in fonts.items()

@@ -1686,3 +1686,172 @@ def test_corpus_v14_emits_and_roundtrips_type3_docs():
         assert got == [p["markdown"] for p in expected], i
     assert n_t3 >= 10, n_t3
     assert n_uni >= 5, "uniXXXX glyph names never exercised"
+
+
+# ------------------------------------------------------------------
+# review hardening: XObject splice guards (post-v14 review findings)
+# ------------------------------------------------------------------
+
+
+def _xobj_page_pdf(xobj_obj: bytes, content: bytes | None = None) -> bytes:
+    """Classic-xref file: one page invoking `/Im1 Do` with object 5 as
+    the given XObject body."""
+    content = content or (
+        b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (base) Tj ET\n/Im1 Do"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> /XObject << /Im1 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        xobj_obj,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def test_image_xobject_bytes_never_become_text():
+    """An IMAGE XObject whose decompressed sample bytes read as text
+    operators must NOT be spliced — only /Subtype /Form yields content
+    (the same stance as inline images)."""
+    import zlib as _z
+
+    trap = _z.compress(b"BT /F1 24 Tf 1 0 0 1 72 700 Tm (trap) Tj ET")
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream"
+        % (len(trap), trap)
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(_xobj_page_pdf(img))]
+    assert got == ["base"]
+
+
+def test_undecodable_xobject_filter_never_aborts_the_document():
+    """A DCT (JPEG) image XObject invoked via Do must not raise out of
+    extract_pages: before v12 the Do was a no-op, and a scanned-JPEG
+    page must keep extracting its real text."""
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/Filter /DCTDecode /Length 9 >>\nstream\n\xff\xd8\xff\xdbJUNK!\nendstream"
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(_xobj_page_pdf(img))]
+    assert got == ["base"]
+    # same for a FORM whose filter is undecodable: dropped, not fatal
+    form = (
+        b"<< /Type /XObject /Subtype /Form /Filter /DCTDecode "
+        b"/Length 4 >>\nstream\nJUNK\nendstream"
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(_xobj_page_pdf(form))]
+    assert got == ["base"]
+
+
+def test_form_fanout_amplification_is_budget_bounded():
+    """Six chained forms each invoking the next 8 times (a ~3KB file
+    that would expand to 30^7 x leaf bytes) must stay under the
+    document decode budget — dropped invocations, not executor OOM."""
+    n_chain, fanout = 6, 8
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /X0 5 0 R >> >> "
+        b"/Contents 11 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for k in range(n_chain):  # objects 5..10: X0 invokes X1 8x, etc.
+        if k < n_chain - 1:
+            body = b" ".join(b"/X%d Do" % (k + 1) for _ in range(fanout))
+            res = b"/Resources << /XObject << /X%d %d 0 R >> >> " % (
+                k + 1,
+                6 + k,
+            )
+        else:
+            body = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (leaf leaf leaf) Tj ET"
+            res = b""
+        objs.append(
+            b"<< /Type /XObject /Subtype /Form %b/Length %d >>\nstream\n%b\nendstream"
+            % (res, len(body), body)
+        )
+    content = b"/X0 Do"
+    objs.append(
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content)
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    pages = pdf_extract.extract_pages(bytes(out))  # must return, fast
+    assert len(pages) == 1
+    assert len(pages[0]["markdown"]) < pdf_extract._MAX_DECODED
+
+
+def test_sibling_form_resolution_is_order_independent():
+    """A form with no own /Resources inherits the page's XObject names
+    (spec 8.10.3): /A invoking /B must splice B regardless of the
+    page dict's name order."""
+    a_body = b"BT /F1 10 Tf 1 0 0 1 72 756 Tm (alpha) Tj ET\n/B Do"
+    b_body = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (beta) Tj ET"
+    for order in (b"/B 6 0 R /A 5 0 R", b"/A 5 0 R /B 6 0 R"):
+        content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (base) Tj ET\n/A Do"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 7 0 R >> /XObject << %b >> >> "
+            b"/Contents 4 0 R >>" % order,
+            b"<< /Length %d >>\nstream\n%b\nendstream"
+            % (len(content), content),
+            b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n%b\nendstream"
+            % (len(a_body), a_body),
+            b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n%b\nendstream"
+            % (len(b_body), b_body),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+        xref_at = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at)
+        )
+        got = [p["markdown"] for p in pdf_extract.extract_pages(bytes(out))]
+        assert got == ["alpha\n\nbase\n\nbeta"], order
+
+
+def test_bare_lf_line_continuation_reaches_the_operand_match():
+    """A literal string legally split with backslash-LF must match the
+    _OP operand group end-to-end (re.S) and join through unescaping."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (foo\\\nbar) Tj ET"
+    runs = pdf_extract._parse_runs(content.decode("latin-1"))
+    assert [r[3] for r in runs] == ["foobar"]
