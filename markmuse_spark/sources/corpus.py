@@ -47,6 +47,19 @@ _WINANSI_SUFFIXES = (
     "Groß & Söhne — Müßiggang…",
     "«résumé» ¡España! ±½",
 )
+
+
+def _mac_encodable(s: str) -> bool:
+    try:
+        s.encode("mac_roman")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+# mac_roman lacks the vulgar fractions, so macroman pages draw from the
+# encodable subset (the writer raises on an unencodable char by contract)
+_MACROMAN_SUFFIXES = tuple(s for s in _WINANSI_SUFFIXES if _mac_encodable(s))
 _LANGS = ("en", "zh", "de", "fr", "es")
 _EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -188,10 +201,18 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                     or pm.get("hex")
                     or pm.get("hex16")
                 ):
-                    pm["winansi"] = True
-                    deco = _WINANSI_SUFFIXES[
-                        int(rng.random() * len(_WINANSI_SUFFIXES))
-                    ]
+                    # v14.1 (appended sub-draw): ~25% of declared-
+                    # encoding pages use the BARE-NAME form
+                    # /Encoding /MacRomanEncoding instead of the
+                    # WinAnsi+Differences dict — the two common
+                    # spellings both corpus-exercised
+                    if rng.random() < 0.25:
+                        pm["macroman"] = True
+                        pool = _MACROMAN_SUFFIXES
+                    else:
+                        pm["winansi"] = True
+                        pool = _WINANSI_SUFFIXES
+                    deco = pool[int(rng.random() * len(pool))]
                     for b in pm["blocks"]:
                         if b["t"] == "h":
                             b["text"] = b["text"] + " " + deco
@@ -217,7 +238,10 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 # becomes readable again through the glyph-name path)
                 for pm in pages_model:
                     pm["type3"] = True
-                    for k in ("cid", "cid_noto", "hex", "hex16", "winansi"):
+                    for k in (
+                        "cid", "cid_noto", "hex", "hex16",
+                        "winansi", "macroman",
+                    ):
                         pm.pop(k, None)
         payload = pdf_writer.write_pdf(
             pages_model,

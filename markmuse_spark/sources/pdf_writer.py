@@ -134,6 +134,16 @@ for _code in range(32, 256):
 for _c, _n, _ch in _DIFF_NAMES:  # Differences codes override: exercise them
     _WINANSI_CODE_OF[_ch] = _c
 
+# corpus v14.1: MacRomanEncoding as a BARE /Encoding name (no dict, no
+# Differences) — the other common declared-encoding form; built from the
+# mac_roman codec like the extractor builds its decode table
+_MACROMAN_CODE_OF: dict[str, int] = {}
+for _code in range(32, 256):
+    try:
+        _MACROMAN_CODE_OF.setdefault(bytes([_code]).decode("mac_roman"), _code)
+    except UnicodeDecodeError:
+        pass
+
 
 # corpus v14: Type3 glyph names.  The writer stays INDEPENDENT of the
 # kernel's AGL module (fixture-vs-extractor independence is the oracle
@@ -620,6 +630,11 @@ def write_pdf(
       Differences array (resolving glyph names through the Adobe Glyph
       List) or it mints mojibake.  Mutually exclusive with
       ``cid``/``cid_noto``/``hex``/``hex16``
+    * ``"macroman": True`` (corpus v14.1) — the page uses /F6, a simple
+      font whose ``/Encoding`` is the BARE NAME ``/MacRomanEncoding``
+      (no dict, no Differences — the other common declared-encoding
+      spelling); string operands are mac_roman byte codes.  Mutually
+      exclusive with the same knobs as ``winansi``
     * ``"type3": True`` (corpus v14) — the page uses /F5, a TYPE3 font
       (spec 9.6.5, the dvips/bitmap era): one shared document font whose
       every used char has a ``/CharProcs`` glyph-procedure stream and a
@@ -715,6 +730,11 @@ def write_pdf(
     if any_winansi:
         f4_id = next_id
         next_id += 1
+    any_macroman = any(p.get("macroman") for p in pages)
+    f6_id = None
+    if any_macroman:
+        f6_id = next_id
+        next_id += 1
     any_type3 = any(p.get("type3") for p in pages)
     t3_code_of: dict[str, int] = {}
     t3_charset: list[str] = []
@@ -791,6 +811,14 @@ def write_pdf(
             b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
             b"%b >> >>" % _WINANSI_DIFF_ARR
         )
+    if any_macroman:
+        # corpus v14.1: the BARE-NAME declared-encoding form — no dict,
+        # no Differences, just /Encoding /MacRomanEncoding on a simple
+        # font; string operands are mac_roman byte codes
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /MacRomanEncoding >>"
+        )
     if any_type3:
         # corpus v14: a TYPE3 font (spec 9.6.5) — the dvips/bitmap-era
         # form where the entire document renders through custom glyph
@@ -852,6 +880,8 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F3 %d 0 R" % f3_id
         elif page.get("winansi"):
             font_res = b"/F1 3 0 R /F4 %d 0 R" % f4_id
+        elif page.get("macroman"):
+            font_res = b"/F1 3 0 R /F6 %d 0 R" % f6_id
         elif page.get("type3"):
             font_res = b"/F5 %d 0 R" % f5_id
         xobj_res = b""
@@ -870,6 +900,10 @@ def write_pdf(
         elif page.get("winansi"):
             stream = _coded_content_stream(
                 runs_by_page[i], bool(page.get("tj")), _WINANSI_CODE_OF, b"F4"
+            )
+        elif page.get("macroman"):
+            stream = _coded_content_stream(
+                runs_by_page[i], bool(page.get("tj")), _MACROMAN_CODE_OF, b"F6"
             )
         elif page.get("type3"):
             stream = _coded_content_stream(

@@ -1855,3 +1855,23 @@ def test_bare_lf_line_continuation_reaches_the_operand_match():
     content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (foo\\\nbar) Tj ET"
     runs = pdf_extract._parse_runs(content.decode("latin-1"))
     assert [r[3] for r in runs] == ["foobar"]
+
+
+def test_corpus_v14_1_emits_and_roundtrips_macroman_pages():
+    """The bare-name /Encoding /MacRomanEncoding form is corpus-present
+    and extracts exactly (the dict+Differences form is pinned by the
+    v13 test; this pins the OTHER common spelling)."""
+    from markmuse_spark.sources import corpus
+
+    n_mac = 0
+    for i in range(4, 2500, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/Encoding /MacRomanEncoding" not in payload:
+            continue
+        n_mac += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_mac >= 5, n_mac
