@@ -1875,3 +1875,46 @@ def test_corpus_v14_1_emits_and_roundtrips_macroman_pages():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n_mac >= 5, n_mac
+
+
+def test_cid_font_declared_only_inside_form_still_decodes():
+    """The form-scoped font merge happens BEFORE cmap resolution: a
+    Type0+ToUnicode font referenced only from a Form XObject's own
+    /Resources decodes its CID hex strings in the spliced content."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"2 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\nendcmap"
+    )
+    form_body = b"BT /F7 10 Tf 1 0 0 1 72 756 Tm <00010002> Tj ET"
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (base) Tj ET\n/Fx1 Do"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 8 0 R >> /XObject << /Fx1 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        b"<< /Type /XObject /Subtype /Form "
+        b"/Resources << /Font << /F7 6 0 R >> >> /Length %d >>\nstream\n%b\nendstream"
+        % (len(form_body), form_body),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /T+X "
+        b"/Encoding /Identity-H /ToUnicode 7 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(cmap), cmap),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(bytes(out))]
+    assert got == ["Hi\n\nbase"]
