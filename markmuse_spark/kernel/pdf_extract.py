@@ -422,6 +422,15 @@ _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<([^<>]*)>>")
 _NAME_REF_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+0\s+R")
 
+# FreeText annotations (corpus v15): visible margin notes a rendering
+# pipeline (the reference OCRs rendered pages) reads as page text; the
+# /Contents string and the /Rect lower-left corner give text + position
+_ANNOTS_ARR_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
+_FREETEXT_RE = re.compile(rb"/Subtype\s*/FreeText\b")
+_ANNOT_LIT_RE = re.compile(rb"/Contents\s*\(((?:[^()\\]|\\.)*)\)", re.S)
+_ANNOT_HEX_RE = re.compile(rb"/Contents\s*<([0-9A-Fa-f\s]*)>")
+_RECT_RE = re.compile(rb"/Rect\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)")
+
 # simple-font /Encoding forms (corpus v13): a bare base-encoding name, an
 # inline encoding dict, or an indirect ref to an encoding object
 _ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
@@ -1321,11 +1330,12 @@ def _page_graph(payload: bytes, scanned: list):
     falls back to every-stream-is-a-page, which is also how
     partial/truncated documents keep yielding their text).
 
-    Returns ``(groups, fonts_per_page, xobjs_per_page, owner, bodies)``:
-    one stream-index group per page in /Kids order, each page's
-    ``{font_name: obj_id}`` and ``{xobject_name: obj_id}`` resource maps,
-    the stream-ownership map and the blanked object bodies (for resolving
-    /ToUnicode and Form-XObject refs)."""
+    Returns ``(groups, fonts_per_page, xobjs_per_page, annots_per_page,
+    owner, bodies)``: one stream-index group per page in /Kids order,
+    each page's ``{font_name: obj_id}`` / ``{xobject_name: obj_id}``
+    resource maps and ``/Annots`` ref list, the stream-ownership map and
+    the blanked object bodies (for resolving /ToUnicode, Form-XObject
+    and annotation refs)."""
     blanked, bounds = _blanked_objects(payload, scanned)
     if not bounds:
         return None
@@ -1386,10 +1396,14 @@ def _page_graph(payload: bytes, scanned: list):
             for nm, fid in _FONT_REF_RE.findall(body)
         }
         xobjs = _xobj_map(body)
+        am2 = _ANNOTS_ARR_RE.search(body)
+        annots = (
+            [int(x) for x in _REF_RE.findall(am2.group(1))] if am2 else []
+        )
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
-        pages.append((oid, cids, fonts, xobjs))
+        pages.append((oid, cids, fonts, xobjs, annots))
     if not pages:
         return None
     page_by_id = {oid: rest for oid, *rest in pages}
@@ -1414,7 +1428,8 @@ def _page_graph(payload: bytes, scanned: list):
     groups: list[list[int]] = []
     fonts_per_page: list[dict[str, int]] = []
     xobjs_per_page: list[dict[str, int]] = []
-    for cids, fonts, xobjs in order:
+    annots_per_page: list[list[int]] = []
+    for cids, fonts, xobjs, annots in order:
         group = []
         for cid in cids:
             if cid not in owner:
@@ -1423,7 +1438,8 @@ def _page_graph(payload: bytes, scanned: list):
         groups.append(group)
         fonts_per_page.append(fonts)
         xobjs_per_page.append(xobjs)
-    return groups, fonts_per_page, xobjs_per_page, owner, bodies
+        annots_per_page.append(annots)
+    return groups, fonts_per_page, xobjs_per_page, annots_per_page, owner, bodies
 
 
 _WALK_NODE_CAP = 4096
@@ -1643,11 +1659,44 @@ def _splice_forms(
     return text
 
 
+def _annot_runs(
+    annot_ids: list, bodies: dict
+) -> list[tuple[float, float, float, str]]:
+    """Text runs for a page's visible FreeText annotations (corpus v15):
+    margin notes a rendering pipeline reads as page text — the reference
+    OCRs RENDERED pages, so a visible note box is document text to it.
+    Position is the /Rect lower-left corner; size is the body default
+    (the /DA default-appearance string's font choice is cosmetic at this
+    altitude).  Non-FreeText annotation kinds (Link, Popup, sticky-note
+    /Text whose box renders as an icon, not its content) yield nothing."""
+    runs: list[tuple[float, float, float, str]] = []
+    for aid in annot_ids:
+        body = bodies.get(aid)
+        if body is None or not _FREETEXT_RE.search(body):
+            continue
+        rm = _RECT_RE.search(body)
+        if not rm:
+            continue
+        text = None
+        lm = _ANNOT_LIT_RE.search(body)
+        if lm:
+            text = _decode_pdf_string(lm.group(1).decode("latin-1"))
+        else:
+            hm = _ANNOT_HEX_RE.search(body)
+            if hm:
+                text = _decode_hex_string(hm.group(1).decode("ascii"))
+        if text:
+            runs.append(
+                (10.0, float(rm.group(1)), float(rm.group(2)), text)
+            )
+    return runs
+
+
 def _document_pages(
     payload: bytes,
-) -> list[tuple[str, dict[str, dict[int, str]]]]:
+) -> list[tuple[str, dict[str, dict[int, str]], list]]:
     """Per page, in page order: (decompressed content, {font_name ->
-    ToUnicode CID table}).
+    ToUnicode CID table}, visible-annotation text runs).
 
     Streams are selected through the object graph (page objects'
     ``/Contents`` refs, pages ordered by ``/Kids``) so NON-content
@@ -1664,11 +1713,12 @@ def _document_pages(
         # object streams (packed dictionaries, corpus v7): both are
         # structure, never content
         return [
-            (_decode_stream(h, d), {})
+            (_decode_stream(h, d), {}, [])
             for _s, h, d, _sp in scanned
             if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
         ]
-    groups, fonts_per_page, xobjs_per_page, owner, bodies = graph
+    (groups, fonts_per_page, xobjs_per_page, annots_per_page,
+     owner, bodies) = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
     form_cache: dict[int, tuple] = {}  # one decode per form per document
 
@@ -1699,8 +1749,10 @@ def _document_pages(
             cmap_cache[font_oid] = cm
         return cmap_cache[font_oid]
 
-    pages: list[tuple[str, dict[str, dict[int, str]]]] = []
-    for group, fonts, xobjs in zip(groups, fonts_per_page, xobjs_per_page):
+    pages: list = []
+    for group, fonts, xobjs, annots in zip(
+        groups, fonts_per_page, xobjs_per_page, annots_per_page
+    ):
         text = "\n".join(
             _decode_stream(scanned[si][1], scanned[si][2]) for si in group
         )
@@ -1717,7 +1769,7 @@ def _document_pages(
             for name, foid in fonts.items()
             if (cm := _cmap_for(foid)) is not None
         }
-        pages.append((text, cmaps))
+        pages.append((text, cmaps, _annot_runs(annots, bodies)))
     return pages
 
 
@@ -1819,8 +1871,8 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     doc_pages = _document_pages(payload)
     if not doc_pages:
         raise ValueError("no content streams")
-    for page_idx, (stream, cmaps) in enumerate(doc_pages):
-        runs = _parse_runs(stream, cmaps)
+    for page_idx, (stream, cmaps, annot_runs) in enumerate(doc_pages):
+        runs = _parse_runs(stream, cmaps) + annot_runs
         if not runs:
             pages.append({"page_idx": page_idx, "markdown": "", "images": []})
             continue

@@ -60,6 +60,13 @@ def _mac_encodable(s: str) -> bool:
 # mac_roman lacks the vulgar fractions, so macroman pages draw from the
 # encodable subset (the writer raises on an unencodable char by contract)
 _MACROMAN_SUFFIXES = tuple(s for s in _WINANSI_SUFFIXES if _mac_encodable(s))
+# corpus v15 margin notes (FreeText annotation /Contents strings)
+_ANNOT_NOTES = (
+    "Reviewed by the standards board — approved",
+    "Margen: véase el apéndice B",
+    "Nota del editor: cifras preliminares",
+    "DRAFT — numbers subject to audit",
+)
 _LANGS = ("en", "zh", "de", "fr", "es")
 _EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -158,7 +165,15 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # a /Differences code; no base encoding, no ToUnicode — the
         # glyph-name path is the only decode route, and the glyph
         # procedures are opaque drawing streams that must never become
-        # pages or text
+        # pages or text;
+        # corpus v15 (draws again APPENDED): ~8% of UNENCRYPTED docs
+        # carry a visible FreeText ANNOTATION (spec 12.5.6.6) on their
+        # first single-column page — a margin-note box whose text lives
+        # in the annotation dict's /Contents string, not in any content
+        # stream; a rendering pipeline (the reference OCRs rendered
+        # pages) reads the visible box as page text, so the note is the
+        # page's final block (encrypted docs excluded: this writer's
+        # encryption covers streams, not dict strings — documented)
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -243,6 +258,13 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                         "winansi", "macroman",
                     ):
                         pm.pop(k, None)
+        adraw = rng.random()  # v15: appended — prior knobs unchanged
+        if adraw < 0.08 and not cipher:
+            note = _ANNOT_NOTES[int(rng.random() * len(_ANNOT_NOTES))]
+            for pm in pages_model:
+                if pm.get("columns", 1) == 1:
+                    pm["annot_text"] = note
+                    break
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

@@ -644,6 +644,15 @@ def write_pdf(
       glyph procedures are opaque drawing streams that must never
       become text or pages.  Document-level in practice: the corpus
       stamps every page of a doc or none
+    * ``"annot_text": str`` (corpus v15) — the page carries a visible
+      FREETEXT ANNOTATION (spec 12.5.6.6): a margin-note box below the
+      lowest body run, its text in the annotation dict's ``/Contents``
+      string (NOT in any content stream).  A rendering pipeline — the
+      reference OCRs rendered pages — reads the visible box as page
+      text, so the note is the page's final markdown block; an
+      extractor that only tokenizes content streams drops it.  Dialect
+      constraint (documented): only on UNENCRYPTED documents — this
+      writer's encryption covers stream bodies, not dict strings
     * ``"form_text": str`` (corpus v12) — the page invokes a FORM
       XOBJECT letterhead (spec 8.10): one shared ``/Subtype /Form``
       stream per distinct text, Flate-compressed, referenced from the
@@ -772,6 +781,15 @@ def write_pdf(
     for ft in form_texts:
         form_ids[ft] = next_id
         next_id += 1
+    # corpus v15: one FreeText annotation object per annotated page —
+    # global non-stream objects (ObjStm packs them in that mode), so the
+    # 2-objects-per-page arithmetic below is untouched.  The note sits
+    # BELOW the page's lowest text run so it reads as the final block.
+    annot_ids: dict[int, int] = {}
+    for idx, p in enumerate(pages):
+        if p.get("annot_text"):
+            annot_ids[idx] = next_id
+            next_id += 1
     first_page_id = next_id
     kids = " ".join(f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
     catalog = b"<< /Type /Catalog /Pages 2 0 R"
@@ -871,6 +889,16 @@ def write_pdf(
             b"/Length %d >>\nstream\n%b\nendstream"
             % (PAGE_W, PAGE_H, len(data), data)
         )
+    for idx, aid in annot_ids.items():
+        note = pages[idx]["annot_text"]
+        y = min(
+            (r[2] for r in runs_by_page[idx]), default=MARGIN_TOP
+        ) - 40  # below the lowest body run: the note is the final block
+        objects.append(
+            b"<< /Type /Annot /Subtype /FreeText /Rect [%d %d 540 %d] "
+            b"/Contents (%b) /DA (/Helv 10 Tf) /F 4 >>"
+            % (COL_X[1][0], y, y + 20, _escape(note))
+        )
     for i, page in enumerate(pages):
         content_num = first_page_id + 2 * i + 1
         font_res = b"/F1 3 0 R"
@@ -888,10 +916,13 @@ def write_pdf(
         ft = page.get("form_text")
         if ft:
             xobj_res = b" /XObject << /Fm1 %d 0 R >>" % form_ids[ft]
+        annots_entry = b""
+        if i in annot_ids:
+            annots_entry = b" /Annots [%d 0 R]" % annot_ids[i]
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
-            b"/Resources << /Font << %b >>%b >> /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, font_res, xobj_res, content_num)
+            b"/Resources << /Font << %b >>%b >>%b /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_res, xobj_res, annots_entry, content_num)
         )
         if page.get("cid"):
             stream = _cid_content_stream(
@@ -1135,7 +1166,9 @@ def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
     even when the body is glyph-only)."""
     form = page_model.get("form_text")
     if page_model.get("cid_noto"):
-        return form or ""
+        return "\n\n".join(
+            p for p in (form, page_model.get("annot_text")) if p
+        )
     cols = page_model.get("columns", 1)
     blocks = page_model["blocks"]
     if cols == 2:
@@ -1155,4 +1188,7 @@ def expected_pdf_page_markdown(page_model: dict[str, Any]) -> str:
             md.append("\n".join(f"- {it}" for it in b["items"]))
         elif t == "ol":
             md.append("\n".join(f"{i + 1}. {it}" for i, it in enumerate(b["items"])))
+    note = page_model.get("annot_text")
+    if note:  # corpus v15: the margin note sits below everything — last
+        md.append(note)
     return "\n\n".join(m for m in md if m)

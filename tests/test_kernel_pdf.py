@@ -796,11 +796,16 @@ def test_corpus_v8_emits_and_roundtrips_cid_noto_pages():
         assert got == [e["markdown"] for e in expected]
         for m, g in zip(models, got):
             if m.get("cid_noto"):
-                # corpus v12: a glyph-only page may still carry the
-                # document's Form-XObject letterhead (the stamp's simple
-                # font is readable even when the body is not) — but
-                # NOTHING from the page's own blocks may surface
-                assert g == "" or g in corpus._FORM_TEXTS
+                # corpus v12/v15: a glyph-only page may still carry the
+                # document's Form-XObject letterhead and/or a FreeText
+                # margin note (both readable outside the glyph-only
+                # font) — but NOTHING from the page's own blocks may
+                # surface
+                if g:
+                    for part in g.split("\n\n"):
+                        assert part in (
+                            corpus._FORM_TEXTS + corpus._ANNOT_NOTES
+                        ), part
     assert n_noto >= 5  # the class is genuinely present in the corpus
 
 
@@ -1918,3 +1923,76 @@ def test_cid_font_declared_only_inside_form_still_decodes():
     )
     got = [p["markdown"] for p in pdf_extract.extract_pages(bytes(out))]
     assert got == ["Hi\n\nbase"]
+
+
+# ------------------------------------------------------------------
+# corpus v15: visible FreeText annotations
+# ------------------------------------------------------------------
+
+
+def test_freetext_annotation_renders_as_final_block():
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Title"},
+                {"t": "p", "text": "body words here"},
+            ],
+            "annot_text": "Reviewed — see appendix",
+        }
+    ]
+    for kw in ({}, {"xref_stream": True}, {"object_streams": True}):
+        pdf = pdf_writer.write_pdf(pages, **kw)
+        got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        assert got == ["# Title\n\nbody words here\n\nReviewed — see appendix"], kw
+
+
+def test_nonvisible_annotation_kinds_yield_nothing():
+    """Link/Popup/sticky-note /Text annotations render as icons or are
+    invisible — their /Contents must NOT become page text."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (base) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> "
+        b"/Annots [6 0 R 7 0 R] /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Annot /Subtype /Text /Rect [72 30 92 50] "
+        b"/Contents (sticky note body) >>",
+        b"<< /Type /Annot /Subtype /Link /Rect [72 60 200 80] "
+        b"/Contents (link comment) >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    got = [p["markdown"] for p in pdf_extract.extract_pages(bytes(out))]
+    assert got == ["base"]
+
+
+def test_corpus_v15_emits_and_roundtrips_annotations():
+    from markmuse_spark.sources import corpus
+
+    n_annot = 0
+    for i in range(4, 2500, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/Subtype /FreeText" not in payload:
+            continue
+        n_annot += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_annot >= 10, n_annot
