@@ -173,7 +173,13 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # stream; a rendering pipeline (the reference OCRs rendered
         # pages) reads the visible box as page text, so the note is the
         # page's final block (encrypted docs excluded: this writer's
-        # encryption covers streams, not dict strings — documented)
+        # encryption covers streams, not dict strings — documented);
+        # corpus v15.1 (draws again APPENDED): ~6% of plain-font pages
+        # are SCANNED-PAGE forms — a full-page DCTDecode image XObject
+        # paints first (opaque pixels, never decoded or tokenized),
+        # then the text renders INVISIBLY (3 Tr, spec 9.3.6) — exactly
+        # what OCR software emits; the invisible layer IS the document
+        # text and must extract identically to a visible page
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -265,6 +271,13 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 if pm.get("columns", 1) == 1:
                     pm["annot_text"] = note
                     break
+        for pm in pages_model:  # v15.1: appended per-page draws
+            odraw = rng.random()
+            if odraw < 0.06 and not any(
+                pm.get(k)
+                for k in ("cid", "cid_noto", "winansi", "macroman", "type3")
+            ):
+                pm["ocr_layer"] = True
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

@@ -253,23 +253,28 @@ def _content_stream(
     use_tj: bool,
     use_hex: bool,
     bom16: bool = False,
+    invisible: bool = False,
 ) -> bytes:
+    # ``invisible`` (corpus v15.1): text render mode 3 (spec 9.3.6) — the
+    # form OCR software stamps under scanned page images; the glyphs
+    # paint nothing but ARE the document text
+    tr = b"3 Tr " if invisible else b""
     parts = []
     for size, x, y, text in runs:
         if use_tj and " " in text:
             parts.append(
-                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b TJ ET"
-                % (size, x, y, _tj_array(text, use_hex, bom16))
+                b"BT /F1 %d Tf %b1 0 0 1 %d %d Tm %b TJ ET"
+                % (size, tr, x, y, _tj_array(text, use_hex, bom16))
             )
         elif use_hex:
             parts.append(
-                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm %b Tj ET"
-                % (size, x, y, _hex_string(text, bom16))
+                b"BT /F1 %d Tf %b1 0 0 1 %d %d Tm %b Tj ET"
+                % (size, tr, x, y, _hex_string(text, bom16))
             )
         else:
             parts.append(
-                b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%b) Tj ET"
-                % (size, x, y, _escape(text))
+                b"BT /F1 %d Tf %b1 0 0 1 %d %d Tm (%b) Tj ET"
+                % (size, tr, x, y, _escape(text))
             )
     return b"\n".join(parts)
 
@@ -644,6 +649,14 @@ def write_pdf(
       glyph procedures are opaque drawing streams that must never
       become text or pages.  Document-level in practice: the corpus
       stamps every page of a doc or none
+    * ``"ocr_layer": True`` (corpus v15.1) — the page is a SCANNED-PAGE
+      form: a full-page DCTDecode image XObject paints first (`/Im0
+      Do` — opaque pixels this engine must never decode or tokenize),
+      then the page's text renders in MODE 3 (``3 Tr``, spec 9.3.6 —
+      paints nothing).  This is exactly what OCR software emits for
+      scanned documents: the invisible layer IS the document text and
+      must extract identically to a visible page.  Plain-font pages
+      only (OCR output uses simple fonts)
     * ``"annot_text": str`` (corpus v15) — the page carries a visible
       FREETEXT ANNOTATION (spec 12.5.6.6): a margin-note box below the
       lowest body run, its text in the annotation dict's ``/Contents``
@@ -790,6 +803,14 @@ def write_pdf(
         if p.get("annot_text"):
             annot_ids[idx] = next_id
             next_id += 1
+    # corpus v15.1: one shared full-page scanned-image XObject for the
+    # OCR-layer pages (DCTDecode — an image codec this engine must treat
+    # as opaque: its Do draws pixels, never text)
+    any_ocr = any(p.get("ocr_layer") for p in pages)
+    img_id = None
+    if any_ocr:
+        img_id = next_id
+        next_id += 1
     first_page_id = next_id
     kids = " ".join(f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
     catalog = b"<< /Type /Catalog /Pages 2 0 R"
@@ -899,6 +920,17 @@ def write_pdf(
             b"/Contents (%b) /DA (/Helv 10 Tf) /F 4 >>"
             % (COL_X[1][0], y, y + 20, _escape(note))
         )
+    if any_ocr:
+        # deterministic fake JPEG: valid SOI/EOI markers, opaque middle
+        jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF" + bytes(
+            (i * 37 + 11) & 0xFF for i in range(160)
+        ) + b"\xff\xd9"
+        objects.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n%b\nendstream"
+            % (PAGE_W, PAGE_H, len(jpeg), jpeg)
+        )
     for i, page in enumerate(pages):
         content_num = first_page_id + 2 * i + 1
         font_res = b"/F1 3 0 R"
@@ -912,10 +944,15 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F6 %d 0 R" % f6_id
         elif page.get("type3"):
             font_res = b"/F5 %d 0 R" % f5_id
-        xobj_res = b""
+        xobj_entries = b""
         ft = page.get("form_text")
         if ft:
-            xobj_res = b" /XObject << /Fm1 %d 0 R >>" % form_ids[ft]
+            xobj_entries += b"/Fm1 %d 0 R " % form_ids[ft]
+        if page.get("ocr_layer"):
+            xobj_entries += b"/Im0 %d 0 R " % img_id
+        xobj_res = (
+            b" /XObject << %b>>" % xobj_entries if xobj_entries else b""
+        )
         annots_entry = b""
         if i in annot_ids:
             annots_entry = b" /Annots [%d 0 R]" % annot_ids[i]
@@ -950,7 +987,12 @@ def write_pdf(
                 bool(page.get("tj")),
                 bool(page.get("hex")) or bool(page.get("hex16")),
                 bool(page.get("hex16")),
+                invisible=bool(page.get("ocr_layer")),
             )
+        if page.get("ocr_layer"):
+            # the scanned page image paints first; the invisible text
+            # layer sits on top of it, exactly as OCR software emits
+            stream = b"/Im0 Do\n" + stream
         if ft:
             # letterhead drawn first, as real producers stamp it
             stream = b"/Fm1 Do\n" + stream

@@ -1996,3 +1996,33 @@ def test_corpus_v15_emits_and_roundtrips_annotations():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n_annot >= 10, n_annot
+
+
+def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
+    """Scanned-page docs (full-page DCT image + 3 Tr invisible text —
+    the OCR-software output form) extract identically to visible pages:
+    the image's opaque bytes never decode or tokenize, the invisible
+    layer IS the text."""
+    from markmuse_spark.sources import corpus
+
+    n_ocr = 0
+    for i in range(4, 2500, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/DCTDecode" not in payload:
+            continue
+        n_ocr += 1
+        plain = (
+            pdf_extract._decrypt_payload(payload)
+            if b"/Encrypt" in payload
+            else payload
+        )
+        decoded = "\n".join(
+            text for text, _cm, _an in pdf_extract._document_pages(plain)
+        )
+        assert "3 Tr" in decoded  # content streams may be compressed
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_ocr >= 10, n_ocr
