@@ -429,7 +429,11 @@ _ANNOTS_ARR_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
 _FREETEXT_RE = re.compile(rb"/Subtype\s*/FreeText\b")
 _ANNOT_LIT_RE = re.compile(rb"/Contents\s*\(((?:[^()\\]|\\.)*)\)", re.S)
 _ANNOT_HEX_RE = re.compile(rb"/Contents\s*<([0-9A-Fa-f\s]*)>")
-_RECT_RE = re.compile(rb"/Rect\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)")
+_RECT_RE = re.compile(
+    rb"/Rect\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+)
+_ANNOT_FLAGS_RE = re.compile(rb"/F\s+(\d+)")
+_ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+0\s+R")
 
 # simple-font /Encoding forms (corpus v13): a bare base-encoding name, an
 # inline encoding dict, or an indirect ref to an encoding object
@@ -967,15 +971,19 @@ def _decrypt_payload(payload: bytes) -> bytes:
     stays valid); unchanged payload when the ``/Encrypt`` bytes were a
     fluke inside a compressed body.
 
-    Supported: the Standard handler, ``/V`` 1-2 ``/R`` 2-3 (RC4 40-128
-    bit), empty user password — the dominant wild encrypted-PDF form
-    (pre-AES Acrobat).  Everything else fails LOUDLY with a structured
-    ValueError (``encrypted PDF: ...``) that the extraction operator
-    surfaces as the row's error column: an encrypted doc this kernel
-    cannot read must never flow onward as byte salad.  AES (V4/AESV2,
-    V5/AESV3) is out of dialect — a from-scratch AES is not this
-    kernel's job; the error names the cipher so corpus owners can route
-    those files to a tool that has one."""
+    Supported: the Standard handler — ``/V`` 1-2 ``/R`` 2-3 (RC4 40-128
+    bit, the pre-AES Acrobat form), ``/V`` 4 ``/R`` 4 (``/CFM`` V2 or
+    AESV2, corpus v11) and ``/V`` 5 ``/R`` 5-6 (AES-256 via the
+    from-scratch FIPS-197 module :mod:`markmuse_spark.kernel.aes`) —
+    all with the empty user password.  Everything else fails LOUDLY
+    with a structured ValueError (``encrypted PDF: ...``) that the
+    extraction operator surfaces as the row's error column: an
+    encrypted doc this kernel cannot read must never flow onward as
+    byte salad.  Only STREAM bodies are rewritten; string operands
+    inside them decrypt with their stream, but strings in object DICTS
+    (annotation /Contents, document info) remain ciphertext — callers
+    must not read dict strings from a decrypted payload (see
+    ``_document_pages``'s ``annots_enabled``)."""
     tpos = payload.rfind(b"trailer")
     region = payload[tpos:] if tpos >= 0 else b""
     em = _ENCRYPT_REF_RE.search(region)
@@ -1397,9 +1405,15 @@ def _page_graph(payload: bytes, scanned: list):
         }
         xobjs = _xobj_map(body)
         am2 = _ANNOTS_ARR_RE.search(body)
-        annots = (
-            [int(x) for x in _REF_RE.findall(am2.group(1))] if am2 else []
-        )
+        if am2:
+            annots = [int(x) for x in _REF_RE.findall(am2.group(1))]
+        else:
+            # the indirect spelling `/Annots N 0 R` (what Acrobat and
+            # most real producers write): the array lives in its own
+            # object
+            rm2 = _ANNOTS_REF_RE.search(body)
+            arr = bodies.get(int(rm2.group(1))) if rm2 else None
+            annots = [int(x) for x in _REF_RE.findall(arr)] if arr else []
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
@@ -1627,9 +1641,15 @@ def _splice_forms(
     with no own /Resources inherits the page's), the form's own names
     winning a clash; expansion recurses under a depth cap and a cycle
     guard, and a shared ``budget`` (one document's ``_MAX_DECODED``)
-    bounds TOTAL spliced size — a fan-out amplification bomb (six tiny
-    chained forms invoking each other 8× expand to 30^7 × leaf)
-    degrades to dropped invocations, never executor OOM.  A dangling or
+    bounds TOTAL spliced size — a fan-out amplification bomb (tiny
+    chained forms invoking each other 30× at depth 7 would expand to
+    30^7 × leaf) degrades to dropped invocations, never executor OOM.
+    The accounting is deliberately CONSERVATIVE: nested content charges
+    at every ancestor level (an expansion spliced k levels deep is
+    debited up to k times) and an expansion rejected at an outer level
+    does not refund its inner charges — legitimate documents sit orders
+    of magnitude under the budget, and over-counting only ever drops
+    bomb-shaped content earlier.  A dangling or
     non-Form ref drops the ``Do`` silently: the operator pair must not
     survive into text heuristics, and there is nothing to mint."""
     if budget is None:
@@ -1665,14 +1685,22 @@ def _annot_runs(
     """Text runs for a page's visible FreeText annotations (corpus v15):
     margin notes a rendering pipeline reads as page text — the reference
     OCRs RENDERED pages, so a visible note box is document text to it.
-    Position is the /Rect lower-left corner; size is the body default
-    (the /DA default-appearance string's font choice is cosmetic at this
-    altitude).  Non-FreeText annotation kinds (Link, Popup, sticky-note
-    /Text whose box renders as an icon, not its content) yield nothing."""
+    Position is the /Rect lower-left corner (corners may be given in
+    any order per spec 7.9.5 — normalized here so a top-first rect does
+    not reorder the note into the middle of the page); size is the body
+    default (the /DA default-appearance string's font choice is
+    cosmetic at this altitude).  Non-FreeText annotation kinds (Link,
+    Popup, sticky-note /Text whose box renders as an icon, not its
+    content) yield nothing, and so do HIDDEN and NOVIEW flags (spec
+    12.5.3 /F bits 2 and 6): a box the renderer never paints is not
+    page text."""
     runs: list[tuple[float, float, float, str]] = []
     for aid in annot_ids:
         body = bodies.get(aid)
         if body is None or not _FREETEXT_RE.search(body):
+            continue
+        fm = _ANNOT_FLAGS_RE.search(body)
+        if fm and int(fm.group(1)) & 0x22:  # Hidden (2) | NoView (32)
             continue
         rm = _RECT_RE.search(body)
         if not rm:
@@ -1686,17 +1714,24 @@ def _annot_runs(
             if hm:
                 text = _decode_hex_string(hm.group(1).decode("ascii"))
         if text:
-            runs.append(
-                (10.0, float(rm.group(1)), float(rm.group(2)), text)
-            )
+            x = min(float(rm.group(1)), float(rm.group(3)))
+            y = min(float(rm.group(2)), float(rm.group(4)))
+            runs.append((10.0, x, y, text))
     return runs
 
 
 def _document_pages(
     payload: bytes,
+    annots_enabled: bool = True,
 ) -> list[tuple[str, dict[str, dict[int, str]], list]]:
     """Per page, in page order: (decompressed content, {font_name ->
     ToUnicode CID table}, visible-annotation text runs).
+
+    ``annots_enabled=False`` skips annotation extraction entirely —
+    the caller passes it for documents that WERE encrypted: stream
+    decryption leaves dict strings (annotation /Contents) as
+    ciphertext, and emitting them would mint byte salad into a
+    training corpus.
 
     Streams are selected through the object graph (page objects'
     ``/Contents`` refs, pages ordered by ``/Kids``) so NON-content
@@ -1721,6 +1756,9 @@ def _document_pages(
      owner, bodies) = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
     form_cache: dict[int, tuple] = {}  # one decode per form per document
+    splice_budget = [_MAX_DECODED]  # ONE budget for the whole document:
+    # a per-page budget would let an N-page doc hold N near-limit
+    # expansions in memory at once (the pages list accumulates them)
 
     def _cmap_for(font_oid: int):
         if font_oid not in cmap_cache:
@@ -1762,14 +1800,19 @@ def _document_pages(
             # BEFORE the cmap resolution below, so a CID font declared
             # only inside a form still decodes
             text = _splice_forms(
-                text, xobjs, owner, bodies, scanned, fonts, form_cache
+                text, xobjs, owner, bodies, scanned, fonts, form_cache,
+                budget=splice_budget,
             )
         cmaps = {
             name: cm
             for name, foid in fonts.items()
             if (cm := _cmap_for(foid)) is not None
         }
-        pages.append((text, cmaps, _annot_runs(annots, bodies)))
+        pages.append((
+            text,
+            cmaps,
+            _annot_runs(annots, bodies) if annots_enabled else [],
+        ))
     return pages
 
 
@@ -1865,10 +1908,17 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
+    was_encrypted = False
     if b"/Encrypt" in payload:  # cheap pre-filter; the real check parses
-        payload = _decrypt_payload(payload)  # the trailer (no-op on fluke)
+        decrypted = _decrypt_payload(payload)  # the trailer (no-op on fluke)
+        was_encrypted = decrypted is not payload  # fluke returns payload
+        payload = decrypted
     pages: list[dict[str, Any]] = []
-    doc_pages = _document_pages(payload)
+    # annotation /Contents strings live in object DICTS, which stream
+    # decryption does not rewrite — on a formerly-encrypted doc they are
+    # still ciphertext, so annotation extraction is disabled (suppress,
+    # never byte salad)
+    doc_pages = _document_pages(payload, annots_enabled=not was_encrypted)
     if not doc_pages:
         raise ValueError("no content streams")
     for page_idx, (stream, cmaps, annot_runs) in enumerate(doc_pages):

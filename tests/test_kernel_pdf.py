@@ -1767,10 +1767,12 @@ def test_undecodable_xobject_filter_never_aborts_the_document():
 
 
 def test_form_fanout_amplification_is_budget_bounded():
-    """Six chained forms each invoking the next 8 times (a ~3KB file
-    that would expand to 30^7 x leaf bytes) must stay under the
-    document decode budget — dropped invocations, not executor OOM."""
-    n_chain, fanout = 6, 8
+    """Seven chained forms each invoking the next 30 times (a ~10KB
+    file whose naive expansion is 30^6 x leaf ≈ 34GB) must hit the
+    document decode budget — dropped invocations, not executor OOM.
+    Without the budget this test OOMs/times out rather than asserts,
+    which is the pin."""
+    n_chain, fanout = 7, 30
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -1812,7 +1814,11 @@ def test_form_fanout_amplification_is_budget_bounded():
     )
     pages = pdf_extract.extract_pages(bytes(out))  # must return, fast
     assert len(pages) == 1
-    assert len(pages[0]["markdown"]) < pdf_extract._MAX_DECODED
+    md = pages[0]["markdown"]
+    assert len(md) < pdf_extract._MAX_DECODED
+    # the drop branch FIRED: naive expansion repeats the leaf 30^6
+    # times; the budget caps it orders of magnitude below that
+    assert md.count("leaf") < 30**4
 
 
 def test_sibling_form_resolution_is_order_independent():
@@ -2026,3 +2032,108 @@ def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n_ocr >= 10, n_ocr
+
+
+# ------------------------------------------------------------------
+# review hardening round 2: annotation and budget guards
+# ------------------------------------------------------------------
+
+
+def _classic_pdf(objs: list) -> bytes:
+    """Assemble a classic-xref file from an objects list (the shared
+    shape the hand-built fixtures above inline; new tests use this)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%b\nendobj\n" % (i, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _annot_page_objs(annot_obj: bytes, annots_entry: bytes = b"/Annots [6 0 R]") -> list:
+    content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (base) Tj ET"
+    return [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> "
+        b"%b /Contents 4 0 R >>" % annots_entry,
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        annot_obj,
+    ]
+
+
+def test_hidden_and_noview_annotations_are_suppressed():
+    for flags in (b"/F 2", b"/F 34", b"/F 32"):
+        pdf = _classic_pdf(_annot_page_objs(
+            b"<< /Type /Annot /Subtype /FreeText /Rect [72 30 540 50] "
+            b"/Contents (secret reviewer note) %b >>" % flags
+        ))
+        got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        assert got == ["base"], flags
+    # the visible Print flag (4) still extracts
+    pdf = _classic_pdf(_annot_page_objs(
+        b"<< /Type /Annot /Subtype /FreeText /Rect [72 30 540 50] "
+        b"/Contents (visible note) /F 4 >>"
+    ))
+    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    assert got == ["base\n\nvisible note"]
+
+
+def test_indirect_annots_array_resolves():
+    """`/Annots N 0 R` (the Acrobat spelling) resolves through the
+    object graph to the array object."""
+    objs = _annot_page_objs(
+        b"<< /Type /Annot /Subtype /FreeText /Rect [72 30 540 50] "
+        b"/Contents (indirect note) >>",
+        annots_entry=b"/Annots 7 0 R",
+    )
+    objs.append(b"[6 0 R]")
+    got = [p["markdown"] for p in pdf_extract.extract_pages(_classic_pdf(objs))]
+    assert got == ["base\n\nindirect note"]
+
+
+def test_swapped_rect_corners_normalize():
+    """Corners in any order (spec 7.9.5): a top-first rect must not
+    reorder the note above body lines."""
+    pdf = _classic_pdf(_annot_page_objs(
+        b"<< /Type /Annot /Subtype /FreeText /Rect [540 50 72 30] "
+        b"/Contents (swapped-rect note) >>"
+    ))
+    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    assert got == ["base\n\nswapped-rect note"]
+
+
+def test_encrypted_documents_never_emit_annotation_ciphertext():
+    """Stream decryption leaves dict strings as ciphertext: a
+    formerly-encrypted doc must suppress annotations entirely rather
+    than mint byte salad (the writer's plaintext /Contents here stands
+    in for what would be ciphertext from a conforming producer)."""
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Title"},
+                {"t": "p", "text": "body words"},
+            ],
+            "annot_text": "would be ciphertext in a conforming file",
+        }
+    ]
+    pdf = pdf_writer.write_pdf(pages, encrypt="rc4")
+    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    assert got == ["# Title\n\nbody words"]  # note suppressed, no salad
+    # and the unencrypted twin still extracts it
+    pdf2 = pdf_writer.write_pdf(pages)
+    got2 = [p["markdown"] for p in pdf_extract.extract_pages(pdf2)]
+    assert got2 == [
+        "# Title\n\nbody words\n\nwould be ciphertext in a conforming file"
+    ]
