@@ -435,6 +435,32 @@ _RECT_RE = re.compile(
 _ANNOT_FLAGS_RE = re.compile(rb"/F\s+(\d+)")
 _ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+0\s+R")
 
+# page display rotation (corpus v16): scanned landscape pages carry a
+# landscape /MediaBox plus /Rotate, and the VIEWER turns them upright —
+# reading order derives from the rotated (visual) coordinates
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+)
+
+
+def _rotate_runs(
+    runs: list[tuple[float, float, float, str]], rot: int, w: float, h: float
+) -> list[tuple[float, float, float, str]]:
+    """Map text runs from page space to VISUAL space for a page
+    displayed with ``/Rotate`` (clockwise degrees, spec 7.7.3.3): the
+    reading-order heuristics cluster on what the reader SEES.  For a
+    W×H page rotated 90° cw the visual page is H×W and a page-space
+    point (x, y) appears at (y, W - x); 180° flips both axes; 270° is
+    the inverse of 90°."""
+    if rot == 90:
+        return [(s, y, w - x, t) for s, x, y, t in runs]
+    if rot == 180:
+        return [(s, w - x, h - y, t) for s, x, y, t in runs]
+    if rot == 270:
+        return [(s, h - y, x, t) for s, x, y, t in runs]
+    return runs
+
 # simple-font /Encoding forms (corpus v13): a bare base-encoding name, an
 # inline encoding dict, or an indirect ref to an encoding object
 _ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
@@ -1404,6 +1430,15 @@ def _page_graph(payload: bytes, scanned: list):
             for nm, fid in _FONT_REF_RE.findall(body)
         }
         xobjs = _xobj_map(body)
+        rm_rot = _ROTATE_RE.search(body)
+        rot = int(rm_rot.group(1)) % 360 if rm_rot else 0
+        mb = _MEDIABOX_RE.search(body)
+        w, h = (
+            (float(mb.group(3)) - float(mb.group(1)),
+             float(mb.group(4)) - float(mb.group(2)))
+            if mb
+            else (612.0, 792.0)
+        )
         am2 = _ANNOTS_ARR_RE.search(body)
         if am2:
             annots = [int(x) for x in _REF_RE.findall(am2.group(1))]
@@ -1417,7 +1452,7 @@ def _page_graph(payload: bytes, scanned: list):
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
-        pages.append((oid, cids, fonts, xobjs, annots))
+        pages.append((oid, cids, fonts, xobjs, annots, (rot, w, h)))
     if not pages:
         return None
     page_by_id = {oid: rest for oid, *rest in pages}
@@ -1443,7 +1478,8 @@ def _page_graph(payload: bytes, scanned: list):
     fonts_per_page: list[dict[str, int]] = []
     xobjs_per_page: list[dict[str, int]] = []
     annots_per_page: list[list[int]] = []
-    for cids, fonts, xobjs, annots in order:
+    geom_per_page: list[tuple] = []
+    for cids, fonts, xobjs, annots, geom in order:
         group = []
         for cid in cids:
             if cid not in owner:
@@ -1453,7 +1489,9 @@ def _page_graph(payload: bytes, scanned: list):
         fonts_per_page.append(fonts)
         xobjs_per_page.append(xobjs)
         annots_per_page.append(annots)
-    return groups, fonts_per_page, xobjs_per_page, annots_per_page, owner, bodies
+        geom_per_page.append(geom)
+    return (groups, fonts_per_page, xobjs_per_page, annots_per_page,
+            geom_per_page, owner, bodies)
 
 
 _WALK_NODE_CAP = 4096
@@ -1725,7 +1763,8 @@ def _document_pages(
     annots_enabled: bool = True,
 ) -> list[tuple[str, dict[str, dict[int, str]], list]]:
     """Per page, in page order: (decompressed content, {font_name ->
-    ToUnicode CID table}, visible-annotation text runs).
+    ToUnicode CID table}, visible-annotation text runs, (rotation,
+    mediabox width, mediabox height)).
 
     ``annots_enabled=False`` skips annotation extraction entirely —
     the caller passes it for documents that WERE encrypted: stream
@@ -1748,12 +1787,12 @@ def _document_pages(
         # object streams (packed dictionaries, corpus v7): both are
         # structure, never content
         return [
-            (_decode_stream(h, d), {}, [])
+            (_decode_stream(h, d), {}, [], (0, 612.0, 792.0))
             for _s, h, d, _sp in scanned
             if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
         ]
     (groups, fonts_per_page, xobjs_per_page, annots_per_page,
-     owner, bodies) = graph
+     geom_per_page, owner, bodies) = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
     form_cache: dict[int, tuple] = {}  # one decode per form per document
     splice_budget = [_MAX_DECODED]  # ONE budget for the whole document:
@@ -1788,8 +1827,9 @@ def _document_pages(
         return cmap_cache[font_oid]
 
     pages: list = []
-    for group, fonts, xobjs, annots in zip(
-        groups, fonts_per_page, xobjs_per_page, annots_per_page
+    for group, fonts, xobjs, annots, geom in zip(
+        groups, fonts_per_page, xobjs_per_page, annots_per_page,
+        geom_per_page,
     ):
         text = "\n".join(
             _decode_stream(scanned[si][1], scanned[si][2]) for si in group
@@ -1812,6 +1852,7 @@ def _document_pages(
             text,
             cmaps,
             _annot_runs(annots, bodies) if annots_enabled else [],
+            geom,
         ))
     return pages
 
@@ -1921,8 +1962,11 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     doc_pages = _document_pages(payload, annots_enabled=not was_encrypted)
     if not doc_pages:
         raise ValueError("no content streams")
-    for page_idx, (stream, cmaps, annot_runs) in enumerate(doc_pages):
+    for page_idx, (stream, cmaps, annot_runs, geom) in enumerate(doc_pages):
         runs = _parse_runs(stream, cmaps) + annot_runs
+        rot, w, h = geom
+        if rot:  # corpus v16: cluster on the VISUAL (rotated) coords
+            runs = _rotate_runs(runs, rot, w, h)
         if not runs:
             pages.append({"page_idx": page_idx, "markdown": "", "images": []})
             continue

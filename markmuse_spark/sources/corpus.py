@@ -179,7 +179,14 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # paints first (opaque pixels, never decoded or tokenized),
         # then the text renders INVISIBLY (3 Tr, spec 9.3.6) — exactly
         # what OCR software emits; the invisible layer IS the document
-        # text and must extract identically to a visible page
+        # text and must extract identically to a visible page;
+        # corpus v16 (draws again APPENDED): ~6% of eligible pages are
+        # ROTATED (spec 7.7.3.3 /Rotate, landscape MediaBox for 90/270
+        # — the rotated-scan form): content coordinates live in the
+        # UNROTATED page space and the viewer turns the page upright,
+        # so reading order must derive from the rotated (visual)
+        # coordinates; 90 and 270 dominate (sideways scans), 180 rare
+        # (upside-down feeds)
         metadata = rng.random() < 0.3
         xref_stream = rng.random() < 0.35
         object_streams = rng.random() < 0.2
@@ -278,6 +285,16 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 for k in ("cid", "cid_noto", "winansi", "macroman", "type3")
             ):
                 pm["ocr_layer"] = True
+        for pm in pages_model:  # v16: appended per-page draws
+            rdraw = rng.random()
+            if rdraw < 0.06 and not (
+                pm.get("form_text")
+                or pm.get("annot_text")
+                or pm.get("ocr_layer")
+            ):
+                pm["rotate"] = (
+                    90 if rdraw < 0.027 else (270 if rdraw < 0.054 else 180)
+                )
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,

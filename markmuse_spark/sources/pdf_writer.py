@@ -170,6 +170,34 @@ def _t3_glyph_name(ch: str) -> str:
     return "uni%04X" % cp
 
 
+# corpus v16: page rotation.  A rotated scan carries a LANDSCAPE
+# MediaBox plus /Rotate, and the viewer turns it upright; the writer
+# lays text out in the standard visual portrait space and maps the
+# coordinates into page space with the INVERSE of the display rotation,
+# so the extractor's forward transform recovers the visual layout
+# byte-exactly.  MediaBox per rotation: 90/270 swap the page sides.
+_ROTATE_BOX = {
+    90: (PAGE_H, PAGE_W),
+    180: (PAGE_W, PAGE_H),
+    270: (PAGE_H, PAGE_W),
+}
+
+
+def _unrotate_runs(
+    runs: list[tuple[int, int, int, str]], rot: int
+) -> list[tuple[int, int, int, str]]:
+    """Visual-space runs -> page-space runs for a /Rotate page (the
+    inverse of the viewer's clockwise rotation)."""
+    w, h = _ROTATE_BOX[rot]
+    if rot == 90:  # forward: (x,y) -> (y, W-x); inverse below
+        return [(s, w - y, x, t) for s, x, y, t in runs]
+    if rot == 180:
+        return [(s, w - x, h - y, t) for s, x, y, t in runs]
+    if rot == 270:  # forward: (x,y) -> (H-y, x)
+        return [(s, y, h - x, t) for s, x, y, t in runs]
+    return runs
+
+
 def _coded_string(text: str, code_of: dict[str, int], octal: bool) -> bytes:
     """One literal string of BYTE CODES through a declared encoding;
     with ``octal``, non-printable/high codes emit as ``\\2xx`` escapes
@@ -944,6 +972,20 @@ def write_pdf(
             font_res = b"/F1 3 0 R /F6 %d 0 R" % f6_id
         elif page.get("type3"):
             font_res = b"/F5 %d 0 R" % f5_id
+        rot = int(page.get("rotate", 0))
+        if rot and (
+            page.get("form_text")
+            or page.get("annot_text")
+            or page.get("ocr_layer")
+        ):
+            # form/annot/image boxes are placed in fixed visual coords;
+            # combining them with rotation is out of dialect (fixture
+            # bug, not a silent skip)
+            raise ValueError("rotate does not combine with form/annot/ocr")
+        page_w, page_h = _ROTATE_BOX.get(rot, (PAGE_W, PAGE_H))
+        page_runs_i = (
+            _unrotate_runs(runs_by_page[i], rot) if rot else runs_by_page[i]
+        )
         xobj_entries = b""
         ft = page.get("form_text")
         if ft:
@@ -956,34 +998,36 @@ def write_pdf(
         annots_entry = b""
         if i in annot_ids:
             annots_entry = b" /Annots [%d 0 R]" % annot_ids[i]
+        rot_entry = b" /Rotate %d" % rot if rot else b""
         objects.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]%b "
             b"/Resources << /Font << %b >>%b >>%b /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, font_res, xobj_res, annots_entry, content_num)
+            % (page_w, page_h, rot_entry, font_res, xobj_res,
+               annots_entry, content_num)
         )
         if page.get("cid"):
             stream = _cid_content_stream(
-                runs_by_page[i], bool(page.get("tj")), cid_of
+                page_runs_i, bool(page.get("tj")), cid_of
             )
         elif page.get("winansi"):
             stream = _coded_content_stream(
-                runs_by_page[i], bool(page.get("tj")), _WINANSI_CODE_OF, b"F4"
+                page_runs_i, bool(page.get("tj")), _WINANSI_CODE_OF, b"F4"
             )
         elif page.get("macroman"):
             stream = _coded_content_stream(
-                runs_by_page[i], bool(page.get("tj")), _MACROMAN_CODE_OF, b"F6"
+                page_runs_i, bool(page.get("tj")), _MACROMAN_CODE_OF, b"F6"
             )
         elif page.get("type3"):
             stream = _coded_content_stream(
-                runs_by_page[i], bool(page.get("tj")), t3_code_of, b"F5"
+                page_runs_i, bool(page.get("tj")), t3_code_of, b"F5"
             )
         elif page.get("cid_noto"):
             stream = _cid_content_stream(
-                runs_by_page[i], bool(page.get("tj")), cid_of, font=b"F3"
+                page_runs_i, bool(page.get("tj")), cid_of, font=b"F3"
             )
         else:
             stream = _content_stream(
-                runs_by_page[i],
+                page_runs_i,
                 bool(page.get("tj")),
                 bool(page.get("hex")) or bool(page.get("hex16")),
                 bool(page.get("hex16")),

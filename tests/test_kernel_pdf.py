@@ -2026,7 +2026,7 @@ def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
             else payload
         )
         decoded = "\n".join(
-            text for text, _cm, _an in pdf_extract._document_pages(plain)
+            text for text, _cm, _an, _g in pdf_extract._document_pages(plain)
         )
         assert "3 Tr" in decoded  # content streams may be compressed
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
@@ -2137,3 +2137,45 @@ def test_encrypted_documents_never_emit_annotation_ciphertext():
     assert got2 == [
         "# Title\n\nbody words\n\nwould be ciphertext in a conforming file"
     ]
+
+
+# ------------------------------------------------------------------
+# corpus v16: rotated pages
+# ------------------------------------------------------------------
+
+
+def test_rotated_pages_extract_in_visual_reading_order():
+    """A /Rotate page (landscape MediaBox for 90/270) stores content in
+    unrotated page space; clustering must run on the VISUAL coords."""
+    blocks = [
+        {"t": "h", "level": 1, "text": "Rotated Scan"},
+        {"t": "p", "text": "body words flow normally"},
+        {"t": "ul", "items": ["alpha", "beta"]},
+    ]
+    for rot in (90, 180, 270):
+        for cols in (1, 2):
+            pages = [{"columns": cols, "blocks": blocks, "rotate": rot}]
+            pdf = pdf_writer.write_pdf(pages)
+            got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+            want = [pdf_writer.expected_pdf_page_markdown(p) for p in pages]
+            assert got == want, (rot, cols)
+            if rot in (90, 270):  # landscape box
+                assert b"/MediaBox [0 0 792 612]" in pdf
+            assert b"/Rotate %d" % rot in pdf
+
+
+def test_corpus_v16_emits_and_roundtrips_rotated_pages():
+    from markmuse_spark.sources import corpus
+
+    n_rot = 0
+    for i in range(4, 2500, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/Rotate" not in payload:
+            continue
+        n_rot += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n_rot >= 10, n_rot
