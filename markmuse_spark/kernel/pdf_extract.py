@@ -169,15 +169,10 @@ def _hex_to_bytes(raw: str) -> bytes | None:
         return None
 
 
-def _decode_hex_string(raw: str) -> str:
-    """Hex string ``<48656C6C6F>`` (spec 7.3.4.3).  Bytes beginning with
-    the U+FEFF BOM are the spec 7.9.2.2 Unicode text-string form
-    (UTF-16BE — corpus v4, the encoding real producers emit for
-    non-WinAnsi text); otherwise the writer's UTF-8, with latin-1 as the
-    never-fails fallback."""
-    b = _hex_to_bytes(raw)
-    if b is None:
-        return ""
+def _text_from_string_bytes(b: bytes) -> str:
+    """PDF text-string bytes -> text (spec 7.9.2.2): a U+FEFF BOM marks
+    UTF-16BE; otherwise UTF-8 with latin-1 as the never-fails
+    fallback."""
     if b.startswith(b"\xfe\xff"):
         try:
             return b[2:].decode("utf-16-be")
@@ -187,6 +182,13 @@ def _decode_hex_string(raw: str) -> str:
         return b.decode("utf-8")
     except UnicodeDecodeError:
         return b.decode("latin-1")
+
+
+def _decode_hex_string(raw: str) -> str:
+    """Hex string ``<48656C6C6F>`` (spec 7.3.4.3), decoded through the
+    shared text-string rules."""
+    b = _hex_to_bytes(raw)
+    return "" if b is None else _text_from_string_bytes(b)
 
 
 class _CidTable(dict):
@@ -990,7 +992,43 @@ def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
-def _decrypt_payload(payload: bytes) -> bytes:
+def _make_string_decryptor(file_key: bytes, cipher: str):
+    """``fn(obj_num, raw) -> bytes | None`` for STRING operands: spec
+    7.6.2 encrypts every string with the same per-object keys as
+    streams (AES strings are IV-prefixed CBC with PKCS#7 padding).
+    Undecryptable input returns None — the caller suppresses the
+    string, never emits byte salad."""
+    from markmuse_spark.kernel import aes
+
+    def fn(num: int, raw: bytes):
+        try:
+            if cipher == "rc4":
+                return _rc4(_object_key(file_key, num), raw)
+            if len(raw) < 32 or (len(raw) - 16) % 16:
+                return None
+            if cipher == "aesv2":
+                import hashlib
+
+                okey = hashlib.md5(
+                    file_key
+                    + num.to_bytes(3, "little")
+                    + b"\x00\x00"
+                    + b"sAlT"
+                ).digest()[:16]
+            else:  # aesv3: the file key directly
+                okey = file_key
+            pt = aes.cbc_decrypt(okey, raw[:16], raw[16:])
+            pad = pt[-1]
+            if not 1 <= pad <= 16:
+                return None
+            return pt[:-pad]
+        except Exception:
+            return None
+
+    return fn
+
+
+def _decrypt_payload(payload: bytes) -> tuple:
     """When the trailer carries ``/Encrypt``, return a decrypted copy of
     the payload (every stream body RC4'd in place with its per-object
     key — RC4 is length-preserving, so every offset and ``/Length``
@@ -1005,11 +1043,12 @@ def _decrypt_payload(payload: bytes) -> bytes:
     with a structured ValueError (``encrypted PDF: ...``) that the
     extraction operator surfaces as the row's error column: an
     encrypted doc this kernel cannot read must never flow onward as
-    byte salad.  Only STREAM bodies are rewritten; string operands
-    inside them decrypt with their stream, but strings in object DICTS
-    (annotation /Contents, document info) remain ciphertext — callers
-    must not read dict strings from a decrypted payload (see
-    ``_document_pages``'s ``annots_enabled``)."""
+    byte salad.  Returns ``(payload, string_decryptor)``: only STREAM
+    bodies are rewritten (string operands inside them decrypt with
+    their stream); strings in object DICTS (annotation /Contents,
+    document info) remain ciphertext in the returned payload, and the
+    second element is the per-object-key decryptor callers use to read
+    them — None when the file was not actually encrypted."""
     tpos = payload.rfind(b"trailer")
     region = payload[tpos:] if tpos >= 0 else b""
     em = _ENCRYPT_REF_RE.search(region)
@@ -1022,7 +1061,7 @@ def _decrypt_payload(payload: bytes) -> bytes:
                 region = head
                 break
         if em is None:
-            return payload
+            return payload, None
     enc_num = int(em.group(1))
     om = re.search(
         rb"(?<![0-9])%d\s+0\s+obj\b(.*?)endobj" % enc_num, payload, re.S
@@ -1091,13 +1130,14 @@ def _decrypt_payload(payload: bytes) -> bytes:
         if k < 0:
             continue
         todo.append((tup, obj_marks[k][1]))
+    str_fn = _make_string_decryptor(key, cipher)
     if cipher == "rc4":
         out = bytearray(payload)
         for (_h, _head, data, (s, e)), num in todo:
             okey = _object_key(key, num)
             out[s:e] = _rc4(okey, data)
-        return bytes(out)
-    return _aes_rebuild(payload, todo, key, cipher)
+        return bytes(out), str_fn
+    return _aes_rebuild(payload, todo, key, cipher), str_fn
 
 
 def _png_paeth_pred(a: int, b: int, c: int) -> int:
@@ -1718,7 +1758,7 @@ def _splice_forms(
 
 
 def _annot_runs(
-    annot_ids: list, bodies: dict
+    annot_ids: list, bodies: dict, string_decryptor=None
 ) -> list[tuple[float, float, float, str]]:
     """Text runs for a page's visible FreeText annotations (corpus v15):
     margin notes a rendering pipeline reads as page text — the reference
@@ -1743,14 +1783,31 @@ def _annot_runs(
         rm = _RECT_RE.search(body)
         if not rm:
             continue
-        text = None
+        raw = None
         lm = _ANNOT_LIT_RE.search(body)
         if lm:
-            text = _decode_pdf_string(lm.group(1).decode("latin-1"))
+            raw = _unescape_literal(
+                lm.group(1).decode("latin-1")
+            ).encode("latin-1")
         else:
             hm = _ANNOT_HEX_RE.search(body)
             if hm:
-                text = _decode_hex_string(hm.group(1).decode("ascii"))
+                raw = _hex_to_bytes(hm.group(1).decode("ascii"))
+        if not raw:
+            continue
+        if string_decryptor is not None:
+            # spec 7.6.2: dict strings carry ciphertext in an encrypted
+            # file, keyed by the ANNOTATION object's number
+            raw = string_decryptor(aid, raw)
+            if not raw:
+                continue
+            # a non-conforming producer that left the string plaintext
+            # makes "decryption" emit noise: suppress anything that is
+            # not overwhelmingly printable (never byte salad)
+            n_ctrl = sum(b < 0x20 and b not in (9, 10, 13) for b in raw)
+            if n_ctrl * 5 > len(raw):
+                continue
+        text = _text_from_string_bytes(raw)
         if text:
             x = min(float(rm.group(1)), float(rm.group(3)))
             y = min(float(rm.group(2)), float(rm.group(4)))
@@ -1760,17 +1817,17 @@ def _annot_runs(
 
 def _document_pages(
     payload: bytes,
-    annots_enabled: bool = True,
+    string_decryptor=None,
 ) -> list[tuple[str, dict[str, dict[int, str]], list]]:
     """Per page, in page order: (decompressed content, {font_name ->
     ToUnicode CID table}, visible-annotation text runs, (rotation,
     mediabox width, mediabox height)).
 
-    ``annots_enabled=False`` skips annotation extraction entirely —
-    the caller passes it for documents that WERE encrypted: stream
-    decryption leaves dict strings (annotation /Contents) as
-    ciphertext, and emitting them would mint byte salad into a
-    training corpus.
+    ``string_decryptor`` (from :func:`_decrypt_payload`) decrypts
+    annotation /Contents strings at read time on formerly-encrypted
+    documents — stream decryption leaves dict strings as ciphertext,
+    and a string that fails decryption is suppressed, never emitted as
+    byte salad.
 
     Streams are selected through the object graph (page objects'
     ``/Contents`` refs, pages ordered by ``/Kids``) so NON-content
@@ -1851,7 +1908,7 @@ def _document_pages(
         pages.append((
             text,
             cmaps,
-            _annot_runs(annots, bodies) if annots_enabled else [],
+            _annot_runs(annots, bodies, string_decryptor),
             geom,
         ))
     return pages
@@ -1949,17 +2006,14 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
-    was_encrypted = False
+    str_fn = None
     if b"/Encrypt" in payload:  # cheap pre-filter; the real check parses
-        decrypted = _decrypt_payload(payload)  # the trailer (no-op on fluke)
-        was_encrypted = decrypted is not payload  # fluke returns payload
-        payload = decrypted
+        payload, str_fn = _decrypt_payload(payload)  # no-op on fluke
     pages: list[dict[str, Any]] = []
     # annotation /Contents strings live in object DICTS, which stream
-    # decryption does not rewrite — on a formerly-encrypted doc they are
-    # still ciphertext, so annotation extraction is disabled (suppress,
-    # never byte salad)
-    doc_pages = _document_pages(payload, annots_enabled=not was_encrypted)
+    # decryption does not rewrite — str_fn decrypts them at read time
+    # (spec 7.6.2: every string encrypts with per-object keys)
+    doc_pages = _document_pages(payload, string_decryptor=str_fn)
     if not doc_pages:
         raise ValueError("no content streams")
     for page_idx, (stream, cmaps, annot_runs, geom) in enumerate(doc_pages):

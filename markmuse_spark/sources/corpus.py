@@ -172,8 +172,10 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # in the annotation dict's /Contents string, not in any content
         # stream; a rendering pipeline (the reference OCRs rendered
         # pages) reads the visible box as page text, so the note is the
-        # page's final block (encrypted docs excluded: this writer's
-        # encryption covers streams, not dict strings — documented);
+        # page's final block; corpus v16.1 extends annotations to
+        # ENCRYPTED docs — the /Contents string rides as ciphertext
+        # under the annotation object's key (spec 7.6.2) and the
+        # extractor decrypts it at read time;
         # corpus v15.1 (draws again APPENDED): ~6% of plain-font pages
         # are SCANNED-PAGE forms — a full-page DCTDecode image XObject
         # paints first (opaque pixels, never decoded or tokenized),
@@ -272,7 +274,8 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                     ):
                         pm.pop(k, None)
         adraw = rng.random()  # v15: appended — prior knobs unchanged
-        if adraw < 0.08 and not cipher:
+        if adraw < 0.08:  # v16.1: encrypted docs included — their
+            # /Contents strings ride as per-object-key ciphertext
             note = _ANNOT_NOTES[int(rng.random() * len(_ANNOT_NOTES))]
             for pm in pages_model:
                 if pm.get("columns", 1) == 1:

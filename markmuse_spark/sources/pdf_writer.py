@@ -598,11 +598,31 @@ def _stream_cipher(cipher: str, file_key: bytes, file_id: bytes):
     return fn
 
 
+_ANNOT_STR_RE = re.compile(rb"/Contents\s*\(((?:[^()\\]|\\.)*)\)", re.S)
+_UNESC_RE = re.compile(rb"\\(.)", re.S)
+
+
 def _encrypt_obj_streams(obj: bytes, num: int, fn) -> bytes:
-    """Apply the stream cipher to the stream span of one object body,
-    re-deriving /Length when the cipher changed the byte count (AES)."""
+    """Apply the cipher to the stream span of one object body,
+    re-deriving /Length when the cipher changed the byte count (AES) —
+    and to annotation ``/Contents`` strings (spec 7.6.2: EVERY string
+    encrypts with the object's key, not just streams), re-emitted as
+    hex ciphertext so parenthesis-significant ciphertext bytes need no
+    escaping."""
     idx = obj.find(b"stream\n")
     if idx < 0:
+        if b"/Type /Annot" in obj:
+            m = _ANNOT_STR_RE.search(obj)
+            if m:
+                raw = _UNESC_RE.sub(lambda mm: mm.group(1), m.group(1))
+                enc = fn(num, raw)
+                obj = (
+                    obj[: m.start()]
+                    + b"/Contents <"
+                    + enc.hex().upper().encode()
+                    + b">"
+                    + obj[m.end():]
+                )
         return obj
     start = idx + len(b"stream\n")
     end = start + int(_OBJ_LENGTH_RE.search(obj).group(1))
@@ -691,9 +711,11 @@ def write_pdf(
       string (NOT in any content stream).  A rendering pipeline — the
       reference OCRs rendered pages — reads the visible box as page
       text, so the note is the page's final markdown block; an
-      extractor that only tokenizes content streams drops it.  Dialect
-      constraint (documented): only on UNENCRYPTED documents — this
-      writer's encryption covers stream bodies, not dict strings
+      extractor that only tokenizes content streams drops it.  On an
+      ENCRYPTED document the /Contents string is ciphertext under the
+      annotation object's key (spec 7.6.2 — every string encrypts),
+      emitted as a hex string; a conforming reader must decrypt it
+      with the STRING filter, and one that reads it raw mints salad
     * ``"form_text": str`` (corpus v12) — the page invokes a FORM
       XOBJECT letterhead (spec 8.10): one shared ``/Subtype /Form``
       stream per distinct text, Flate-compressed, referenced from the

@@ -2021,7 +2021,7 @@ def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
             continue
         n_ocr += 1
         plain = (
-            pdf_extract._decrypt_payload(payload)
+            pdf_extract._decrypt_payload(payload)[0]
             if b"/Encrypt" in payload
             else payload
         )
@@ -2113,11 +2113,12 @@ def test_swapped_rect_corners_normalize():
     assert got == ["base\n\nswapped-rect note"]
 
 
-def test_encrypted_documents_never_emit_annotation_ciphertext():
-    """Stream decryption leaves dict strings as ciphertext: a
-    formerly-encrypted doc must suppress annotations entirely rather
-    than mint byte salad (the writer's plaintext /Contents here stands
-    in for what would be ciphertext from a conforming producer)."""
+def test_encrypted_documents_decrypt_annotation_strings():
+    """Superseded the round-2 suppress-entirely stance: the writer now
+    encrypts annotation /Contents per spec 7.6.2 and the extractor
+    decrypts at read time — encrypted and plaintext twins extract
+    identically (the non-conforming plaintext-string case is pinned by
+    test_nonconforming_plaintext_annotation_on_encrypted_doc_suppressed)."""
     pages = [
         {
             "columns": 1,
@@ -2125,18 +2126,14 @@ def test_encrypted_documents_never_emit_annotation_ciphertext():
                 {"t": "h", "level": 1, "text": "Title"},
                 {"t": "p", "text": "body words"},
             ],
-            "annot_text": "would be ciphertext in a conforming file",
+            "annot_text": "same note either way",
         }
     ]
-    pdf = pdf_writer.write_pdf(pages, encrypt="rc4")
-    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
-    assert got == ["# Title\n\nbody words"]  # note suppressed, no salad
-    # and the unencrypted twin still extracts it
-    pdf2 = pdf_writer.write_pdf(pages)
-    got2 = [p["markdown"] for p in pdf_extract.extract_pages(pdf2)]
-    assert got2 == [
-        "# Title\n\nbody words\n\nwould be ciphertext in a conforming file"
-    ]
+    want = ["# Title\n\nbody words\n\nsame note either way"]
+    for kw in ({}, {"encrypt": "rc4"}):
+        pdf = pdf_writer.write_pdf(pages, **kw)
+        got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        assert got == want, kw
 
 
 # ------------------------------------------------------------------
@@ -2179,3 +2176,93 @@ def test_corpus_v16_emits_and_roundtrips_rotated_pages():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n_rot >= 10, n_rot
+
+
+# ------------------------------------------------------------------
+# corpus v16.1: encrypted annotation strings
+# ------------------------------------------------------------------
+
+
+def test_encrypted_annotation_strings_decrypt_at_read_time():
+    """Spec 7.6.2: every string encrypts with the object's key.  The
+    writer emits annotation /Contents as hex ciphertext; the extractor
+    decrypts it with the string filter and renders the note."""
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Title"},
+                {"t": "p", "text": "body words"},
+            ],
+            "annot_text": "secret margin note — décrypté",
+        }
+    ]
+    for kw in (
+        {"encrypt": "rc4"},
+        {"encrypt": "aesv2"},
+        {"encrypt": "aesv3r5", "xref_stream": True},
+    ):
+        pdf = pdf_writer.write_pdf(pages, **kw)
+        assert b"secret margin note" not in pdf  # really ciphertext
+        got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        assert got == [
+            "# Title\n\nbody words\n\nsecret margin note — décrypté"
+        ], kw
+
+
+def test_nonconforming_plaintext_annotation_on_encrypted_doc_suppressed():
+    """A producer that left the /Contents string PLAINTEXT inside an
+    encrypted file is non-conforming; 'decrypting' it yields noise and
+    the printability guard suppresses it — never byte salad."""
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Title"},
+                {"t": "p", "text": "body words"},
+            ],
+        }
+    ]
+    pdf = pdf_writer.write_pdf(pages, encrypt="rc4")
+    # graft a plaintext FreeText annotation into the encrypted file via
+    # an incremental update (appended objects, classic xref tail)
+    n_obj = pdf.count(b" 0 obj")
+    aid = n_obj + 1
+    annot = (
+        b"%d 0 obj\n<< /Type /Annot /Subtype /FreeText "
+        b"/Rect [72 30 540 50] /Contents (plaintext in an encrypted file) >>"
+        b"\nendobj\n" % aid
+    )
+    # simplest structural graft: rewrite the page object to reference
+    # the new annot id, append the annot, and re-serialize is overkill —
+    # instead build the file from scratch with the annot injected after
+    # encryption (what a sloppy post-processor does)
+    import re as _re
+
+    m = _re.search(rb"<< /Type /Page [^>]*>>", pdf)
+    patched = (
+        pdf[: m.end() - 2] + b" /Annots [%d 0 R] >>" % aid + pdf[m.end():]
+    )
+    # the patch moved offsets; the kernel's last-startxref parse will
+    # fall back through the object scan, which tolerates this
+    patched += annot
+    got = [p["markdown"] for p in pdf_extract.extract_pages(patched)]
+    assert all("plaintext in an encrypted file" not in g for g in got)
+    assert not any("\x00" in g or "\x01" in g for g in got)
+
+
+def test_corpus_v16_1_emits_encrypted_annotated_docs():
+    from markmuse_spark.sources import corpus
+
+    n = 0
+    for i in range(4, 5000, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        assert err is None
+        if b"/Encrypt" not in payload or b"/Subtype /FreeText" not in payload:
+            continue
+        n += 1
+        got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
+        assert got == [p["markdown"] for p in expected], i
+    assert n >= 3, n
