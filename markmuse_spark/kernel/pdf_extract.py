@@ -446,21 +446,55 @@ _MEDIABOX_RE = re.compile(
 )
 
 
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+0\s+R")
+
+
+def _inherited(body: bytes, bodies: dict, rx: "re.Pattern"):
+    """Match ``rx`` on a page body or, failing that, up the /Parent
+    chain (spec 7.7.3.4: /Rotate and /MediaBox are INHERITABLE page
+    attributes — scanner software commonly sets /Rotate once on the
+    /Pages node).  Depth-capped with a seen-set so damaged parent
+    cycles terminate."""
+    seen: set[int] = set()
+    for _ in range(8):
+        m = rx.search(body)
+        if m:
+            return m
+        pm = _PARENT_RE.search(body)
+        if pm is None:
+            return None
+        pid = int(pm.group(1))
+        if pid in seen:
+            return None
+        seen.add(pid)
+        body = bodies.get(pid)
+        if body is None:
+            return None
+    return None
+
+
 def _rotate_runs(
-    runs: list[tuple[float, float, float, str]], rot: int, w: float, h: float
+    runs: list[tuple[float, float, float, str]],
+    rot: int,
+    x0: float,
+    y0: float,
+    w: float,
+    h: float,
 ) -> list[tuple[float, float, float, str]]:
     """Map text runs from page space to VISUAL space for a page
     displayed with ``/Rotate`` (clockwise degrees, spec 7.7.3.3): the
-    reading-order heuristics cluster on what the reader SEES.  For a
-    W×H page rotated 90° cw the visual page is H×W and a page-space
-    point (x, y) appears at (y, W - x); 180° flips both axes; 270° is
-    the inverse of 90°."""
+    reading-order heuristics cluster on what the reader SEES.
+    Coordinates are normalized to the MediaBox ORIGIN first (a box like
+    [20 20 632 812] must not skew the flip terms).  For a W×H page
+    rotated 90° cw the visual page is H×W and a box-relative point
+    (x, y) appears at (y, W - x); 180° flips both axes; 270° is the
+    inverse of 90°."""
     if rot == 90:
-        return [(s, y, w - x, t) for s, x, y, t in runs]
+        return [(s, y - y0, w - (x - x0), t) for s, x, y, t in runs]
     if rot == 180:
-        return [(s, w - x, h - y, t) for s, x, y, t in runs]
+        return [(s, w - (x - x0), h - (y - y0), t) for s, x, y, t in runs]
     if rot == 270:
-        return [(s, h - y, x, t) for s, x, y, t in runs]
+        return [(s, h - (y - y0), x - x0, t) for s, x, y, t in runs]
     return runs
 
 # simple-font /Encoding forms (corpus v13): a bare base-encoding name, an
@@ -935,9 +969,7 @@ def _aes_rebuild(
                 "encrypted PDF: AES stream body not block-aligned"
             )
         if cipher == "aesv2":
-            okey = hashlib.md5(
-                file_key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
-            ).digest()[:16]
+            okey = _aes_object_key(file_key, num)
         else:
             okey = file_key
         segments.append((okey, data[:16], data[16:]))
@@ -992,6 +1024,16 @@ def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _aes_object_key(file_key: bytes, num: int) -> bytes:
+    """AESV2 per-object key (spec algorithm 1 with the AES salt) —
+    the ONE derivation streams and strings share."""
+    import hashlib
+
+    return hashlib.md5(
+        file_key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+    ).digest()[: min(len(file_key) + 5, 16)]
+
+
 def _make_string_decryptor(file_key: bytes, cipher: str):
     """``fn(obj_num, raw) -> bytes | None`` for STRING operands: spec
     7.6.2 encrypts every string with the same per-object keys as
@@ -1006,20 +1048,17 @@ def _make_string_decryptor(file_key: bytes, cipher: str):
                 return _rc4(_object_key(file_key, num), raw)
             if len(raw) < 32 or (len(raw) - 16) % 16:
                 return None
-            if cipher == "aesv2":
-                import hashlib
-
-                okey = hashlib.md5(
-                    file_key
-                    + num.to_bytes(3, "little")
-                    + b"\x00\x00"
-                    + b"sAlT"
-                ).digest()[:16]
-            else:  # aesv3: the file key directly
-                okey = file_key
+            okey = (
+                _aes_object_key(file_key, num)
+                if cipher == "aesv2"
+                else file_key  # aesv3: the file key directly
+            )
             pt = aes.cbc_decrypt(okey, raw[:16], raw[16:])
             pad = pt[-1]
-            if not 1 <= pad <= 16:
+            # full PKCS#7 validation (every pad byte, not just the
+            # last): a wrong key passing a last-byte-only check ~1/16
+            # of the time would feed garbage to the printability guard
+            if not 1 <= pad <= 16 or pt[-pad:] != bytes([pad]) * pad:
                 return None
             return pt[:-pad]
         except Exception:
@@ -1405,7 +1444,8 @@ def _page_graph(payload: bytes, scanned: list):
     partial/truncated documents keep yielding their text).
 
     Returns ``(groups, fonts_per_page, xobjs_per_page, annots_per_page,
-    owner, bodies)``: one stream-index group per page in /Kids order,
+    geom_per_page, owner, bodies, objstm_oids)``: one stream-index
+    group per page in /Kids order,
     each page's ``{font_name: obj_id}`` / ``{xobject_name: obj_id}``
     resource maps and ``/Annots`` ref list, the stream-ownership map and
     the blanked object bodies (for resolving /ToUnicode, Form-XObject
@@ -1425,20 +1465,26 @@ def _page_graph(payload: bytes, scanned: list):
     # ObjStm's objects are "defined" at the ObjStm's own file position,
     # so an appended update ObjStm supersedes earlier definitions and
     # vice versa.
-    defs: list[tuple[int, int, bytes]] = [
-        (b1, oid, blanked[b1:b2]) for oid, b1, b2 in bounds
+    defs: list[tuple[int, int, bytes, bool]] = [
+        (b1, oid, blanked[b1:b2], False) for oid, b1, b2 in bounds
     ]
     for hdr_start, head, data, _span in scanned:
         if _TYPE_OBJSTM_RE.search(head):
             defs.extend(
-                (hdr_start, oid, body) for oid, body in _parse_objstm(head, data)
+                (hdr_start, oid, body, True)
+                for oid, body in _parse_objstm(head, data)
             )
     defs.sort(key=lambda d: d[0])
     bodies: dict[int, bytes] = {}
     last_pos: dict[int, int] = {}
-    for pos, oid, body in defs:
+    objstm_oids: set[int] = set()  # oids whose WINNING definition came
+    # from an /ObjStm: their dict strings are protected by the stream's
+    # encryption (spec 7.5.7), never individually (string decryption
+    # must skip them)
+    for pos, oid, body, from_stm in defs:
         bodies[oid] = body
         last_pos[oid] = pos
+        (objstm_oids.add if from_stm else objstm_oids.discard)(oid)
     # stream index -> owning object id, restricted to each id's LATEST
     # definition ACROSS BOTH SOURCES (definition positions are unique, so
     # ``last_pos[oid] == b1`` says this top-level definition is the
@@ -1470,14 +1516,15 @@ def _page_graph(payload: bytes, scanned: list):
             for nm, fid in _FONT_REF_RE.findall(body)
         }
         xobjs = _xobj_map(body)
-        rm_rot = _ROTATE_RE.search(body)
+        rm_rot = _inherited(body, bodies, _ROTATE_RE)
         rot = int(rm_rot.group(1)) % 360 if rm_rot else 0
-        mb = _MEDIABOX_RE.search(body)
-        w, h = (
-            (float(mb.group(3)) - float(mb.group(1)),
+        mb = _inherited(body, bodies, _MEDIABOX_RE)
+        x0, y0, w, h = (
+            (float(mb.group(1)), float(mb.group(2)),
+             float(mb.group(3)) - float(mb.group(1)),
              float(mb.group(4)) - float(mb.group(2)))
             if mb
-            else (612.0, 792.0)
+            else (0.0, 0.0, 612.0, 792.0)
         )
         am2 = _ANNOTS_ARR_RE.search(body)
         if am2:
@@ -1492,7 +1539,7 @@ def _page_graph(payload: bytes, scanned: list):
         # a page with NO /Contents is a real thing (blank separator
         # pages): keep it as an empty page so page_idx of everything
         # after it stays aligned with the document
-        pages.append((oid, cids, fonts, xobjs, annots, (rot, w, h)))
+        pages.append((oid, cids, fonts, xobjs, annots, (rot, x0, y0, w, h)))
     if not pages:
         return None
     page_by_id = {oid: rest for oid, *rest in pages}
@@ -1531,7 +1578,7 @@ def _page_graph(payload: bytes, scanned: list):
         annots_per_page.append(annots)
         geom_per_page.append(geom)
     return (groups, fonts_per_page, xobjs_per_page, annots_per_page,
-            geom_per_page, owner, bodies)
+            geom_per_page, owner, bodies, objstm_oids)
 
 
 _WALK_NODE_CAP = 4096
@@ -1758,7 +1805,10 @@ def _splice_forms(
 
 
 def _annot_runs(
-    annot_ids: list, bodies: dict, string_decryptor=None
+    annot_ids: list,
+    bodies: dict,
+    string_decryptor=None,
+    objstm_oids: frozenset = frozenset(),
 ) -> list[tuple[float, float, float, str]]:
     """Text runs for a page's visible FreeText annotations (corpus v15):
     margin notes a rendering pipeline reads as page text — the reference
@@ -1795,19 +1845,28 @@ def _annot_runs(
                 raw = _hex_to_bytes(hm.group(1).decode("ascii"))
         if not raw:
             continue
-        if string_decryptor is not None:
+        if string_decryptor is not None and aid not in objstm_oids:
             # spec 7.6.2: dict strings carry ciphertext in an encrypted
-            # file, keyed by the ANNOTATION object's number
+            # file, keyed by the ANNOTATION object's number — EXCEPT
+            # strings inside object streams (spec 7.5.7), which are
+            # protected by the ObjStm's own stream encryption and are
+            # already plaintext after stream decryption
             raw = string_decryptor(aid, raw)
             if not raw:
                 continue
+            text = _text_from_string_bytes(raw)
             # a non-conforming producer that left the string plaintext
-            # makes "decryption" emit noise: suppress anything that is
-            # not overwhelmingly printable (never byte salad)
-            n_ctrl = sum(b < 0x20 and b not in (9, 10, 13) for b in raw)
-            if n_ctrl * 5 > len(raw):
+            # makes "decryption" emit high-entropy noise: legit notes
+            # contain NO control characters, while random bytes land
+            # one in the C0/C1 ranges with probability ~1 - 0.75^n —
+            # a single control char suppresses (never byte salad)
+            if any(
+                (ch < " " and ch not in "\t\n\r") or "\x7f" <= ch <= "\x9f"
+                for ch in text
+            ):
                 continue
-        text = _text_from_string_bytes(raw)
+        else:
+            text = _text_from_string_bytes(raw)
         if text:
             x = min(float(rm.group(1)), float(rm.group(3)))
             y = min(float(rm.group(2)), float(rm.group(4)))
@@ -1844,12 +1903,12 @@ def _document_pages(
         # object streams (packed dictionaries, corpus v7): both are
         # structure, never content
         return [
-            (_decode_stream(h, d), {}, [], (0, 612.0, 792.0))
+            (_decode_stream(h, d), {}, [], (0, 0.0, 0.0, 612.0, 792.0))
             for _s, h, d, _sp in scanned
             if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
         ]
     (groups, fonts_per_page, xobjs_per_page, annots_per_page,
-     geom_per_page, owner, bodies) = graph
+     geom_per_page, owner, bodies, objstm_oids) = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
     form_cache: dict[int, tuple] = {}  # one decode per form per document
     splice_budget = [_MAX_DECODED]  # ONE budget for the whole document:
@@ -1908,7 +1967,7 @@ def _document_pages(
         pages.append((
             text,
             cmaps,
-            _annot_runs(annots, bodies, string_decryptor),
+            _annot_runs(annots, bodies, string_decryptor, objstm_oids),
             geom,
         ))
     return pages
@@ -2018,9 +2077,9 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         raise ValueError("no content streams")
     for page_idx, (stream, cmaps, annot_runs, geom) in enumerate(doc_pages):
         runs = _parse_runs(stream, cmaps) + annot_runs
-        rot, w, h = geom
+        rot, x0, y0, w, h = geom
         if rot:  # corpus v16: cluster on the VISUAL (rotated) coords
-            runs = _rotate_runs(runs, rot, w, h)
+            runs = _rotate_runs(runs, rot, x0, y0, w, h)
         if not runs:
             pages.append({"page_idx": page_idx, "markdown": "", "images": []})
             continue

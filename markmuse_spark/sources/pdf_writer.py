@@ -602,16 +602,22 @@ _ANNOT_STR_RE = re.compile(rb"/Contents\s*\(((?:[^()\\]|\\.)*)\)", re.S)
 _UNESC_RE = re.compile(rb"\\(.)", re.S)
 
 
-def _encrypt_obj_streams(obj: bytes, num: int, fn) -> bytes:
+def _encrypt_obj_streams(
+    obj: bytes, num: int, fn, strings: bool = True
+) -> bytes:
     """Apply the cipher to the stream span of one object body,
     re-deriving /Length when the cipher changed the byte count (AES) —
-    and to annotation ``/Contents`` strings (spec 7.6.2: EVERY string
-    encrypts with the object's key, not just streams), re-emitted as
-    hex ciphertext so parenthesis-significant ciphertext bytes need no
-    escaping."""
+    and, with ``strings``, to annotation ``/Contents`` strings (spec
+    7.6.2: EVERY string encrypts with the object's key, not just
+    streams), re-emitted as hex ciphertext so parenthesis-significant
+    ciphertext bytes need no escaping.  ``strings=False`` is the
+    object-streams mode: a dict packed into an /ObjStm is protected by
+    the ObjStm's OWN stream encryption and its strings stay plaintext
+    within (spec 7.5.7) — encrypting them individually too would be
+    double encryption, which no conforming reader survives."""
     idx = obj.find(b"stream\n")
     if idx < 0:
-        if b"/Type /Annot" in obj:
+        if strings and b"/Type /Annot" in obj:
             m = _ANNOT_STR_RE.search(obj)
             if m:
                 raw = _UNESC_RE.sub(lambda mm: mm.group(1), m.group(1))
@@ -995,6 +1001,8 @@ def write_pdf(
         elif page.get("type3"):
             font_res = b"/F5 %d 0 R" % f5_id
         rot = int(page.get("rotate", 0))
+        if rot not in (0, 90, 180, 270):
+            raise ValueError(f"unsupported /Rotate value {rot}")
         if rot and (
             page.get("form_text")
             or page.get("annot_text")
@@ -1127,7 +1135,9 @@ def write_pdf(
             file_id,
         )
         objects = [
-            _encrypt_obj_streams(obj, oid, stream_fn)
+            _encrypt_obj_streams(
+                obj, oid, stream_fn, strings=not object_streams
+            )
             for oid, obj in enumerate(objects, 1)
         ]
         enc_id = len(objects) + 1

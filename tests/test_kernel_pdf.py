@@ -2247,8 +2247,10 @@ def test_nonconforming_plaintext_annotation_on_encrypted_doc_suppressed():
     # fall back through the object scan, which tolerates this
     patched += annot
     got = [p["markdown"] for p in pdf_extract.extract_pages(patched)]
-    assert all("plaintext in an encrypted file" not in g for g in got)
-    assert not any("\x00" in g or "\x01" in g for g in got)
+    # the guard must suppress the garbled note ENTIRELY: exact equality
+    # pins it (the earlier version only checked two byte values and
+    # green-lit the salad)
+    assert got == ["# Title\n\nbody words"]
 
 
 def test_corpus_v16_1_emits_encrypted_annotated_docs():
@@ -2266,3 +2268,53 @@ def test_corpus_v16_1_emits_encrypted_annotated_docs():
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
         assert got == [p["markdown"] for p in expected], i
     assert n >= 3, n
+
+
+def test_objstm_packed_annotation_strings_are_not_double_decrypted():
+    """Spec 7.5.7: strings inside an object stream are protected by the
+    ObjStm's own encryption, never individually — the conforming
+    AES+ObjStm file stores /Contents plaintext-within-stream, and the
+    extractor must NOT apply the string filter to it."""
+    pages = [
+        {
+            "columns": 1,
+            "blocks": [
+                {"t": "h", "level": 1, "text": "Title"},
+                {"t": "p", "text": "body words"},
+            ],
+            "annot_text": "note packed in the object stream",
+        }
+    ]
+    pdf = pdf_writer.write_pdf(pages, encrypt="aesv3r5", object_streams=True)
+    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    assert got == [
+        "# Title\n\nbody words\n\nnote packed in the object stream"
+    ]
+
+
+def test_rotate_inherited_from_pages_node_and_offset_mediabox():
+    """/Rotate and /MediaBox are inheritable (spec 7.7.3.4) and the
+    MediaBox origin need not be (0,0): a /Pages-level /Rotate 90 with a
+    shifted landscape box must still reconstruct visual reading order."""
+    # visual layout: title at (72,720), body at (72,700) in a 612x792
+    # visual page; page space = shifted landscape box [20 20 812 632],
+    # inverse-90 with origin: x = x0 + (W - y_vis), y = y0 + x_vis
+    x0, y0, w, h = 20, 20, 792, 612
+    runs = [(24, 72, 720, "Big Title"), (10, 72, 700, "body words here")]
+    content = b"\n".join(
+        b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%s) Tj ET"
+        % (s_, x0 + (w - y), y0 + x, t.encode())
+        for s_, x, y, t in runs
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Rotate 90 "
+        b"/MediaBox [20 20 812 632] >>",
+        b"<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    pdf = _classic_pdf(objs)
+    got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    assert got == ["# Big Title\n\nbody words here"]
