@@ -422,12 +422,16 @@ def mint_m_image_features() -> tuple[list[dict], "object"]:
     import numpy as np
     import pyarrow as pa
 
+    from markmuse_spark.sources.gif_writer import gif_pixel_spec
     from markmuse_spark.sources.png_writer import png_pixel_spec
 
     rows = []
     for d in _documents(max_doc_id=60):
         did = int(d["doc_id"])
-        px = png_pixel_spec(did, d["text"]).tolist()  # plain ints from here
+        # doc_id % 5 == 2 rows are GIF (lossless, like PNG — so the
+        # oracle still computes from the spec pixels, no codec run)
+        spec = gif_pixel_spec if did % 5 == 2 else png_pixel_spec
+        px = spec(did, d["text"]).tolist()  # plain ints from here
         stats = _replica_png_features(px)
         rows.append(
             {

@@ -329,13 +329,144 @@ def decode_png_pixels(data):
     return px
 
 
+def decode_gif_pixels(data):
+    """REAL GIF pixel decode from raw bytes — no image library: logical
+    screen descriptor, global/local color table, extension-block skip,
+    variable-width LZW (spec appendix F: LSB-first codes, clear/EOI,
+    dictionary growth to 12 bits with clear-reset), palette expansion.
+    Returns an (H, W, 3) uint8 numpy array for the FIRST image.
+
+    Supported subset (the dominant web form): non-interlaced single
+    frame with a color table.  Raises ``ValueError`` on interlaced
+    images, missing tables and corrupt structure — callers decide the
+    fallback.  GIF's LZW is lossless, so the decode is bit-exact
+    against the encoder's input — the property the feature-fixture
+    oracle relies on."""
+    import numpy as np
+
+    data = bytes(data)
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError("unknown GIF block")
+    else:
+        raise ValueError("no image descriptor")
+    if pos + 10 > len(data):
+        raise ValueError("truncated image descriptor")
+    w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+    h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+    iflags = data[pos + 9]
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF out of subset")
+    table_src = gct
+    if iflags & 0x80:  # local color table overrides
+        n = 2 << (iflags & 0x07)
+        lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if len(lct) < 3 * n:
+            raise ValueError("truncated local color table")
+        table_src = lct.reshape(n, 3)
+        pos += 3 * n
+    if table_src is None:
+        raise ValueError("GIF image without a color table")
+    if not w or not h:
+        raise ValueError("empty GIF image")
+    min_code = data[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError("bad LZW min code size")
+    chunks = []
+    while pos < len(data) and data[pos]:
+        n = data[pos]
+        chunks.append(data[pos + 1 : pos + 1 + n])
+        pos += 1 + n
+    stream = b"".join(chunks)
+
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    prev: bytes | None = None
+    need = h * w
+    for byte in stream:
+        bitbuf |= byte << bitcnt
+        bitcnt += 8
+        while bitcnt >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            bitcnt -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                bitcnt = 0
+                bitbuf = 0
+                break
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("bad LZW stream: first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW stream: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= need:
+                break
+        if len(out) >= need:
+            break
+    if len(out) < need:
+        raise ValueError("GIF pixel data short")
+    idx = np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+    if int(idx.max()) >= len(table_src):
+        raise ValueError("palette index out of range")
+    return table_src[idx].reshape(h, w, 3)
+
+
 def decode_image_pixels(data):
-    """Pixel decode: PNG decodes HERE from raw bytes (pure Python —
-    :func:`decode_png_pixels`); other containers need a codec this
-    sandbox does not ship, so they route through the PIL seam and raise
-    without it.  Returns an (H, W, C) uint8 numpy array either way."""
-    if sniff_format(bytes(data[:16]) if data else None) == "png":
+    """Pixel decode: PNG and GIF decode HERE from raw bytes (pure
+    Python — :func:`decode_png_pixels` / :func:`decode_gif_pixels`);
+    other containers need a codec this sandbox does not ship, so they
+    route through the PIL seam and raise without it.  Returns an
+    (H, W, C) uint8 numpy array either way."""
+    fmt = sniff_format(bytes(data[:16]) if data else None)
+    if fmt == "png":
         return decode_png_pixels(data)
+    if fmt == "gif":
+        return decode_gif_pixels(data)
     if _PIL_Image is None:
         raise NotImplementedError(
             "non-PNG pixel decode requires an image codec (PIL) not present "
@@ -393,17 +524,22 @@ def extract_image_features(
 ) -> DataFrame:
     """Feature vector per image payload (``array<float>``).
 
-    PNG payloads get REAL features — pure-Python pixel decode
-    (:func:`decode_png_pixels`) feeding the exact-arithmetic layout of
-    :func:`image_feature_vector`.  A PNG that fails to decode yields
+    PNG and GIF payloads get REAL features — pure-Python pixel decode
+    (:func:`decode_png_pixels` / :func:`decode_gif_pixels`, both
+    LOSSLESS codecs) feeding the exact-arithmetic layout of
+    :func:`image_feature_vector`.  One that fails to decode yields
     NULL (loud downstream, never a silently fake vector for a real
-    container).  NON-PNG containers keep the clearly-marked
-    deterministic fake (md5-seeded unit vector, ``dim`` wide): their
-    codecs are absent in this sandbox, and the fake keeps the
-    binary->array<float> plumbing exercised end-to-end — swap the seam
-    for a real encoder on a cluster with codecs."""
+    container).  The remaining containers (JPEG — lossy, so no exact
+    oracle is possible even with a decoder — and the metadata-only
+    media types) keep the clearly-marked deterministic fake
+    (md5-seeded unit vector, ``dim`` wide): their codecs are absent in
+    this sandbox, and the fake keeps the binary->array<float> plumbing
+    exercised end-to-end — swap the seam for a real codec on a cluster
+    that ships one."""
     import numpy as np
     import pandas as pd
+
+    _decoders = {"png": decode_png_pixels, "gif": decode_gif_pixels}
 
     def _feat(blobs):
         out = []
@@ -412,11 +548,12 @@ def extract_image_features(
                 out.append(None)
                 continue
             data = bytes(data)
-            if sniff_format(data) == "png":
+            dec = _decoders.get(sniff_format(data))
+            if dec is not None:
                 try:
-                    out.append(image_feature_vector(decode_png_pixels(data)))
+                    out.append(image_feature_vector(dec(data)))
                 except ValueError:
-                    out.append(None)  # corrupt/unsupported PNG: loud null
+                    out.append(None)  # corrupt/unsupported: loud null
                 continue
             digest = hashlib.md5(data).digest()  # labeled fake (non-PNG)
             seed = int.from_bytes(digest[:8], "big")

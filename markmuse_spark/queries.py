@@ -1734,24 +1734,31 @@ def m_image_metadata(spark, sf_dir):
 @_q(
     "m_image_features",
     # fixture computed from the SPEC PIXELS directly (an independent
-    # pure-Python implementation of the feature formulas over
-    # png_pixel_spec's matrix — no PNG code runs on the oracle side), so
-    # a green row pins the whole chain: spec pixels -> PNG encoder ->
-    # bytes -> the engine's zlib+filter-reversal decoder -> exact-
-    # arithmetic stats (golden/query_fixtures.py)
+    # pure-Python implementation of the feature formulas over the
+    # png/gif pixel-spec matrices — no codec code runs on the oracle
+    # side), so a green row pins the whole chain: spec pixels ->
+    # PNG/GIF encoder -> bytes -> the engine's from-scratch decoders
+    # (zlib+filter reversal; variable-width LZW + palette) -> exact-
+    # arithmetic stats (golden/query_fixtures.py).  Both codecs are
+    # LOSSLESS, which is what makes the oracle exact
     "SELECT doc_id, width, height, channels, mean_c0, std_c0, hist0, dim "
     f"FROM read_parquet('{_FIXDIR}/m_image_features.parquet') ORDER BY doc_id",
 )
 def m_image_features(spark, sf_dir):
-    """Multimodal: REAL image features over real PNG payloads — each doc
-    gets a deterministic PNG (pixels a pure function of (doc_id, text);
-    per-row filters walk all five PNG filter types), encoded on the
-    executors, then decoded back by the engine's pure-Python PNG pixel
-    decoder (zlib + scanline filter reversal, operators/multimodal.py)
-    feeding the 16-float exact-arithmetic feature layout."""
+    """Multimodal: REAL image features over real PNG *and GIF* payloads
+    — each doc gets a deterministic image (pixels a pure function of
+    (doc_id, text); ``doc_id % 5 == 2`` rows are GIF89a, the rest PNG
+    with per-row filters walking all five filter types), encoded on the
+    executors, then decoded back by the engine's pure-Python decoders
+    (PNG: zlib + scanline filter reversal; GIF: variable-width LZW +
+    palette — operators/multimodal.py) feeding the 16-float
+    exact-arithmetic feature layout."""
     import pandas as pd
 
     from markmuse_spark.operators.multimodal import extract_image_features
+    from markmuse_spark.sources.gif_writer import (
+        encode_gif, gif_index_spec, gif_palette,
+    )
     from markmuse_spark.sources.png_writer import (
         encode_png, png_pixel_spec, spec_filters,
     )
@@ -1759,8 +1766,12 @@ def m_image_features(spark, sf_dir):
     def _png(ids, texts):
         out = []
         for i, t in zip(ids, texts):
-            px = png_pixel_spec(int(i), t)
-            out.append(encode_png(px, filters=spec_filters(int(i), px.shape[0])))
+            i = int(i)
+            if i % 5 == 2:
+                out.append(encode_gif(gif_palette(i), gif_index_spec(i, t)))
+            else:
+                px = png_pixel_spec(i, t)
+                out.append(encode_png(px, filters=spec_filters(i, px.shape[0])))
         return pd.Series(out)
 
     _png.__annotations__ = {"ids": pd.Series, "texts": pd.Series, "return": pd.Series}

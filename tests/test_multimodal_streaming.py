@@ -381,3 +381,66 @@ def test_wav_short_fmt_chunk_yields_none():
     )
     assert multimodal.sniff_format(bad) == "wav"
     assert multimodal.parse_duration_ms(bad, "wav") is None
+
+
+# ------------------------------------------------------------------
+# GIF pixel decode (real, lossless — extends the PNG real-decode story)
+# ------------------------------------------------------------------
+
+
+def test_gif_roundtrip_bit_exact():
+    import numpy as np
+
+    from markmuse_spark.operators import multimodal as m
+    from markmuse_spark.sources import gif_writer as g
+
+    for did in (0, 1, 7, 12, 23, 44):
+        gif = g.encode_gif(g.gif_palette(did), g.gif_index_spec(did, f"t{did}"))
+        px = m.decode_gif_pixels(gif)
+        want = g.gif_pixel_spec(did, f"t{did}")
+        assert px.shape == want.shape and (px == want).all(), did
+    # large image: LZW width growth, clear-reset, multiple sub-blocks
+    big = (np.arange(200 * 190).reshape(200, 190) % 64).astype(np.uint8)
+    pal = g.gif_palette(7)
+    assert (m.decode_gif_pixels(g.encode_gif(pal, big)) == pal[big]).all()
+
+
+def test_gif_decode_rejects_out_of_subset_forms():
+    import pytest
+
+    from markmuse_spark.operators import multimodal as m
+    from markmuse_spark.sources import gif_writer as g
+
+    gif = bytearray(g.encode_gif(g.gif_palette(3), g.gif_index_spec(3, "x")))
+    # image descriptor sits right after header (13) + the 2^(k+1)-entry
+    # GCT — indexing for 0x2C would false-hit palette bytes
+    k = gif[10] & 0x07
+    i = 13 + 3 * (2 << k)
+    assert gif[i] == 0x2C
+    inter = bytearray(gif)
+    inter[i + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        m.decode_gif_pixels(bytes(inter))
+    with pytest.raises(ValueError, match="not a GIF"):
+        m.decode_gif_pixels(b"GIFxxx" + bytes(20))
+    with pytest.raises(ValueError):
+        m.decode_gif_pixels(bytes(gif[: len(gif) // 2]))  # truncated
+
+
+def test_gif_decode_fuzz_never_hangs_or_crashes_uncontrolled():
+    import random
+
+    from markmuse_spark.operators import multimodal as m
+    from markmuse_spark.sources import gif_writer as g
+
+    rng = random.Random(42)
+    base = g.encode_gif(g.gif_palette(5), g.gif_index_spec(5, "fuzz"))
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            px = m.decode_gif_pixels(bytes(b))
+            assert px.ndim == 3  # survived mutation: still a matrix
+        except ValueError:
+            pass  # structured rejection is the contract
