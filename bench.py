@@ -391,7 +391,11 @@ def main() -> None:
             pass
 
     from markmuse_spark.plans.cache import cache_scope
-    from markmuse_spark.queries import QUERIES
+    from markmuse_spark.queries import EXTRA_QUERIES, QUERIES as _DRIVER_QUERIES
+
+    # headline names resolve across both registries: driver-budget rotation
+    # (COVERAGE.md) moves entries between them without changing the bench
+    QUERIES = {**_DRIVER_QUERIES, **EXTRA_QUERIES}
     from markmuse_spark.session import get_spark
 
     sf = _sf_from_dir(SF_DIR)

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from markmuse_spark.operators.similarity import (
     DEFAULT_WARN_BUCKET_SIZE,
     _drop_oversized_buckets,
-    _warn_oversized_buckets,
+    _observe_oversized_buckets,
 )
 
 
@@ -99,8 +99,10 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     Since packing charges every file at least ``openCost``, any scan of
     ``>= maxPartitionBytes/openCost * target`` files (32x target at the
     defaults) is provably wide — no size probes; below that bound the
-    per-file FileStatus calls are capped at that same small number and
-    only ever taken on inputs that are small by construction.  A frame
+    per-file size probes run pure-Python (``os.stat`` for ``file:``
+    URIs — Spark-Connect-safe; py4j Hadoop bridge only for remote
+    schemes when available), capped at 4x parallelism with the tail
+    extrapolated from the probed mean.  A frame
     with no file provenance at all (``createDataFrame``, in-memory test
     frames) just takes the repartition — a no-op-cost shuffle of a
     small frame."""
@@ -124,22 +126,67 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     # n_files * open_cost / max_split >= target  =>  provably wide
     if len(files) * open_cost >= target * max_split:
         return df
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    total_cost = 0
-    for f in files:
-        p = HPath(f)
-        try:
-            size = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
-        except Exception:
-            size = 0
-        total_cost += size + open_cost
+    # bounded size probe (ADVICE round 6: the per-file status calls are
+    # serial driver RPCs on remote stores — cap them at 4x parallelism and
+    # extrapolate the tail from the probed mean; the provably-wide
+    # early-out above already bounds this branch at 32x-target files)
+    probe = files[: max(1, 4 * target)]
+    sizes = _probe_file_sizes(probe, spark)
+    if sizes is None:
+        # no pure-Python handler for the scheme and no py4j bridge
+        # (Spark Connect): only sub-provably-wide inputs reach here, and
+        # the round-robin is a cheap reshuffle of a small-by-construction
+        # frame — prefer full UDF width over a maybe-narrow stage
+        return df.repartition(target)
+    total_cost = sum(sizes) + open_cost * len(probe)
+    if len(files) > len(probe):  # extrapolate the unprobed tail
+        total_cost = total_cost * len(files) // len(probe)
     split = min(max_split, max(open_cost, total_cost // max(1, target)))
     est_partitions = -(-total_cost // split)
     if est_partitions < target:
         return df.repartition(target)
     return df
+
+
+def _probe_file_sizes(files: list[str], spark) -> "list[int] | None":
+    """File sizes for the scan-width estimate, pure Python first.
+
+    ``file:`` URIs (and bare paths) go through ``os.stat`` — no JVM
+    access, so the plan-build path works under Spark Connect, where
+    ``spark._jvm`` does not exist (round-7 ask #5).  Other schemes fall
+    back to the py4j Hadoop ``FileSystem`` bridge when it is available;
+    when it is not, returns ``None`` and the caller repartitions.
+    Unreadable files count as size 0 (same as the round-6 behavior)."""
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    sizes: list = []
+    remote_idx: list[int] = []
+    for i, f in enumerate(files):
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            path = unquote(parsed.path) if parsed.scheme == "file" else f
+            try:
+                sizes.append(_os.stat(path).st_size)
+            except OSError:
+                sizes.append(0)
+        else:
+            sizes.append(0)
+            remote_idx.append(i)
+    if remote_idx:
+        try:  # classic py4j session only; Spark Connect has neither attr
+            jvm = spark._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            HPath = jvm.org.apache.hadoop.fs.Path
+        except Exception:
+            return None
+        for i in remote_idx:
+            p = HPath(files[i])
+            try:
+                sizes[i] = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
+            except Exception:
+                sizes[i] = 0
+    return sizes
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -383,19 +430,13 @@ def minhash_lsh_pairs(
         "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
     )
     if warn_band_size is not None or max_band_size is not None:
-        # the guards' size aggregates (and the drop path's anti-join
-        # probe) are extra readers of the band frame, so it gets its own
-        # persist — which ALSO means the signature UDF runs once total
-        # instead of once per self-join side below
+        # the drop guard's size aggregate (and its anti-join probe) is an
+        # extra reader of the band frame, so it gets its own persist —
+        # which ALSO means the signature UDF runs once total instead of
+        # once per self-join side below.  (The persist mark itself is
+        # lazy; since round 7 the warn path adds no job either, so
+        # building this plan triggers no Spark work at all.)
         banded = tracked_persist(banded)
-    if warn_band_size is not None:
-        # default-on, warn-ONLY (no rows dropped, oracles unchanged):
-        # at 100 TB a boilerplate-identical cluster must be announced,
-        # not discovered from a melted shuffle stage
-        _warn_oversized_buckets(
-            banded, ["band_id", "band_hash"], warn_band_size,
-            "minhash_lsh_pairs",
-        )
     if max_band_size is not None:
         banded = _drop_oversized_buckets(
             banded,
@@ -404,7 +445,18 @@ def minhash_lsh_pairs(
             "minhash_lsh_pairs",
             param_name="max_band_size",
         )
-    a = banded.alias("a")
+    # warn-only observability rides ONE side of the self-join (window
+    # over the band keys + CollectMetrics — zero extra jobs/exchanges;
+    # the warn fires on the caller's own first action): at 100 TB a
+    # boilerplate-identical cluster must be announced, not discovered
+    # from a melted shuffle stage.  No rows dropped, oracles unchanged.
+    a_side = banded
+    if warn_band_size is not None:
+        a_side = _observe_oversized_buckets(
+            banded, ["band_id", "band_hash"], warn_band_size,
+            "minhash_lsh_pairs",
+        )
+    a = a_side.alias("a")
     b = banded.alias("b")
     # candidate dedup is folded into the exchange that feeds the verify
     # join: repartitioning on doc_a alone still satisfies the duplicate-

@@ -248,37 +248,90 @@ DEFAULT_WARN_BUCKET_SIZE = 10_000
 MAX_COLLECTED_HOT_KEYS = 100_000
 
 
-def _warn_oversized_buckets(
-    frame: DataFrame, keys: list[str], soft_cap: int, op_name: str
-) -> None:
-    """Default-on, warn-ONLY degenerate-bucket observability: one cheap
-    two-level aggregate over the already-persisted group frame; logs when
-    any group exceeds ``soft_cap``.  Never drops rows, so the exported
-    oracles are byte-identical with it on — the point is that a 100 TB
-    run with a zero-vector cluster or a boilerplate-identical document
-    cluster TELLS the operator it is melting instead of silently
-    shuffling O(m^2) candidate rows.  Cost: one aggregate job over the
-    cached frame (which the miners persist anyway for their self-join)."""
-    import logging
+#: waiter threads parked on not-yet-executed observed plans (see
+#: :func:`_observe_oversized_buckets`); :func:`drain_bucket_warnings`
+#: joins the finished ones so tests (and shutdown hooks) can flush
+#: deterministically
+_PENDING_BUCKET_WARNS: list = []
 
-    stats = (
-        frame.groupBy(*keys)
-        .agg(F.count("*").alias("_n"))
-        .agg(
-            F.max("_n").alias("mx"),
-            F.sum((F.col("_n") > soft_cap).cast("long")).alias("over"),
+
+def _observe_oversized_buckets(
+    frame: DataFrame, keys: list[str], soft_cap: int, op_name: str
+) -> DataFrame:
+    """Default-on, warn-ONLY degenerate-bucket observability at ZERO extra
+    Spark jobs (round-7 ask #7; round 6 ran an eager ``.first()`` at
+    plan-construction time — one blocking job per miner call).
+
+    Returns ``frame`` with a per-group member count attached as a window
+    over exactly the keys the miners' self-join already exchanges on —
+    the window reuses the join side's Exchange+Sort, so the plan gains a
+    ``Window`` + ``CollectMetrics`` node and NOTHING else — and a
+    :class:`~pyspark.sql.Observation` whose metrics materialize during
+    the CALLER's first action.  A daemon waiter thread parks on
+    ``Observation.get`` and logs when any group exceeds ``soft_cap``.
+    Never drops rows, so the exported oracles are byte-identical with it
+    on — the point is that a 100 TB run with a zero-vector cluster or a
+    boilerplate-identical document cluster TELLS the operator it is
+    melting instead of silently shuffling O(m^2) candidate rows.
+
+    The observed frame must feed exactly ONE side of the self-join (an
+    Observation may appear once per plan); the waiter parks forever if
+    the plan is never executed (daemon thread, a few KiB — plans built
+    and abandoned without an action are not a hot path)."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+    from pyspark.sql import Window as W
+
+    obs = Observation()
+    observed = (
+        frame.withColumn(
+            "_grp_n", F.count(F.lit(1)).over(W.partitionBy(*keys))
         )
-        .first()
+        .observe(
+            obs,
+            F.max("_grp_n").alias("mx"),
+            F.sum((F.col("_grp_n") > soft_cap).cast("long")).alias("over_rows"),
+        )
+        .drop("_grp_n")
     )
-    if stats is not None and (stats["over"] or 0) > 0:
-        logging.getLogger(__name__).warning(
-            "%s: %d bucket group(s) exceed the soft size threshold %d "
-            "(largest: %d members) — the candidate self-join over these "
-            "groups is quadratic; set the drop cap (max_bucket_size / "
-            "max_band_size) to bound it, or raise warn_bucket_size to "
-            "silence this",
-            op_name, stats["over"], soft_cap, stats["mx"],
-        )
+
+    def _wait_and_log() -> None:
+        try:
+            stats = obs.get  # blocks until the caller's first action
+        except Exception:  # session torn down before any action
+            return
+        if stats and (stats.get("over_rows") or 0) > 0:
+            logging.getLogger(__name__).warning(
+                "%s: %d row(s) sit in bucket group(s) that exceed the "
+                "soft size threshold %d (largest group: %d members) — "
+                "the candidate self-join over these groups is quadratic; "
+                "set the drop cap (max_bucket_size / max_band_size) to "
+                "bound it, or raise warn_bucket_size to silence this",
+                op_name, stats["over_rows"], soft_cap, stats["mx"],
+            )
+
+    t = threading.Thread(
+        target=_wait_and_log, daemon=True, name=f"bucket-warn-{op_name}"
+    )
+    t.start()
+    _PENDING_BUCKET_WARNS.append(t)
+    return observed
+
+
+def drain_bucket_warnings(timeout: float = 30.0) -> None:
+    """Join finished bucket-warn waiter threads (best-effort, bounded):
+    after an action over an observed miner plan, guarantees the warn —
+    which fires on a daemon thread — has been logged.  Threads parked on
+    never-executed plans are skipped, not waited out."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    for t in list(_PENDING_BUCKET_WARNS):
+        t.join(timeout=max(0.0, deadline - time.monotonic()))
+        if not t.is_alive():
+            _PENDING_BUCKET_WARNS.remove(t)
 
 
 def _drop_oversized_buckets(
@@ -373,9 +426,10 @@ def lsh_pair_candidates(
     bounds the worst bucket's join output.
 
     ``warn_bucket_size``: DEFAULT-ON warn-only observability
-    (:data:`DEFAULT_WARN_BUCKET_SIZE`): one cheap aggregate over the
-    already-persisted bucket frame logs any group over the soft
-    threshold — no rows dropped, oracles unchanged; ``None`` disables."""
+    (:data:`DEFAULT_WARN_BUCKET_SIZE`): a window count over the join
+    keys + ``CollectMetrics`` on one self-join side — zero extra jobs;
+    the warn logs on the caller's first action over the result.  No rows
+    dropped, oracles unchanged; ``None`` disables."""
     if dim is None:
         dim = _vec_dim(vectors, vec_col)  # pin one width for every batch
     sigs = lsh_signatures(vectors, n_tables, n_planes, seed, id_col, vec_col, dim)
@@ -389,15 +443,19 @@ def lsh_pair_candidates(
             F.col(id_col), F.posexplode("buckets").alias("table_id", "bucket")
         )
     )
-    if warn_bucket_size is not None:
-        _warn_oversized_buckets(
-            b, ["table_id", "bucket"], warn_bucket_size, "lsh_pair_candidates"
-        )
     if max_bucket_size is not None:
         b = _drop_oversized_buckets(
             b, ["table_id", "bucket"], max_bucket_size, "lsh_pair_candidates"
         )
-    a_, b_ = b.alias("a"), b.alias("b")
+    # warn-only observability rides ONE side of the self-join (window over
+    # the join keys + CollectMetrics — zero extra jobs, zero extra
+    # exchanges; the warn fires on the caller's own first action)
+    a_side = b
+    if warn_bucket_size is not None:
+        a_side = _observe_oversized_buckets(
+            b, ["table_id", "bucket"], warn_bucket_size, "lsh_pair_candidates"
+        )
+    a_, b_ = a_side.alias("a"), b.alias("b")
     # candidate dedup folds into the exchange that feeds the verify join
     # (same shape as minhash_lsh_pairs): hash-partitioning on id_a alone
     # satisfies the duplicate-elimination aggregate's clustering

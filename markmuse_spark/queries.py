@@ -195,13 +195,16 @@ def b7_coalesce_merge(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "b8_flag_filter",
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
     "WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity >= 49",
 )
 def b8_flag_filter(spark, sf_dir):
-    """B8: active-only flag filter (crud.py:52-73 analog)."""
+    """B8: active-only flag filter (crud.py:52-73 analog).  EXTRA since
+    round 7 (rotation policy, COVERAGE.md): a single-built-in conjunctive
+    filter whose shape is re-proven by ``b2_conjunctive_filter`` every
+    round; still pytest-oracled here."""
     return (
         _t(spark, sf_dir, "lineitem")
         .filter(
@@ -280,7 +283,7 @@ def a13_ordered_concat(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "a6_explode_flatten",
     "SELECT word, count(*) AS n FROM ("
     "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
@@ -288,7 +291,10 @@ def a13_ordered_concat(spark, sf_dir):
 )
 def a6_explode_flatten(spark, sf_dir):
     """A6: pages->images flatten (markmuse.py:344-352) as explode over a
-    split column; top-100 word counts."""
+    split column; top-100 word counts.  EXTRA since round 7 (rotation
+    policy, COVERAGE.md): the explode→groupBy shape is re-proven by
+    ``w_sessionize``/``t_repetition`` every round; still pytest-oracled
+    here."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1401,7 +1407,7 @@ def s_lsh_ann_batch(spark, sf_dir):
     ).orderBy("query_id", F.col("cosine").desc(), "cand_id")
 
 
-@_qx(
+@_q(
     "s_lsh_ann",
     # fixture minted by an independent pure-Python replica of the spec
     # (seeded numpy planes, Hamming-radius probe, strict left-fold cosine;
@@ -1411,10 +1417,9 @@ def s_lsh_ann_batch(spark, sf_dir):
 )
 def s_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate top-10 (random-hyperplane signatures,
-    Hamming-radius-1 probe, exact re-rank of candidates).  EXTRA
-    registry: ``s_lsh_ann_batch`` drives the same signature/probe/re-rank
-    machinery through the driver; the single-query broadcast form stays
-    pytest-oracled against its own independent fixture."""
+    Hamming-radius-1 probe, exact re-rank of candidates).  Driver row
+    since round 7 (rotation policy, COVERAGE.md) — the single-query
+    broadcast form had never carried a driver CORRECTNESS row."""
     from markmuse_spark.operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
@@ -1463,7 +1468,7 @@ def t_url_canonical(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@_qx(
+@_q(
     "t_pii_mask",
     # fixture minted by an independent TOKEN-BASED masker (no regex
     # transliteration of the Spark form) over the same deterministic

@@ -421,6 +421,27 @@ def test_minhash_candidate_dedup_folds_into_verify_exchange(docs):
     assert not _re.search(r"hashpartitioning\(doc_a#\d+L, doc_b", plan)
 
 
+def test_bucket_warn_costs_zero_jobs_and_rides_the_join_plan(spark, docs):
+    """Round-7 ask #7: default-on warn observability must cost ZERO extra
+    Spark jobs — building the miner plan launches nothing (round 6 ran an
+    eager ``.first()`` per call), and the metrics collection rides the
+    self-join side as a CollectMetrics node over the join-key window."""
+    sc = spark.sparkContext
+    sc.setJobGroup("warn-lazy-probe", "plan construction must launch no jobs")
+    try:
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)  # warn defaults ON
+        assert list(sc.statusTracker().getJobIdsForGroup("warn-lazy-probe")) == []
+    finally:
+        sc.setJobGroup("", "")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
+    # the observation's window partitions by the SAME keys the self-join
+    # exchanges on — no exchange beyond the two join sides + the doc_a fold
+    import re as _re
+
+    assert not _re.search(r"hashpartitioning\(doc_a#\d+L, doc_b", plan)
+
+
 def test_bucket_warn_observability_fires_with_caps_off(spark, caplog):
     """Round-6 ask #2: with NO drop caps set, both LSH miners still
     ANNOUNCE degenerate groups (default-on, warn-only) — and the warn
@@ -444,6 +465,9 @@ def test_bucket_warn_observability_fires_with_caps_off(spark, caplog):
                 df, warn_bucket_size=30
             ).collect()
         }
+        # round 7: the warn fires on a waiter thread unblocked by the
+        # collect above (zero extra Spark jobs) — flush it before asserting
+        similarity.drain_bucket_warnings()
     assert any(
         "exceed the soft size threshold" in r.message for r in caplog.records
     )
@@ -464,6 +488,7 @@ def test_bucket_warn_observability_fires_with_caps_off(spark, caplog):
         logging.WARNING, logger="markmuse_spark.operators.similarity"
     ):
         dedup.minhash_lsh_pairs(docs2, warn_band_size=20).collect()
+        similarity.drain_bucket_warnings()
     assert any(
         "exceed the soft size threshold" in r.message for r in caplog.records
     )
@@ -590,6 +615,49 @@ def test_parallelize_for_udf_widens_without_rdd_probe(spark, tmp_path, monkeypat
     target = spark.sparkContext.defaultParallelism
     assert wide.rdd.getNumPartitions() == target
     assert wide_local.rdd.getNumPartitions() == target
+
+
+def test_parallelize_probe_is_pure_python_for_file_uris(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 ask #5: the small-scan size probe must not reach into
+    py4j internals (``spark._jvm`` does not exist under Spark Connect).
+    ``file:`` URIs go through ``os.stat``; a remote scheme with no py4j
+    bridge returns None and the caller falls back to a plain widen."""
+    from pyspark.sql import SparkSession
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 500).selectExpr(
+        "id as doc_id", "repeat('w ', 20) as text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    class _NoJvm:
+        def __getattr__(self, name):  # Spark Connect: no _jvm, no _jsc
+            raise AttributeError(name)
+
+    # branch 1: file: URIs — probe succeeds with the JVM bridge trapped
+    with monkeypatch.context() as m:
+        m.setattr(
+            SparkSession, "_jvm",
+            property(lambda self: (_ for _ in ()).throw(
+                AssertionError("probe touched spark._jvm for file: URIs"))),
+            raising=False,
+        )
+        sizes = dedup._probe_file_sizes(df.inputFiles(), spark)
+        wide = dedup._parallelize_for_udf(df)
+    assert sizes is not None and len(sizes) >= 1 and sizes[0] > 0
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # branch 2: remote scheme, no bridge -> None (caller repartitions)
+    assert dedup._probe_file_sizes(
+        ["s3a://bucket/part-0.parquet"], _NoJvm()
+    ) is None
+
+    # branch 3: unreadable local file counts as size 0, never raises
+    assert dedup._probe_file_sizes(
+        ["file:///nonexistent/x.parquet", "/also/missing.parquet"], _NoJvm()
+    ) == [0, 0]
 
 
 def test_corpus_curation_minhash_stage_is_exact(spark):
