@@ -54,6 +54,15 @@ DETAIL_PATH = os.environ.get(
 # docs per unit sf: sf0.1 -> 100k docs (~300 MB of payload) — sized so an
 # interleaved 3-round scaling pair stays under ~4 min
 DOCS_PER_SF = int(os.environ.get("MARKMUSE_BENCH_DOCS_PER_SF", "1000000"))
+# window-cleanliness canary for the query sweeps (round-7 ask #2): q1 is
+# corpus-independent (pure TPC-H shape over the driver's sf tables), so a
+# slow canary means a slow HOST WINDOW, never a kernel change.  The
+# committed clean median is this repo's measured cold-cache q1 at sf0.1
+# (BASELINE.md round-5/6 clean windows: 0.55-0.65 s).
+CANARY_QUERY = "q1_pricing_summary"
+CANARY_CLEAN_SEC = float(os.environ.get("MARKMUSE_BENCH_CANARY_MEDIAN", "0.60"))
+CANARY_FACTOR = float(os.environ.get("MARKMUSE_BENCH_CANARY_FACTOR", "1.5"))
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -152,7 +161,7 @@ def select_pair(
     return min(pairs, key=pair_dirt), False
 
 
-CORPUS_TAG = "v16_2"  # bump when the corpus generator's bytes change
+CORPUS_TAG = "v17"  # bump when the corpus generator's bytes change
 
 
 def _ensure_corpus(spark, sf: float, n_rows: int) -> str:
@@ -438,16 +447,49 @@ def main() -> None:
     # every sweep measures the SAME cold-cache query cost — the number a
     # one-shot job would see — rather than sweep 1 paying the cache build
     # for sweeps 2..n (disclosed in BASELINE.md; medians moved with it)
-    sweeps: list[dict[str, float]] = []
-    for _ in range(SWEEPS):
-        one: dict[str, float] = {}
-        for name in HEADLINE:
-            fn = QUERIES[name]
+    #
+    # WINDOW-CLEANLINESS CANARY (round 7): the scaling pair has had
+    # retry-while-dirty since r3, but the sweeps did not — r6's driver
+    # artifact read 1.5-2.5x clean medians on sub-second JVM queries
+    # purely from host regime (the corpus-independent TPC-H rows moved
+    # 2.4x in lockstep, proving window-not-code).  A pinned corpus-
+    # independent canary (q1, committed clean median in
+    # MARKMUSE_BENCH_CANARY_MEDIAN's default) is read before and after
+    # each sweep set; a set whose canary exceeds CANARY_FACTOR x the
+    # committed median is retried ONCE, and if both sets are dirty the
+    # lower-canary set ships with an explicit dirt flag in the artifact.
+    def _canary_read() -> float:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: one JIT/IO hiccup must not flag
             t0 = time.time()
             with cache_scope():
-                fn(spark, SF_DIR).collect()
-            one[name] = round(time.time() - t0, 3)
-        sweeps.append(one)
+                QUERIES[CANARY_QUERY](spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    def _one_sweep_set() -> tuple[list[dict[str, float]], float]:
+        pre = _canary_read()
+        sw: list[dict[str, float]] = []
+        for _ in range(SWEEPS):
+            one: dict[str, float] = {}
+            for name in HEADLINE:
+                fn = QUERIES[name]
+                t0 = time.time()
+                with cache_scope():
+                    fn(spark, SF_DIR).collect()
+                one[name] = round(time.time() - t0, 3)
+            sw.append(one)
+        post = _canary_read()
+        return sw, max(pre, post)
+
+    canary_cap = CANARY_CLEAN_SEC * CANARY_FACTOR
+    attempts: list[tuple[list[dict[str, float]], float]] = []
+    attempts.append(_one_sweep_set())
+    if attempts[0][1] > canary_cap:
+        time.sleep(10)  # let a co-tenant burst pass, then one retry
+        attempts.append(_one_sweep_set())
+    sweeps, canary_sec = min(attempts, key=lambda a: a[1])
+    canary_clean = canary_sec <= canary_cap
     query_times = {
         name: round(_median([s[name] for s in sweeps]), 3) for name in HEADLINE
     }
@@ -595,6 +637,14 @@ def main() -> None:
             "pinned": pin,
         },
         "headline_sweeps": sweeps,
+        "sweep_canary": {
+            "query": CANARY_QUERY,
+            "committed_clean_sec": CANARY_CLEAN_SEC,
+            "factor": CANARY_FACTOR,
+            "attempts": [a[1] for a in attempts],
+            "selected_sec": canary_sec,
+            "clean": canary_clean,
+        },
         "scaling": {
             "passes_per_level": passes_small,
             "scaling_corpus_docs": n_scaling,
@@ -635,6 +685,12 @@ def main() -> None:
             f"extract_{n_docs}_docs_local{CPUS // 2}": run_full["elapsed_sec"],
         },
         "sf": sf,
+        # sweep-window cleanliness (round 7): canary = min-of-2 cold q1
+        # reads bracketing the selected sweep set; clean means within
+        # CANARY_FACTOR x the committed clean median — when false, the
+        # per-query numbers above are HOST-REGIME artifacts, disclosed
+        "qwin": {"canary": canary_sec, "clean": canary_clean,
+                 "tries": len(attempts)},
         "throughput": {
             # from the full-width run ONLY: run_big now measures a warm
             # 40k-doc pinned-8-core corpus, and mixing it into a headline

@@ -65,7 +65,7 @@ def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
     rows = []
     for i in range(200):
         url, _payload, expected, err = _make_doc(i, 42)
-        if err is not None:
+        if expected is None:  # hard error: nothing recoverable
             rows.append(
                 {
                     "url": url,
@@ -78,6 +78,9 @@ def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
                 }
             )
             continue
+        # corpus-v17 PARTIAL rows (err set, pages present): the salvaged
+        # markdown ships WITH is_error=True — the kernel must recover
+        # the intact pages AND report the damage, never all-or-nothing
         doc = oracle.assemble_document(url, expected)
         rows.append(
             {
@@ -88,7 +91,7 @@ def mint_x_extract_corpus() -> tuple[list[dict], "object"]:
                 "n_pages": len(expected),
                 "n_images": len(doc["image_manifest"]),
                 "n_chars": len(doc["markdown"]),
-                "is_error": False,
+                "is_error": err is not None,
             }
         )
     rows.sort(key=lambda r: r["url"])
@@ -121,7 +124,8 @@ def mint_x_extract_corpus_2k() -> tuple[list[dict], "object"]:
     for i in range(2000):
         url, _payload, expected, err = _make_doc(i, 42)
         if err is not None:
-            n_errors += 1
+            n_errors += 1  # hard AND v17-partial rows both set error
+        if expected is None:  # hard error: nothing recoverable
             lines.append(f"{url}|{hashlib.md5(b'').hexdigest()}")
             continue
         doc = oracle.assemble_document(url, expected)
@@ -216,7 +220,7 @@ def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
     rows = []
     for i in range(100):
         url, _payload, expected, err = _make_doc(i, 42)
-        if err is not None:
+        if expected is None:  # hard error: nothing recoverable
             rows.append(
                 {
                     "url": url,
@@ -228,6 +232,8 @@ def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
                 }
             )
             continue
+        # v17-partial rows: salvaged markdown + is_error=True (see
+        # mint_x_extract_corpus)
         captions = {
             f"img-p1-{k}.png": "synthetic caption "
             + hashlib.md5(f"{url}|img-p1-{k}.png".encode()).hexdigest()[:12]
@@ -243,7 +249,7 @@ def mint_x_extract_enhanced() -> tuple[list[dict], "object"]:
                 "n_images": len(doc["image_manifest"]),
                 "n_enhanced": doc["n_enhanced"],
                 "n_chars": len(doc["markdown"]),
-                "is_error": False,
+                "is_error": err is not None,
             }
         )
     rows.sort(key=lambda r: r["url"])

@@ -23,8 +23,25 @@ from markmuse_spark.kernel import html_extract, pdf_extract
 from markmuse_spark.kernel.markdown_assembly import assemble_one
 
 
+def _partial_note(pages: list[dict[str, Any]]) -> Optional[str]:
+    """Fold per-page salvage notes (``"damage"`` keys from the PDF
+    kernel, round-7 ask #1) into ONE deterministic document-level error:
+    ``PartialExtraction: k/n pages damaged``.  Deliberately carries no
+    exception text — the note is part of the oracled output surface and
+    must be reproducible from the generator-side document model alone.
+    The recovered pages' markdown ships alongside it (partial result,
+    not all-or-nothing)."""
+    n_damaged = sum(1 for p in pages if p.get("damage"))
+    if not n_damaged:
+        return None
+    return f"PartialExtraction: {n_damaged}/{len(pages)} pages damaged"
+
+
 def extract_document(url: str, payload: Optional[bytes]) -> dict[str, Any]:
-    """Extract + assemble one document; errors land in the ``error`` field."""
+    """Extract + assemble one document; errors land in the ``error``
+    field.  A damaged-but-salvageable PDF (truncated download, corrupt
+    stream) yields BOTH: the recovered pages' markdown and a
+    deterministic ``PartialExtraction`` error note."""
     try:
         if payload is None or len(payload) == 0:
             raise ValueError("empty payload")
@@ -42,7 +59,7 @@ def extract_document(url: str, payload: Optional[bytes]) -> dict[str, Any]:
             "n_pages": len(pages),
             "n_images": len(doc["image_manifest"]),
             "n_chars": len(doc["markdown"]),
-            "error": None,
+            "error": _partial_note(pages),
         }
     except Exception as exc:
         return {
@@ -86,7 +103,7 @@ def extract_document_enhanced(
             "n_images": len(doc["image_manifest"]),
             "n_enhanced": doc["n_enhanced"],
             "n_chars": len(doc["markdown"]),
-            "error": None,
+            "error": _partial_note(pages),
         }
     except Exception as exc:
         return {

@@ -1388,52 +1388,78 @@ def _trailer_root(blanked: bytes, scanned: "Sequence" = ()) -> int | None:
     if not 0 <= off < len(blanked):
         return None
     window = blanked[off : off + 4096].lstrip()
-    is_stream_form = not window.startswith(b"xref")
-    if not is_stream_form:
+    if window.startswith(b"xref"):
         # the trailer dict belonging to THIS table is the first 'trailer'
         # keyword after the table start
         tm = _TRAILER_KW_RE.search(blanked, off)
         src = blanked[tm.end() : tm.end() + 2048] if tm else b""
-    else:
-        om = _OBJ_RE.match(window)
-        if om is None or not _TYPE_XREF_RE.search(window[:2048]):
-            return None
-        src = window[: window.find(b"stream")] if b"stream" in window else window
+        # HYBRID-REFERENCE file (spec 7.5.8.4, the Acrobat-6-era
+        # compatibility form, round-7 ask #4): a classic trailer whose
+        # /XRefStm points at a cross-reference STREAM carrying the
+        # authoritative entries — its fields take precedence over the
+        # classic table's (a 1.4-only consumer reads the table and may
+        # miss updated objects; a 1.5 consumer must prefer the stream)
+        xm = _XREFSTM_RE.search(src)
+        if xm:
+            root = _xref_stream_root(blanked, int(xm.group(1)), scanned)
+            if root is not None:
+                return root
+            # stream missing/undecodable: the classic trailer stands
+        rm = _ROOT_RE.search(src)
+        return int(rm.group(1)) if rm else None
+    return _xref_stream_root(blanked, off, scanned)
+
+
+_XREFSTM_RE = re.compile(rb"/XRefStm\s+(\d+)")
+
+
+def _xref_stream_root(
+    blanked: bytes, off: int, scanned: "Sequence"
+) -> int | None:
+    """/Root from the ``/Type /XRef`` stream at byte ``off``, with the
+    decoded entry table cross-checking the claim (see
+    :func:`_trailer_root`); None when no xref stream parses there."""
+    if not 0 <= off < len(blanked):
+        return None
+    window = blanked[off : off + 4096].lstrip()
+    om = _OBJ_RE.match(window)
+    if om is None or not _TYPE_XREF_RE.search(window[:2048]):
+        return None
+    src = window[: window.find(b"stream")] if b"stream" in window else window
     rm = _ROOT_RE.search(src)
     if rm is None:
         return None
     root = int(rm.group(1))
-    if is_stream_form:
-        xs = next(
-            (
-                s
-                for s in scanned
-                if off <= s[0] < off + 4096 and _TYPE_XREF_RE.search(s[1])
-            ),
-            None,
-        )
-        if xs is not None:
-            entries = _parse_xref_stream(xs[1], xs[2])
-            # a decoded table whose (possibly /Index-scoped, possibly
-            # truncated-decode) sections simply do not COVER the root id
-            # is NO EVIDENCE, not a lie: an incrementally-updated file's
-            # final section lists only the updated objects and chains
-            # history through /Prev — distrusting a valid /Root for that
-            # would discard the spec's authoritative pointer (round-4
-            # advice).  Only a PRESENT entry that contradicts the claim
-            # (free/unknown type, or an offset that does not land on
-            # `root 0 obj`) is distrusted.
-            ent = entries.get(root)  # {} and absent alike: no evidence
-            if ent is not None:
-                if ent[0] not in (1, 2):
+    xs = next(
+        (
+            s
+            for s in scanned
+            if off <= s[0] < off + 4096 and _TYPE_XREF_RE.search(s[1])
+        ),
+        None,
+    )
+    if xs is not None:
+        entries = _parse_xref_stream(xs[1], xs[2])
+        # a decoded table whose (possibly /Index-scoped, possibly
+        # truncated-decode) sections simply do not COVER the root id
+        # is NO EVIDENCE, not a lie: an incrementally-updated file's
+        # final section lists only the updated objects and chains
+        # history through /Prev — distrusting a valid /Root for that
+        # would discard the spec's authoritative pointer (round-4
+        # advice).  Only a PRESENT entry that contradicts the claim
+        # (free/unknown type, or an offset that does not land on
+        # `root 0 obj`) is distrusted.
+        ent = entries.get(root)  # {} and absent alike: no evidence
+        if ent is not None:
+            if ent[0] not in (1, 2):
+                return None
+            if ent[0] == 1:
+                hm = _OBJ_RE.match(blanked, ent[1])
+                if hm is None or int(hm.group(1)) != root:
                     return None
-                if ent[0] == 1:
-                    hm = _OBJ_RE.match(blanked, ent[1])
-                    if hm is None or int(hm.group(1)) != root:
-                        return None
-                # type-2 (packed in an ObjStm) has no file offset to
-                # cross-check; the caller still demands the hinted
-                # catalog parse to a /Pages root before trusting it
+            # type-2 (packed in an ObjStm) has no file offset to
+            # cross-check; the caller still demands the hinted
+            # catalog parse to a /Pages root before trusting it
     return root
 
 
@@ -1566,19 +1592,36 @@ def _page_graph(payload: bytes, scanned: list):
     xobjs_per_page: list[dict[str, int]] = []
     annots_per_page: list[list[int]] = []
     geom_per_page: list[tuple] = []
+    damage_per_page: list[str | None] = []
     for cids, fonts, xobjs, annots, geom in order:
         group = []
+        missing = 0
         for cid in cids:
             if cid not in owner:
-                return None  # dangling /Contents ref: fall back whole-file
+                # dangling /Contents ref: a truncated download cut the
+                # stream (round-7 ask #1 — the Common-Crawl norm), or an
+                # update disowned it.  Salvage the page's OTHER streams
+                # and mark the page damaged instead of demoting the
+                # whole document to the stream-scan fallback.
+                missing += 1
+                continue
             group.append(owner[cid])
         groups.append(group)
         fonts_per_page.append(fonts)
         xobjs_per_page.append(xobjs)
         annots_per_page.append(annots)
         geom_per_page.append(geom)
+        damage_per_page.append(
+            f"{missing} content stream(s) missing" if missing else None
+        )
+    if not any(groups) and any(damage_per_page):
+        # NOTHING salvageable through the graph (every page's content
+        # dangles): the graph itself is no evidence — whole-file
+        # fallback, the pre-round-7 behavior (pinned by the ObjStm
+        # supersession test)
+        return None
     return (groups, fonts_per_page, xobjs_per_page, annots_per_page,
-            geom_per_page, owner, bodies, objstm_oids)
+            geom_per_page, damage_per_page, owner, bodies, objstm_oids)
 
 
 _WALK_NODE_CAP = 4096
@@ -1665,6 +1708,40 @@ def _decode_stream(head: bytes, data: bytes) -> str:
 _BI_RE = re.compile(r"(?<![A-Za-z0-9])BI(?=[\s/])")
 _ID_RE = re.compile(r"(?<![A-Za-z0-9])ID(?=[\s\x00])")
 _EI_RE = re.compile(r"[\s\x00]EI(?=[\s\x00]|$)")
+_BI_W_RE = re.compile(r"/W(?:idth)?\s+(\d+)")
+_BI_H_RE = re.compile(r"/H(?:eight)?\s+(\d+)")
+_BI_BPC_RE = re.compile(r"/(?:BPC|BitsPerComponent)\s+(\d+)")
+_BI_CS_RE = re.compile(r"/(?:CS|ColorSpace)\s*/(\w+)")
+_BI_F_RE = re.compile(r"/(?:F|Filter)\b")
+_CS_CHANNELS = {
+    "RGB": 3, "DeviceRGB": 3, "CalRGB": 3,
+    "G": 1, "DeviceGray": 1, "CalGray": 1, "I": 1, "Indexed": 1,
+    "CMYK": 4, "DeviceCMYK": 4,
+}
+# bytes that resume a content stream after EI: an operand (number,
+# string, name, array, dict, hex string) or an operator mnemonic —
+# coincidental ' EI ' inside sample data is typically followed by more
+# high-bit/control binary, which this rejects
+_EI_RESUME_RE = re.compile(r"[\s\x00]*(?:$|[0-9+\-./(<\[\]>)]|[A-Za-z'\"]{1,3}(?![A-Za-z'\"])|%)")
+
+
+def _inline_data_len(head: str) -> int | None:
+    """Expected UNFILTERED inline-image sample length from the BI dict
+    (spec 8.9.7: ceil(W * BPC * channels / 8) bytes per row, H rows);
+    None when a /Filter is declared (compressed length unknowable) or
+    the dims/colorspace do not parse."""
+    if _BI_F_RE.search(head):
+        return None
+    wm, hm = _BI_W_RE.search(head), _BI_H_RE.search(head)
+    if not (wm and hm):
+        return None
+    bm = _BI_BPC_RE.search(head)
+    bpc = int(bm.group(1)) if bm else 8
+    cm = _BI_CS_RE.search(head)
+    if cm is not None and cm.group(1) not in _CS_CHANNELS:
+        return None
+    chan = _CS_CHANNELS[cm.group(1)] if cm else 1
+    return int(hm.group(1)) * ((int(wm.group(1)) * bpc * chan + 7) // 8)
 
 
 def _strip_inline_images(content: str) -> str:
@@ -1673,9 +1750,17 @@ def _strip_inline_images(content: str) -> str:
     image's binary sample data is opaque and can contain byte runs that
     parse as text operators (``(...)Tj``), which would mint phantom text
     runs — mojibake straight into a training corpus.  The terminator is
-    the spec's: whitespace + ``EI`` + whitespace/EOF, scanned from one
-    whitespace byte after ``ID``.  A span with no terminator drops the
-    rest of the stream (truncated file: opaque bytes are never text)."""
+    the spec's: whitespace + ``EI`` + whitespace/EOF — a spec-known
+    AMBIGUITY, since nothing escapes a coincidental `` EI `` inside the
+    sample bytes (round-6 advice).  Disambiguation, in order: for
+    UNFILTERED data the sample length is computed from /W /H /BPC /CS
+    and the scan starts past it; otherwise a candidate terminator is
+    accepted only when the bytes after it resume as content-stream
+    operators (an early `` EI `` inside binary noise is followed by more
+    binary).  When every candidate is rejected the FIRST one stands
+    (the pre-round-7 behavior — better one clipped image than a dropped
+    stream).  A span with no terminator at all drops the rest of the
+    stream (truncated file: opaque bytes are never text)."""
     m = _BI_RE.search(content)
     if m is None:
         return content
@@ -1686,7 +1771,18 @@ def _strip_inline_images(content: str) -> str:
         idm = _ID_RE.search(content, m.end())
         if idm is None:  # no data section: malformed; drop the rest
             return "".join(out)
-        eim = _EI_RE.search(content, idm.end() + 1)
+        data_start = idm.end() + 1  # one whitespace byte after ID
+        expected = _inline_data_len(content[m.end() : idm.start()])
+        if expected is not None:
+            eim = _EI_RE.search(content, data_start + expected)
+        else:
+            eim = first = _EI_RE.search(content, data_start)
+            while eim is not None and not _EI_RESUME_RE.match(
+                content, eim.end()
+            ):
+                eim = _EI_RE.search(content, eim.end())
+            if eim is None:
+                eim = first  # all candidates rejected: first one stands
         if eim is None:
             return "".join(out)
         pos = eim.end()
@@ -1880,7 +1976,10 @@ def _document_pages(
 ) -> list[tuple[str, dict[str, dict[int, str]], list]]:
     """Per page, in page order: (decompressed content, {font_name ->
     ToUnicode CID table}, visible-annotation text runs, (rotation,
-    mediabox width, mediabox height)).
+    mediabox width, mediabox height), damage note or None — set when a
+    page's content streams were missing (truncated file) or undecodable
+    (corrupt bytes): the page is SALVAGED with whatever decoded, never
+    the whole document dropped).
 
     ``string_decryptor`` (from :func:`_decrypt_payload`) decrypts
     annotation /Contents strings at read time on formerly-encrypted
@@ -1901,14 +2000,20 @@ def _document_pages(
         # damaged-file fallback: every stream is a page — EXCEPT
         # cross-reference streams (binary entry tables, corpus v6) and
         # object streams (packed dictionaries, corpus v7): both are
-        # structure, never content
-        return [
-            (_decode_stream(h, d), {}, [], (0, 0.0, 0.0, 612.0, 792.0))
-            for _s, h, d, _sp in scanned
-            if not _TYPE_XREF_RE.search(h) and not _TYPE_OBJSTM_RE.search(h)
-        ]
+        # structure, never content.  An undecodable stream (corrupt
+        # bytes) becomes an EMPTY damaged page, not a dead document.
+        out = []
+        for _s, h, d, _sp in scanned:
+            if _TYPE_XREF_RE.search(h) or _TYPE_OBJSTM_RE.search(h):
+                continue
+            try:
+                text, dmg = _decode_stream(h, d), None
+            except ValueError as exc:
+                text, dmg = "", f"undecodable stream: {exc}"
+            out.append((text, {}, [], (0, 0.0, 0.0, 612.0, 792.0), dmg))
+        return out
     (groups, fonts_per_page, xobjs_per_page, annots_per_page,
-     geom_per_page, owner, bodies, objstm_oids) = graph
+     geom_per_page, damage_per_page, owner, bodies, objstm_oids) = graph
     cmap_cache: dict[int, dict[int, str] | None] = {}
     form_cache: dict[int, tuple] = {}  # one decode per form per document
     splice_budget = [_MAX_DECODED]  # ONE budget for the whole document:
@@ -1943,13 +2048,22 @@ def _document_pages(
         return cmap_cache[font_oid]
 
     pages: list = []
-    for group, fonts, xobjs, annots, geom in zip(
+    for group, fonts, xobjs, annots, geom, damage in zip(
         groups, fonts_per_page, xobjs_per_page, annots_per_page,
-        geom_per_page,
+        geom_per_page, damage_per_page,
     ):
-        text = "\n".join(
-            _decode_stream(scanned[si][1], scanned[si][2]) for si in group
-        )
+        texts: list[str] = []
+        for si in group:
+            try:
+                texts.append(_decode_stream(scanned[si][1], scanned[si][2]))
+            except ValueError as exc:
+                # corrupt content bytes (damaged download): salvage the
+                # page's other streams, mark the page — one bad stream
+                # must cost one page, never the document (round-7 ask #1)
+                damage = (
+                    f"{damage}; " if damage else ""
+                ) + f"undecodable content stream: {exc}"
+        text = "\n".join(texts)
         if xobjs:
             # corpus v12: Form XObject content splices in at its `Do`
             # invocation; the form's own fonts merge into ``fonts``
@@ -1969,6 +2083,7 @@ def _document_pages(
             cmaps,
             _annot_runs(annots, bodies, string_decryptor, objstm_oids),
             geom,
+            damage,
         ))
     return pages
 
@@ -2053,7 +2168,13 @@ def _column_blocks(
 
 
 def extract_pages(payload: bytes) -> list[dict[str, Any]]:
-    """Extract the page list (ocr_pages shape) from one PDF payload."""
+    """Extract the page list (ocr_pages shape) from one PDF payload.
+
+    Pages salvaged from a damaged file (truncated download, corrupt
+    content bytes — the Common-Crawl norm) carry an extra ``"damage"``
+    note; the document-level caller (:func:`markmuse_spark.kernel.
+    extract.extract_document`) folds those into a deterministic partial-
+    extraction error while KEEPING the recovered pages' markdown."""
     if not payload:
         raise ValueError("empty payload")
     if not isinstance(payload, bytes):
@@ -2075,13 +2196,24 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     doc_pages = _document_pages(payload, string_decryptor=str_fn)
     if not doc_pages:
         raise ValueError("no content streams")
-    for page_idx, (stream, cmaps, annot_runs, geom) in enumerate(doc_pages):
+    for page_idx, (stream, cmaps, annot_runs, geom, damage) in enumerate(
+        doc_pages
+    ):
         runs = _parse_runs(stream, cmaps) + annot_runs
         rot, x0, y0, w, h = geom
         if rot:  # corpus v16: cluster on the VISUAL (rotated) coords
             runs = _rotate_runs(runs, rot, x0, y0, w, h)
         if not runs:
-            pages.append({"page_idx": page_idx, "markdown": "", "images": []})
+            page: dict[str, Any] = {
+                "page_idx": page_idx, "markdown": "", "images": [],
+            }
+            if damage:
+                # round-7 ask #1: a salvaged (truncated/corrupt) page is
+                # a STRUCTURED partial result — the caller aggregates
+                # these into the document's error note while keeping the
+                # recovered pages' markdown
+                page["damage"] = damage
+            pages.append(page)
             continue
         counts = Counter(r[0] for r in runs)
         top = max(counts.values())
@@ -2090,7 +2222,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         for col in _cluster_columns(runs):
             if col:
                 blocks.extend(_column_blocks(col, body_size))
-        pages.append(
-            {"page_idx": page_idx, "markdown": "\n\n".join(blocks), "images": []}
-        )
+        page = {
+            "page_idx": page_idx, "markdown": "\n\n".join(blocks), "images": [],
+        }
+        if damage:  # partially-salvaged page (some streams recovered)
+            page["damage"] = damage
+        pages.append(page)
     return pages

@@ -24,7 +24,11 @@ from __future__ import annotations
 
 import datetime as _dt
 import random
+import re
 from typing import Any, Optional
+
+# v17 garbled-xref rewrite: the single startxref our writer emits
+_STARTXREF_RE = re.compile(rb"startxref\s+\d+")
 
 from markmuse_spark.golden import oracle
 from markmuse_spark.sources import docmodel, pdf_writer
@@ -298,6 +302,29 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 pm["rotate"] = (
                     90 if rdraw < 0.027 else (270 if rdraw < 0.054 else 180)
                 )
+        # v17 (appended doc-level draw): the WILD-INPUT population —
+        # ~10% of eligible classic unencrypted files are HYBRID-REFERENCE
+        # (spec 7.5.8.4: classic table + /XRefStm pointing at an xref
+        # STREAM whose fields take precedence; extraction unchanged);
+        # ~3% have a GARBLED xref (startxref out of range — the damaged-
+        # download form; root resolution must fall back to the body scan,
+        # extraction unchanged); ~2.5% of eligible multi-page files are
+        # TRUNCATED mid-way through the LAST page's content stream (the
+        # Common-Crawl norm): the kernel salvages every intact page and
+        # reports a deterministic PartialExtraction error note alongside
+        # the recovered markdown — never all-or-nothing
+        v17draw = rng.random()
+        hybrid = truncate_last = garble = False
+        if v17draw < 0.10:
+            hybrid = not (xref_stream or object_streams or cipher)
+        elif v17draw < 0.13:
+            garble = not cipher
+        elif v17draw < 0.155:
+            truncate_last = (
+                len(pages_model) >= 2
+                and not (xref_stream or object_streams or cipher)
+                and not pages_model[-1].get("annot_text")
+            )
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,
@@ -305,16 +332,35 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             object_streams=object_streams,
             xref_predictor=xref_predictor,
             encrypt=cipher,
+            hybrid_xref=hybrid,
         )
+        err = None
+        if garble:
+            payload = _STARTXREF_RE.sub(
+                b"startxref\n9999999999", payload, count=1
+            )
+        elif truncate_last:
+            # cut inside the final content stream's data: the stream is
+            # unterminated, the xref/trailer tail is gone — every page
+            # but the last survives; the last page's expected markdown
+            # is EMPTY and the document carries the partial note
+            payload = payload[: payload.rfind(b"endstream") - 5]
+            err = (
+                f"PartialExtraction: 1/{len(pages_model)} pages damaged"
+            )
         expected = [
             {
                 "page_idx": k,
-                "markdown": pdf_writer.expected_pdf_page_markdown(pm),
+                "markdown": (
+                    ""
+                    if truncate_last and k == len(pages_model) - 1
+                    else pdf_writer.expected_pdf_page_markdown(pm)
+                ),
                 "images": [],
             }
             for k, pm in enumerate(pages_model)
         ]
-        return url, payload, expected, None
+        return url, payload, expected, err
 
     blocks = docmodel.random_page_blocks(rng, lang)
     if i % 1000 == 500:  # skew straggler: ~100x median payload
@@ -345,7 +391,7 @@ def make_page_row(i: int, seed: int = 42) -> dict[str, Any]:
 def make_golden_row(i: int, seed: int = 42) -> dict[str, Any]:
     """One row of the ``golden_markdown`` table (FIXTURES §3 schema)."""
     url, _payload, expected, err = _make_doc(i, seed)
-    if err is not None:
+    if expected is None:  # hard-error row (no pages recoverable)
         return {
             "url": url,
             "markdown": None,
@@ -353,13 +399,15 @@ def make_golden_row(i: int, seed: int = 42) -> dict[str, Any]:
             "n_images": 0,
             "error_expected": err,
         }
+    # partial rows (corpus v17 truncation) carry BOTH: the salvaged
+    # pages' assembled markdown AND the deterministic error note
     doc = oracle.assemble_document(url, expected)
     return {
         "url": url,
         "markdown": doc["markdown"],
         "extracted_text": doc["extracted_text"],
         "n_images": len(doc["image_manifest"]),
-        "error_expected": None,
+        "error_expected": err,
     }
 
 

@@ -646,6 +646,7 @@ def write_pdf(
     object_streams: bool = False,
     xref_predictor: bool = False,
     encrypt: bool = False,
+    hybrid_xref: bool = False,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -1229,10 +1230,36 @@ def write_pdf(
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
         return bytes(out)
 
+    if hybrid_xref and (xref_stream or object_streams or cipher):
+        # dialect constraint (documented): the hybrid-reference form
+        # (spec 7.5.8.4) IS a classic-table file by construction, and
+        # xref streams are never encrypted (they must be readable before
+        # any key derivation) — the corpus keeps hybrids unencrypted
+        raise ValueError("hybrid_xref requires the plain classic-xref dialect")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
         offsets.append(len(out))
         out += b"%d 0 obj\n%b\nendobj\n" % (i, obj)
+    xrefstm_extra = b""
+    if hybrid_xref:
+        # HYBRID-REFERENCE file (corpus v17, spec 7.5.8.4 — the
+        # Acrobat-6-era compatibility form): a /Type /XRef stream with
+        # the authoritative entries is written FIRST, then the classic
+        # table whose trailer points at it via /XRefStm; startxref still
+        # targets the classic table.  A 1.4 consumer reads the table, a
+        # 1.5 consumer must prefer the stream's fields.
+        xref_id = len(objects) + 1
+        xrefstm_at = len(out)
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
+        for off in offsets[1:] + [xrefstm_at]:
+            rows.append(_t1(off))
+        entries, parms = _entry_stream(rows)
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"%b/Filter /FlateDecode /Length %d >>\nstream\n%b\nendstream\nendobj\n"
+            % (xref_id, xref_id + 1, parms, len(entries), entries)
+        )
+        xrefstm_extra = b" /XRefStm %d" % xrefstm_at
     xref_at = len(out)
     if xref_stream:
         # spec 7.5.8: entries are fixed-width binary rows (/W widths,
@@ -1261,8 +1288,8 @@ def write_pdf(
             idh = file_id.hex().encode()
             enc_entry = b" /Encrypt %d 0 R /ID [<%b> <%b>]" % (enc_id, idh, idh)
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R%b >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, enc_entry, xref_at)
+            b"trailer\n<< /Size %d /Root 1 0 R%b%b >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, enc_entry, xrefstm_extra, xref_at)
         )
     return bytes(out)
 

@@ -14,6 +14,20 @@ from markmuse_spark.kernel.extract import extract_document
 from markmuse_spark.sources import docmodel
 
 
+
+def _assert_row_invariant(row):
+    """Round 7 (partial salvage): three legal row states — success
+    (markdown, no error), hard error (no markdown, error), and PARTIAL
+    (markdown AND a PartialExtraction note: salvaged pages ship with the
+    damage disclosure). Anything else is a contract violation."""
+    if row["error"] is None:
+        assert row["markdown"] is not None
+    elif row["error"].startswith("PartialExtraction:"):
+        assert row["markdown"] is not None
+    else:
+        assert row["markdown"] is None
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(min_size=0, max_size=4096))
 def test_arbitrary_bytes_never_raise(payload):
@@ -22,8 +36,7 @@ def test_arbitrary_bytes_never_raise(payload):
         "url", "markdown", "extracted_text", "n_pages", "n_images",
         "n_chars", "error",
     }
-    # either a successful extraction or a captured error, never both/neither
-    assert (row["markdown"] is None) == (row["error"] is not None)
+    _assert_row_invariant(row)
 
 
 @settings(max_examples=150, deadline=None)
@@ -64,7 +77,7 @@ def test_truncated_pdf_never_raises(seed, cut):
 
     pdf = pdf_writer.write_pdf(docmodel.random_pdf_pages(rng, "en"))
     row = extract_document("https://f.example/x/d.pdf", pdf[: min(cut, len(pdf))])
-    assert (row["markdown"] is None) == (row["error"] is not None)
+    _assert_row_invariant(row)
 
 
 @settings(max_examples=40, deadline=None)
@@ -244,7 +257,7 @@ def test_mutated_encrypted_pdf_never_raises(seed, flip):
     payload = bytearray(pdf_writer.write_pdf(pages, encrypt=True))
     payload[flip % len(payload)] ^= 0xA5
     row = extract_document("https://x/efz.pdf", bytes(payload))
-    assert (row["markdown"] is None) == (row["error"] is not None)
+    _assert_row_invariant(row)
 
 
 @settings(max_examples=40, deadline=None)
@@ -265,7 +278,7 @@ def test_mutated_filter_chain_pdf_never_raises(seed, flip):
     payload = bytearray(pdf_writer.write_pdf(pages))
     payload[flip % len(payload)] ^= 0x5A
     row = extract_document("https://x/ffz.pdf", bytes(payload))
-    assert (row["markdown"] is None) == (row["error"] is not None)
+    _assert_row_invariant(row)
 
 
 @settings(max_examples=30, deadline=None)
@@ -289,4 +302,4 @@ def test_mutated_aes_pdf_never_raises(seed, flip, cipher):
     )
     payload[flip % len(payload)] ^= 0xA5
     row = extract_document("https://x/aesfz.pdf", bytes(payload))
-    assert (row["markdown"] is None) == (row["error"] is not None)
+    _assert_row_invariant(row)

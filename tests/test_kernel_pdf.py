@@ -1020,14 +1020,23 @@ def test_scalar_decoders_oracle_and_errors():
 
 
 def test_unsupported_filter_is_loud():
-    """A filter outside the decode set (image codecs) must raise a
-    structured ValueError — the row errors, the bytes never flow on."""
+    """A filter outside the decode set (image codecs) on a CONTENT
+    stream must surface as structured page damage — round 7: salvaged
+    per page (the page empties, the damage note names the filter, the
+    document row gets a PartialExtraction error), no longer
+    whole-document-fatal, and the bytes never flow into the text."""
+    from markmuse_spark.kernel.extract import extract_document
+
     pages = [_simple_page("body text here")]
     pages[0]["compress"] = True
     pdf = pdf_writer.write_pdf(pages)
     bad = pdf.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode  ", 1)
-    with pytest.raises(ValueError, match="unsupported stream filter"):
-        pdf_extract.extract_pages(bad)
+    got = pdf_extract.extract_pages(bad)
+    assert [p["markdown"] for p in got] == [""]
+    assert "unsupported stream filter" in got[0]["damage"]
+    row = extract_document("https://x.example/f.pdf", bad)
+    assert row["error"] == "PartialExtraction: 1/1 pages damaged"
+    assert row["markdown"] == ""  # never the raw bytes
 
 
 def _simple_page(text: str) -> dict:
@@ -1138,7 +1147,11 @@ def test_corpus_v10_emits_and_roundtrips_new_forms():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        # corpus v17: a few % of rows are deliberately damaged
+        # (truncated last stream) — those carry a deterministic
+        # PartialExtraction note and STILL must extract to their
+        # expected (salvaged) markdown below; any other err is a bug
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         for tag, needle in (
             ("lzw", b"/LZWDecode"),
             ("a85", b"/ASCII85Decode"),
@@ -1323,7 +1336,7 @@ def test_corpus_v11_emits_and_roundtrips_aes_forms():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Encrypt" not in payload:
             continue
         if b"/CFM /AESV3" in payload:
@@ -1471,7 +1484,7 @@ def test_corpus_v12_emits_and_roundtrips_form_xobjects():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Subtype /Form" not in payload:
             continue
         n_form += 1
@@ -1611,7 +1624,7 @@ def test_corpus_v13_emits_and_roundtrips_winansi_pages():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/WinAnsiEncoding" not in payload:
             continue
         n_win += 1
@@ -1681,7 +1694,7 @@ def test_corpus_v14_emits_and_roundtrips_type3_docs():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Subtype /Type3" not in payload:
             continue
         n_t3 += 1
@@ -1879,7 +1892,7 @@ def test_corpus_v14_1_emits_and_roundtrips_macroman_pages():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Encoding /MacRomanEncoding" not in payload:
             continue
         n_mac += 1
@@ -1995,7 +2008,7 @@ def test_corpus_v15_emits_and_roundtrips_annotations():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Subtype /FreeText" not in payload:
             continue
         n_annot += 1
@@ -2016,7 +2029,7 @@ def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/DCTDecode" not in payload:
             continue
         n_ocr += 1
@@ -2026,7 +2039,8 @@ def test_corpus_v15_1_ocr_layer_docs_extract_their_invisible_text():
             else payload
         )
         decoded = "\n".join(
-            text for text, _cm, _an, _g in pdf_extract._document_pages(plain)
+            text
+            for text, _cm, _an, _g, _dmg in pdf_extract._document_pages(plain)
         )
         assert "3 Tr" in decoded  # content streams may be compressed
         got = [p["markdown"] for p in pdf_extract.extract_pages(payload)]
@@ -2169,7 +2183,7 @@ def test_corpus_v16_emits_and_roundtrips_rotated_pages():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Rotate" not in payload:
             continue
         n_rot += 1
@@ -2261,7 +2275,7 @@ def test_corpus_v16_1_emits_encrypted_annotated_docs():
         if i % 50 == 7:
             continue
         url, payload, expected, err = corpus._make_doc(i, 42)
-        assert err is None
+        assert err is None or err.startswith("PartialExtraction:"), (i, err)
         if b"/Encrypt" not in payload or b"/Subtype /FreeText" not in payload:
             continue
         n += 1
@@ -2318,3 +2332,232 @@ def test_rotate_inherited_from_pages_node_and_offset_mediabox():
     pdf = _classic_pdf(objs)
     got = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
     assert got == ["# Big Title\n\nbody words here"]
+
+
+# ---------------------------------------------------------------------------
+# round 7 (corpus v17): wild-input recovery — truncation salvage, hybrid
+# /XRefStm precedence, garbled-xref robustness
+# ---------------------------------------------------------------------------
+
+def _two_pages() -> list[dict]:
+    return [
+        _simple_page("alpha body one two three"),
+        {**_simple_page("beta body four five six"),
+         "blocks": [
+             {"t": "h", "level": 1, "text": "Beta Title"},
+             {"t": "p", "spans": [("", "beta body four five six")]},
+         ]},
+    ]
+
+
+def test_truncated_last_stream_salvages_intact_pages():
+    """Round-7 ask #1: a download cut mid-way through the LAST page's
+    content stream (the Common-Crawl norm) must salvage every intact
+    page and mark the damaged one — never demote the whole document to
+    the stream-scan fallback or a dead row."""
+    from markmuse_spark.kernel.extract import extract_document
+
+    pages = _two_pages()
+    pdf = pdf_writer.write_pdf(pages)
+    full = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    cut = pdf[: pdf.rfind(b"endstream") - 5]  # also drops xref + trailer
+    got = pdf_extract.extract_pages(cut)
+    assert got[0]["markdown"] == full[0] and "damage" not in got[0]
+    assert got[1]["markdown"] == "" and "missing" in got[1]["damage"]
+    row = extract_document("https://x.example/t.pdf", cut)
+    assert row["error"] == "PartialExtraction: 1/2 pages damaged"
+    assert full[0] in row["markdown"]  # recovered markdown ships
+
+
+def test_corrupt_content_stream_salvages_other_pages():
+    """One undecodable (bit-flipped) compressed content stream costs one
+    page, not the document."""
+    import re as _re
+
+    from markmuse_spark.kernel.extract import extract_document
+
+    pages = _two_pages()
+    for p in pages:
+        p["compress"] = True
+    pdf = pdf_writer.write_pdf(pages)
+    full = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+    s = [m.end() for m in _re.finditer(rb"(?<!end)stream\n", pdf)][-1]
+    bad = bytearray(pdf)
+    for k in range(10, 20):
+        bad[s + k] ^= 0xFF
+    got = pdf_extract.extract_pages(bytes(bad))
+    assert got[0]["markdown"] == full[0]
+    assert got[1]["markdown"] == "" and "undecodable" in got[1]["damage"]
+    row = extract_document("https://x.example/c.pdf", bytes(bad))
+    assert row["error"] == "PartialExtraction: 1/2 pages damaged"
+
+
+def test_all_pages_dangling_still_falls_back_whole_file():
+    """The salvage path must NOT replace the whole-file fallback when the
+    graph yields NOTHING (every page's content dangles) — the pinned
+    ObjStm-supersession behavior (see
+    test_objstm_packed_redefinition_disowns_stale_stream)."""
+    pdf = pdf_writer.write_pdf([_simple_page("only page text")])
+    cut = pdf[: pdf.rfind(b"endstream") - 5]  # 1-page doc: nothing left
+    scanned = pdf_extract._scan_streams(cut)
+    assert pdf_extract._page_graph(cut, scanned) is None
+
+
+def test_hybrid_xref_stream_takes_precedence_over_classic():
+    """Spec 7.5.8.4 (round-7 ask #4): in a hybrid-reference file the
+    /XRefStm stream's fields win over the classic trailer's — a tampered
+    classic /Root must NOT steer root resolution; with the stream
+    unreadable, the classic trailer stands."""
+    pages = _two_pages()
+    hyb = pdf_writer.write_pdf(pages, hybrid_xref=True)
+    assert b"/XRefStm" in hyb
+    want = [p["markdown"] for p in pdf_extract.extract_pages(
+        pdf_writer.write_pdf(pages))]
+    assert [p["markdown"] for p in pdf_extract.extract_pages(hyb)] == want
+
+    # classic trailer lies (/Root -> the font object); stream must win
+    tpos = hyb.rfind(b"trailer")
+    tam = hyb[:tpos] + hyb[tpos:].replace(b"/Root 1 0 R", b"/Root 3 0 R", 1)
+    scanned = pdf_extract._scan_streams(tam)
+    blanked, _ = pdf_extract._blanked_objects(tam, scanned)
+    assert pdf_extract._trailer_root(blanked, scanned) == 1
+    assert [p["markdown"] for p in pdf_extract.extract_pages(tam)] == want
+
+    # stream blanked out: classic trailer is the only (now lying) source
+    dead = tam.replace(b"/Type /XRef", b"/Type /Junk")
+    scanned2 = pdf_extract._scan_streams(dead)
+    blanked2, _ = pdf_extract._blanked_objects(dead, scanned2)
+    assert pdf_extract._trailer_root(blanked2, scanned2) == 3
+
+    # hybrid + PNG-predicted entry table (the common producer pairing)
+    hyb2 = pdf_writer.write_pdf(pages, hybrid_xref=True, xref_predictor=True)
+    assert [p["markdown"] for p in pdf_extract.extract_pages(hyb2)] == want
+
+
+def test_garbled_startxref_extracts_unchanged():
+    """A damaged xref pointer (startxref out of range) must not change
+    extraction: root resolution falls back to the body scan."""
+    import re as _re
+
+    for kwargs in ({}, {"xref_stream": True}, {"object_streams": True}):
+        pages = _two_pages()
+        pdf = pdf_writer.write_pdf(pages, **kwargs)
+        want = [p["markdown"] for p in pdf_extract.extract_pages(pdf)]
+        bad = _re.sub(rb"startxref\s+\d+", b"startxref\n9999999999", pdf)
+        assert [p["markdown"] for p in pdf_extract.extract_pages(bad)] == want
+
+
+def test_hybrid_xref_rejects_incompatible_dialects():
+    with pytest.raises(ValueError, match="hybrid_xref"):
+        pdf_writer.write_pdf([_simple_page("x")], hybrid_xref=True,
+                             xref_stream=True)
+    with pytest.raises(ValueError, match="hybrid_xref"):
+        pdf_writer.write_pdf([_simple_page("x")], hybrid_xref=True,
+                             encrypt=True)
+
+
+def test_inline_image_coincidental_ei_in_sample_data():
+    """Round-6 advice: a coincidental `` EI `` INSIDE the sample bytes
+    must not terminate the image early and feed the remaining binary to
+    the tokenizer.  Unfiltered data: the /W /H /BPC /CS length wins;
+    filtered data: a candidate EI followed by binary noise is rejected
+    in favor of one that resumes as operators."""
+    # 3x2 RGB @8bpc = 18 sample bytes, bytes 5..9 spell " EI " and the
+    # remainder spells a text op that must never mint
+    sample = "abcd EI (x)Tj\x01\x02abc"
+    assert len(sample) == 18
+    content = (
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (keep me) Tj ET\n"
+        "BI /W 3 /H 2 /CS /RGB /BPC 8 ID\n" + sample + "\nEI\n"
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (also keep) Tj ET"
+    )
+    stripped = pdf_extract._strip_inline_images(content)
+    assert "keep me" in stripped and "also keep" in stripped
+    assert "(x)Tj" not in stripped
+
+    # filtered form (length unknowable): the early EI is followed by
+    # binary noise -> rejected; the real EI resumes with an operator
+    content2 = (
+        "BI /W 3 /H 2 /F /Fl ID\nzz EI \xff\xfe(y)Tj\x80\x81 EI\nQ\n"
+        "BT (tail text) Tj ET"
+    )
+    stripped2 = pdf_extract._strip_inline_images(content2)
+    assert "tail text" in stripped2
+    assert "(y)Tj" not in stripped2
+
+
+def test_pdf2_hash_r6_against_independent_replica():
+    """ADVICE round 6: the R6 KDF is one implementation shared by writer
+    and kernel, previously pinned only by a self-minted regression hex.
+    No external tool (qpdf/Acrobat) exists in this sandbox to mint a
+    foreign vector, so this is the strongest available independence: a
+    SECOND Algorithm-2.B implementation written here in a different
+    shape (explicit round counter, for/break instead of the while-guard)
+    from the ISO 32000-2 7.6.4.3.4 description — the stop-condition
+    semantics (>= 64 rounds, then stop once E's last byte <= rounds_done
+    - 32, checked BEFORE each extra round) are exercised across inputs
+    whose stop round differs, so an off-by-one in either copy diverges."""
+    import hashlib
+
+    from markmuse_spark.kernel import aes
+
+    def replica_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+        k = hashlib.sha256(password + salt + udata).digest()
+        rounds_done = 0
+        last_e = b"\x00"
+        for _ in range(10_000):  # hard bound; spec loop terminates long before
+            if rounds_done >= 64 and last_e[-1] <= rounds_done - 32:
+                break
+            k1 = (password + k + udata) * 64
+            last_e = aes.cbc_encrypt(k[:16], k[16:32], k1)
+            digest = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+                sum(last_e[:16]) % 3
+            ]
+            k = digest(last_e).digest()
+            rounds_done += 1
+        return k[:32]
+
+    cases = [
+        (b"", b"salzsalz", b""),
+        (b"", b"\x00" * 8, b""),
+        (b"user pw", b"12345678", b""),
+        (b"owner", b"abcdefgh", b"U" * 48),
+        (b"\xe2\x82\xac-utf8", b"saltsalt", b""),
+    ] + [(b"p%d" % i, b"s%07d" % i, b"") for i in range(12)]
+    for pw, salt, ud in cases:
+        assert aes.pdf2_hash(pw, salt, ud, 6) == replica_2b(pw, salt, ud), (
+            pw, salt)
+    # the committed regression hex stays pinned (drift in BOTH copies at
+    # once would still be loud here)
+    assert aes.pdf2_hash(b"", b"salzsalz", b"", 6).hex() == (
+        "0c7bbcb60d239b9e7e06e39ac139964ff8a0f6058b28e3bdf6e9b0668c179953"
+    )
+
+
+def test_aesv3_u_verify_and_ue_unwrap_replica_chain():
+    """The V5 credential chain (/U validation salt hash, /UE
+    intermediate-key unwrap) re-derived in-test from the writer's raw
+    security-dict fields, independently of the kernel's
+    _aesv3_file_key: the unwrapped file key must match the writer's."""
+    import hashlib
+
+    from markmuse_spark.kernel import aes
+    from markmuse_spark.sources.pdf_writer import _aesv3_security
+
+    for r in (5, 6):
+        file_id = hashlib.md5(b"chain|%d" % r).digest()
+        key, o_val, u_val, oe, ue, perms = _aesv3_security(file_id, p=-44, r=r)
+        vs, ks = u_val[32:40], u_val[40:48]
+        # /U verify: hash(password="", validation salt) == U[:32]
+        assert aes.pdf2_hash(b"", vs, b"", r) == u_val[:32]
+        # /UE unwrap: AES-256-CBC-decrypt(hash(pw, key salt), iv=0, UE)
+        unwrapped = aes.cbc_decrypt(
+            aes.pdf2_hash(b"", ks, b"", r), bytes(16), ue[:32]
+        )
+        assert unwrapped == key
+        # /Perms: decrypts under the file key to 'adb' marker (spec
+        # 7.6.4.4.12); P = -44 little-endian in the first 4 bytes
+        pdec = aes.ecb_decrypt(key, perms) if hasattr(aes, "ecb_decrypt") else None
+        if pdec is not None:
+            assert pdec[9:12] == b"adb"
+            assert int.from_bytes(pdec[:4], "little", signed=True) == -44
