@@ -2185,7 +2185,18 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         # here (the HTML path never copies; see html_extract)
         payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
-        raise ValueError("not a PDF payload")
+        # junk before the header (corpus v17.1; Annex C tolerance: up to
+        # 1024 bytes of proxy banner / HTTP leak / encoding residue) —
+        # slice FROM THE HEADER: prepended junk leaves the xref offsets
+        # header-relative so they land after the slice; offsets that
+        # were junk-relative at write time miss and fall through to the
+        # body-scan recovery.  Routing (PDF vs HTML) already happened in
+        # the dispatcher (kernel.extract._pdf_offset) — this keeps the
+        # kernel itself tolerant for direct callers.
+        idx = payload.find(b"%PDF-", 1, 1024 + 5)
+        if idx < 0:
+            raise ValueError("not a PDF payload")
+        payload = payload[idx:]
     str_fn = None
     if b"/Encrypt" in payload:  # cheap pre-filter; the real check parses
         payload, str_fn = _decrypt_payload(payload)  # no-op on fluke

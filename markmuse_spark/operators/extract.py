@@ -339,7 +339,7 @@ def extract_images(
     or date at the sink for 10^12-scale layouts."""
     import pyarrow as pa
 
-    from markmuse_spark.kernel import html_extract, pdf_extract
+    from markmuse_spark.kernel.extract import extract_pages_sniffed
     from markmuse_spark.kernel.markdown_assembly import extract_images_one
 
     schema = pa.schema(
@@ -366,10 +366,9 @@ def extract_images(
                 if not payload:
                     continue
                 try:
-                    if payload[:4] == b"%PDF":
-                        pgs = pdf_extract.extract_pages(payload)
-                    else:
-                        pgs = html_extract.extract_pages(payload)
+                    # same sniffed dispatch as the markdown job — the
+                    # images table must see the same document set
+                    pgs = extract_pages_sniffed(payload)
                     rows = extract_images_one(url, pgs)
                 except Exception:
                     continue  # per-row error capture is the markdown job's

@@ -30,6 +30,17 @@ from typing import Any, Optional
 # v17 garbled-xref rewrite: the single startxref our writer emits
 _STARTXREF_RE = re.compile(rb"startxref\s+\d+")
 
+# v17.1 junk-before-header forms (all < 1024 bytes, none containing
+# "%PDF-" or an "obj" keyword): HTTP response leak, proxy comment
+# banner, UTF-8 BOM + nulls, chunked-encoding size residue
+_JUNK_PREFIXES = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n"
+    b"Content-Length: 999999\r\n\r\n",
+    b"<!-- cache: hit upstream=edge-7 -->\r\n" * 8,
+    b"\xef\xbb\xbf" + b"\x00" * 37,
+    b"1ff8\r\n",
+)
+
 from markmuse_spark.golden import oracle
 from markmuse_spark.sources import docmodel, pdf_writer
 
@@ -348,6 +359,16 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             err = (
                 f"PartialExtraction: 1/{len(pages_model)} pages damaged"
             )
+        # v17.1: ~3% of PDFs arrive with JUNK BEFORE THE HEADER — a proxy
+        # banner, an HTTP response leak, chunked-encoding residue (spec
+        # Annex C tolerance: up to 1024 bytes, offsets header-relative).
+        # Applied LAST so it composes with garble/truncate; expected
+        # markdown is UNCHANGED — the kernel must sniff the header, slice,
+        # and extract identically instead of minting the raw PDF syntax
+        # through the HTML path.
+        jdraw = rng.random()
+        if jdraw < 0.03:
+            payload = _JUNK_PREFIXES[int(jdraw * 1000) % len(_JUNK_PREFIXES)] + payload
         expected = [
             {
                 "page_idx": k,

@@ -2561,3 +2561,70 @@ def test_aesv3_u_verify_and_ue_unwrap_replica_chain():
         if pdec is not None:
             assert pdec[9:12] == b"adb"
             assert int.from_bytes(pdec[:4], "little", signed=True) == -44
+
+
+# ---------------------------------------------------------------------------
+# round 7 (corpus v17.1): junk before the %PDF header (Annex C tolerance)
+# ---------------------------------------------------------------------------
+
+def test_junk_prefixed_pdf_sniffs_and_extracts_identically():
+    """A PDF with up to 1024 bytes of junk before the header (proxy
+    banner / HTTP leak / BOM+nulls / chunked residue — the wild-download
+    norm) must extract IDENTICALLY to the clean file: the old strict
+    magic test routed these to the HTML extractor, which minted the raw
+    PDF syntax as markdown."""
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.sources.corpus import _JUNK_PREFIXES
+
+    pdf = pdf_writer.write_pdf(_two_pages())
+    base = extract_document("https://x.example/j.pdf", pdf)
+    assert base["error"] is None and "alpha body" in base["markdown"]
+    for junk in _JUNK_PREFIXES + (b"x" * 1000 + b"\n",):
+        row = extract_document("https://x.example/j.pdf", junk + pdf)
+        assert row["markdown"] == base["markdown"], junk[:20]
+        assert row["error"] is None
+    # memoryview payloads (the zero-copy Arrow path) sniff identically
+    row = memoryview(_JUNK_PREFIXES[0] + pdf)
+    assert extract_document("https://x.example/j.pdf", row)[
+        "markdown"
+    ] == base["markdown"]
+
+
+def test_junk_prefix_composes_with_truncation_salvage():
+    """Junk prefix + truncated last stream (both v17 forms on one file):
+    the sniff slices to the header, then salvage recovers page 1."""
+    from markmuse_spark.kernel.extract import extract_document
+
+    pdf = pdf_writer.write_pdf(_two_pages())
+    cut = pdf[: pdf.rfind(b"endstream") - 5]
+    row = extract_document(
+        "https://x.example/jt.pdf",
+        b"HTTP/1.1 200 OK\r\n\r\n" + cut,
+    )
+    assert row["error"] == "PartialExtraction: 1/2 pages damaged"
+    assert "alpha body" in row["markdown"]
+
+
+def test_html_mentioning_pdf_magic_is_not_misrouted():
+    """An HTML page that MENTIONS "%PDF-" in its first kilobyte (a blog
+    post about PDF internals) must stay on the HTML path: the sniff
+    demands a corroborating obj keyword after the header candidate."""
+    from markmuse_spark.kernel.extract import extract_document
+
+    html = (
+        b"<html><head><title>About %PDF-1.7 headers</title></head>"
+        b"<body><article><h1>PDF internals</h1><p>Every file starts "
+        b"with a magic comment and version marker.</p></article>"
+        b"</body></html>"
+    )
+    row = extract_document("https://x.example/blog.html", html)
+    assert row["error"] is None
+    assert "PDF internals" in row["markdown"]
+    assert "endobj" not in row["markdown"]
+    # ...but junk-prefixed payloads WITH real structure route to PDF even
+    # when the junk itself is HTML-shaped
+    pdf = pdf_writer.write_pdf([_simple_page("route me right")])
+    row2 = extract_document(
+        "https://x.example/b.pdf", b"<!-- banner -->\n" + pdf
+    )
+    assert row2["error"] is None and "route me right" in row2["markdown"]
