@@ -326,6 +326,7 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # the recovered markdown — never all-or-nothing
         v17draw = rng.random()
         hybrid = truncate_last = garble = False
+        corrupt_idx = None
         if v17draw < 0.10:
             hybrid = not (xref_stream or object_streams or cipher)
         elif v17draw < 0.13:
@@ -336,6 +337,34 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 and not (xref_stream or object_streams or cipher)
                 and not pages_model[-1].get("annot_text")
             )
+        elif v17draw < 0.225:
+            # v17.2: ONE flipped byte in a MIDDLE page's Flate stream
+            # (bit rot / damaged sector): that page's expected markdown
+            # is EMPTY, every other page must extract intact, and the
+            # document carries the partial note — the "undecodable
+            # content stream" branch of the per-page damage capture
+            # (truncation above exercises the "missing stream" branch)
+            if len(pages_model) >= 2 and not (
+                xref_stream or object_streams or cipher
+            ):
+                mid = len(pages_model) // 2
+                # first eligible page, middle-out (damage can land on
+                # any page; middle-preferred so both salvage directions
+                # — pages before AND after the damage — stay exercised)
+                for k in sorted(
+                    range(len(pages_model)), key=lambda j: abs(j - mid)
+                ):
+                    pm = pages_model[k]
+                    if pm.get("filters") or (
+                        pm.get("annot_text")
+                        or pm.get("form_text")
+                        or pm.get("ocr_layer")
+                        or pm.get("inline_image")
+                    ):
+                        continue
+                    pm["compress"] = True  # plain Flate: loud failure
+                    corrupt_idx = k
+                    break
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,
@@ -344,8 +373,11 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             xref_predictor=xref_predictor,
             encrypt=cipher,
             hybrid_xref=hybrid,
+            corrupt_page_idx=corrupt_idx,
         )
         err = None
+        if corrupt_idx is not None:
+            err = f"PartialExtraction: 1/{len(pages_model)} pages damaged"
         if garble:
             payload = _STARTXREF_RE.sub(
                 b"startxref\n9999999999", payload, count=1
@@ -374,7 +406,8 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                 "page_idx": k,
                 "markdown": (
                     ""
-                    if truncate_last and k == len(pages_model) - 1
+                    if (truncate_last and k == len(pages_model) - 1)
+                    or k == corrupt_idx
                     else pdf_writer.expected_pdf_page_markdown(pm)
                 ),
                 "images": [],

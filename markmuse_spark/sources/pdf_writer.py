@@ -647,6 +647,7 @@ def write_pdf(
     xref_predictor: bool = False,
     encrypt: bool = False,
     hybrid_xref: bool = False,
+    corrupt_page_idx: "int | None" = None,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -1079,6 +1080,30 @@ def write_pdf(
             b"<< /Length %d %b>>\nstream\n%b\nendstream"
             % (len(data), fdecl, data)
         )
+
+    if corrupt_page_idx is not None:
+        # corpus v17.2: ONE flipped byte in the middle of one page's
+        # Flate-compressed content stream — the bit-rot/damaged-sector
+        # form.  adler32 guarantees the decode fails loudly, so the
+        # page's expected markdown is deterministically EMPTY and the
+        # kernel must salvage every other page (the "undecodable
+        # content stream" branch of the per-page damage capture).
+        if xref_stream or object_streams or encrypt or hybrid_xref:
+            raise ValueError(
+                "corrupt_page_idx requires the plain classic-xref dialect"
+            )
+        pg = pages[corrupt_page_idx]
+        if not pg.get("compress") or pg.get("filters"):
+            # only plain Flate guarantees a LOUD decode failure (LZW/
+            # A85/RL chains can decode flipped bytes silently) — fixture
+            # bug, not a silent skip
+            raise ValueError("corrupt_page_idx requires a compress page")
+        ci = first_page_id + 2 * corrupt_page_idx  # content obj, 0-based
+        obj = objects[ci]
+        ds = obj.index(b"stream\n") + 7
+        de = obj.rindex(b"\nendstream")
+        mid = ds + (de - ds) // 2
+        objects[ci] = obj[:mid] + bytes([obj[mid] ^ 0x5A]) + obj[mid + 1 :]
 
     enc_id = 0
     file_id = b""

@@ -303,3 +303,44 @@ def test_mutated_aes_pdf_never_raises(seed, flip, cipher):
     payload[flip % len(payload)] ^= 0xA5
     row = extract_document("https://x/aesfz.pdf", bytes(payload))
     _assert_row_invariant(row)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.binary(min_size=0, max_size=1024),
+    st.integers(0, 100_000),
+)
+def test_junk_prefixed_truncated_pdf_never_raises(seed, junk, cut):
+    """Corpus-v17.1 composition fuzz: ARBITRARY junk before the header ×
+    arbitrary truncation — the wild-download worst case.  The kernel
+    must hold the three-state row invariant (success / hard error /
+    partial salvage) for every combination, and a junk prefix containing
+    the PDF magic itself must never smuggle bytes into the text."""
+    import random
+
+    from markmuse_spark.sources import pdf_writer
+
+    rng = random.Random(seed)
+    pdf = pdf_writer.write_pdf(docmodel.random_pdf_pages(rng, "en"))
+    payload = junk + pdf[: min(cut, len(pdf))]
+    row = extract_document("https://f.example/x/d.pdf", payload)
+    _assert_row_invariant(row)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 100_000))
+def test_hybrid_xref_truncated_never_raises(seed, cut):
+    """Hybrid-reference files (classic trailer + /XRefStm) under
+    arbitrary truncation: the stream-over-classic precedence path must
+    degrade exactly like the classic path — structured rows only."""
+    import random
+
+    from markmuse_spark.sources import pdf_writer
+
+    rng = random.Random(seed)
+    pdf = pdf_writer.write_pdf(
+        docmodel.random_pdf_pages(rng, "en"), hybrid_xref=True
+    )
+    row = extract_document("https://f.example/x/h.pdf", pdf[: min(cut, len(pdf))])
+    _assert_row_invariant(row)

@@ -2628,3 +2628,75 @@ def test_html_mentioning_pdf_magic_is_not_misrouted():
         "https://x.example/b.pdf", b"<!-- banner -->\n" + pdf
     )
     assert row2["error"] is None and "route me right" in row2["markdown"]
+
+
+# ---------------------------------------------------------------------------
+# round 7 (corpus v17.2): mid-document bit-rot — corrupt-stream salvage
+# ---------------------------------------------------------------------------
+
+def test_corrupt_page_idx_writer_contract():
+    """The writer's corrupt_page_idx knob: one flipped byte inside the
+    chosen page's Flate stream, rejected outside the plain classic
+    dialect or on a non-compress page (silent skips would quietly mint
+    healthy files where the corpus promises damage)."""
+    pages = [
+        {**_simple_page("alpha body"), "compress": True},
+        {**_simple_page("beta body"), "compress": True},
+        {**_simple_page("gamma body"), "compress": True},
+    ]
+    clean = pdf_writer.write_pdf(pages)
+    bad = pdf_writer.write_pdf(pages, corrupt_page_idx=1)
+    assert len(bad) == len(clean)  # ONE byte differs, nothing moves
+    assert sum(a != b for a, b in zip(clean, bad)) == 1
+    with pytest.raises(ValueError, match="classic"):
+        pdf_writer.write_pdf(pages, corrupt_page_idx=1, xref_stream=True)
+    with pytest.raises(ValueError, match="compress"):
+        pdf_writer.write_pdf([_simple_page("x"), _simple_page("y")],
+                             corrupt_page_idx=1)
+
+
+def test_corrupt_mid_page_salvages_neighbors_both_sides():
+    """Corpus v17.2 semantics end-to-end: the flipped byte empties
+    EXACTLY the damaged page; pages before AND after extract intact and
+    the document row carries the deterministic partial note."""
+    from markmuse_spark.kernel.extract import extract_document
+
+    pages = [
+        {**_simple_page("alpha body one"), "compress": True},
+        {**_simple_page("beta body two"), "compress": True},
+        {**_simple_page("gamma body three"), "compress": True},
+    ]
+    clean = [p["markdown"]
+             for p in pdf_extract.extract_pages(pdf_writer.write_pdf(pages))]
+    bad = pdf_writer.write_pdf(pages, corrupt_page_idx=1)
+    got = pdf_extract.extract_pages(bad)
+    assert [p["markdown"] for p in got] == [clean[0], "", clean[2]]
+    assert "undecodable" in got[1]["damage"]
+    assert "damage" not in got[0] and "damage" not in got[2]
+    row = extract_document("https://x.example/c.pdf", bad)
+    assert row["error"] == "PartialExtraction: 1/3 pages damaged"
+    assert clean[0] in row["markdown"] and clean[2] in row["markdown"]
+
+
+def test_corpus_v17_2_emits_corrupt_mid_rows():
+    """The deterministic corpus actually carries the corrupt-mid
+    population, and each such row extracts to its expected salvage."""
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.golden.oracle import assemble_document
+    from markmuse_spark.sources import corpus
+
+    n = 0
+    for i in range(4, 12000, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        if expected is None or err is None:
+            continue
+        if b"%%EOF" not in payload[-30:]:
+            continue  # truncation rows; corrupt-mid keeps the tail
+        n += 1
+        row = extract_document(url, payload)
+        want = assemble_document(url, expected)
+        assert row["markdown"] == want["markdown"], url
+        assert row["error"] == err, url
+    assert n >= 10, n
