@@ -149,7 +149,7 @@ def extract_markdown(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        n_rows = n_err = sum_chars = sum_images = 0
+        n_rows = n_err = n_partial = sum_chars = sum_images = 0
         for batch in batches:
             urls = batch.column(0).to_pylist()
             payloads = _binary_views(batch.column(1))
@@ -160,6 +160,13 @@ def extract_markdown(
                     cols[j].append(row[name])
                 n_rows += 1
                 n_err += row["error"] is not None
+                # partial-salvage rows (damaged PDFs whose intact pages
+                # shipped) are a SUBSET of err_count — split out so an
+                # operator dashboard can tell "kept with disclosure"
+                # from "dead row" at a glance
+                n_partial += (row["error"] or "").startswith(
+                    "PartialExtraction:"
+                )
                 sum_chars += row["n_chars"]
                 sum_images += row["n_images"]
             arrays = [pa.array(c, type=schema.field(i).type) for i, c in enumerate(cols)]
@@ -172,6 +179,7 @@ def extract_markdown(
                         "url_count": n_rows,
                         "ok_count": n_rows - n_err,
                         "err_count": n_err,
+                        "partial_count": n_partial,
                         "sum_chars": sum_chars,
                         "sum_images": sum_images,
                     }
@@ -284,7 +292,7 @@ def extract_markdown_enhanced(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        n_rows = n_err = sum_chars = sum_images = 0
+        n_rows = n_err = n_partial = sum_chars = sum_images = 0
         for batch in batches:
             urls = batch.column(0).to_pylist()
             payloads = _binary_views(batch.column(1))
@@ -298,6 +306,13 @@ def extract_markdown_enhanced(
                     cols[j].append(row[name])
                 n_rows += 1
                 n_err += row["error"] is not None
+                # partial-salvage rows (damaged PDFs whose intact pages
+                # shipped) are a SUBSET of err_count — split out so an
+                # operator dashboard can tell "kept with disclosure"
+                # from "dead row" at a glance
+                n_partial += (row["error"] or "").startswith(
+                    "PartialExtraction:"
+                )
                 sum_chars += row["n_chars"]
                 sum_images += row["n_images"]
             arrays = [
@@ -312,6 +327,7 @@ def extract_markdown_enhanced(
                         "url_count": n_rows,
                         "ok_count": n_rows - n_err,
                         "err_count": n_err,
+                        "partial_count": n_partial,
                         "sum_chars": sum_chars,
                         "sum_images": sum_images,
                     }

@@ -268,7 +268,14 @@ def run_extraction(
                     "completed_at": completed_at,
                     "error_message": None,
                     "metrics": json.dumps(
-                        {"sum_chars": m["sum_chars"], "sum_images": m["sum_images"]}
+                        {
+                            "sum_chars": m["sum_chars"],
+                            "sum_images": m["sum_images"],
+                            # damaged-but-salvaged rows (subset of
+                            # err_count): markdown shipped WITH the
+                            # PartialExtraction disclosure
+                            "partial_count": m.get("partial_count", 0),
+                        }
                     ),
                 }
             )

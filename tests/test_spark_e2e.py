@@ -58,6 +58,11 @@ def test_full_run_with_sidecar(spark, small_corpus, tmp_path):
     assert job["url_count"] == N_ROWS
     # adversarial rows (i % 100 == 7, empty payloads) and corpus-v17
     # partial (truncated-PDF) rows both surface in the error column
+    expect_partial = sum(
+        1
+        for i in range(N_ROWS)
+        if (corpus._make_doc(i, 42)[3] or "").startswith("PartialExtraction:")
+    )
     expect_err = sum(
         1 for i in range(N_ROWS) if corpus._make_doc(i, 42)[3] is not None
     )
@@ -65,6 +70,13 @@ def test_full_run_with_sidecar(spark, small_corpus, tmp_path):
     extracted = spark.read.parquet(f"{out}/extracted")
     assert extracted.count() == N_ROWS
     runs = spark.read.parquet(f"{out}/extraction_runs")
+    import json as _json
+
+    got_partial = sum(
+        _json.loads(r["metrics"])["partial_count"]
+        for r in runs.filter("partition_id >= 0").collect()
+    )
+    assert got_partial == expect_partial
     parts = runs.filter(F.col("partition_id") >= 0)
     agg = parts.agg(F.sum("url_count"), F.sum("ok_count"), F.sum("err_count")).first()
     assert agg[0] == N_ROWS and agg[0] == agg[1] + agg[2]
