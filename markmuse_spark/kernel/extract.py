@@ -23,41 +23,20 @@ from markmuse_spark.kernel import html_extract, pdf_extract
 from markmuse_spark.kernel.markdown_assembly import assemble_one
 
 
-# Acrobat's documented tolerance (ISO 32000 Annex C / implementation
-# notes): the %PDF header may be preceded by up to 1024 bytes of junk —
-# proxy banners, chunked-encoding residue, a mail wrapper — and offsets
-# are then measured from the HEADER.  A crawl population is full of the
-# form; dispatching junk-prefixed PDFs to the HTML extractor would mint
-# the raw PDF syntax as markdown (mojibake straight into the corpus).
-_PDF_SNIFF_WINDOW = 1024
-
-
-def _pdf_offset(payload) -> Optional[int]:
-    """Byte offset of the ``%PDF-`` header, or None when the payload is
-    not a PDF.  Offset 0 is the plain magic test (the common case, no
-    copy).  A junk-prefixed header (within the first 1024 bytes) is
-    accepted only with corroborating PDF structure — an ``obj`` keyword
-    after the header — so an HTML page that merely MENTIONS ``%PDF-``
-    in its head is never misrouted; a real junk-prefixed PDF without a
-    single parseable object would die in the kernel anyway."""
-    if payload[:4] == b"%PDF":  # pre-sniff dispatch test, kept verbatim
-        return 0
-    head = bytes(payload[: _PDF_SNIFF_WINDOW + 5])
-    idx = head.find(b"%PDF-")
-    if idx <= 0:
-        return None
-    window = bytes(payload[idx : idx + 8192])
-    return idx if b" obj" in window or b"\nobj" in window else None
-
-
 def extract_pages_sniffed(payload) -> list[dict[str, Any]]:
-    """Kernel dispatch on sniffed payload type (see :func:`_pdf_offset`).
+    """Kernel dispatch on sniffed payload type.  A crawl population is
+    full of PDFs with junk before the ``%PDF`` header (Annex-C 1024-byte
+    tolerance); dispatching those to the HTML extractor would mint the
+    raw PDF syntax as markdown — mojibake straight into the corpus.
 
-    The sniff only ROUTES; the PDF kernel itself slices a junk-prefixed
-    payload from the header at its entry (prepended junk leaves xref
-    offsets header-relative, so they land after the slice; junk-relative
-    offsets miss and fall through to the body-scan recovery)."""
-    if _pdf_offset(payload) is None:
+    Routing and slicing share ONE rule
+    (:func:`markmuse_spark.kernel.pdf_extract.pdf_header_offset`): the
+    sniff here only ROUTES, and the PDF kernel slices a junk-prefixed
+    payload from the same offset at its entry (prepended junk leaves
+    xref offsets header-relative, so they land after the slice;
+    junk-relative offsets miss and fall through to body-scan
+    recovery)."""
+    if pdf_extract.pdf_header_offset(payload) is None:
         return html_extract.extract_pages(payload)
     return pdf_extract.extract_pages(payload)
 

@@ -1713,6 +1713,7 @@ _BI_H_RE = re.compile(r"/H(?:eight)?\s+(\d+)")
 _BI_BPC_RE = re.compile(r"/(?:BPC|BitsPerComponent)\s+(\d+)")
 _BI_CS_RE = re.compile(r"/(?:CS|ColorSpace)\s*/(\w+)")
 _BI_F_RE = re.compile(r"/(?:F|Filter)\b")
+_BI_IM_RE = re.compile(r"/(?:IM|ImageMask)\s+true\b")
 _CS_CHANNELS = {
     "RGB": 3, "DeviceRGB": 3, "CalRGB": 3,
     "G": 1, "DeviceGray": 1, "CalGray": 1, "I": 1, "Indexed": 1,
@@ -1735,12 +1736,19 @@ def _inline_data_len(head: str) -> int | None:
     wm, hm = _BI_W_RE.search(head), _BI_H_RE.search(head)
     if not (wm and hm):
         return None
-    bm = _BI_BPC_RE.search(head)
-    bpc = int(bm.group(1)) if bm else 8
-    cm = _BI_CS_RE.search(head)
-    if cm is not None and cm.group(1) not in _CS_CHANNELS:
-        return None
-    chan = _CS_CHANNELS[cm.group(1)] if cm else 1
+    if _BI_IM_RE.search(head):
+        # /ImageMask true (spec 8.9.6.2): 1 bit per pixel, one channel,
+        # no colorspace — BPC, if present at all, must be 1.  Defaulting
+        # to 8 here computed an 8x-too-long span and skipped the real
+        # terminator (round-7 review finding).
+        bpc, chan = 1, 1
+    else:
+        bm = _BI_BPC_RE.search(head)
+        bpc = int(bm.group(1)) if bm else 8
+        cm = _BI_CS_RE.search(head)
+        if cm is not None and cm.group(1) not in _CS_CHANNELS:
+            return None
+        chan = _CS_CHANNELS[cm.group(1)] if cm else 1
     return int(hm.group(1)) * ((int(wm.group(1)) * bpc * chan + 7) // 8)
 
 
@@ -2167,6 +2175,41 @@ def _column_blocks(
     return blocks
 
 
+# Acrobat's documented tolerance (ISO 32000 Annex C / implementation
+# notes): the %PDF header may be preceded by up to 1024 bytes of junk —
+# proxy banners, chunked-encoding residue, a mail wrapper — and offsets
+# are then measured from the HEADER.
+_PDF_SNIFF_WINDOW = 1024
+# real PDF structure after a junk-prefixed header candidate: an object
+# header token `N G obj` with hard token boundaries — a bare substring
+# test matched English words ("objects") and misrouted HTML that merely
+# mentions "%PDF-" (round-7 review finding)
+_OBJ_CORROBORATION_RE = re.compile(rb"(?<![0-9A-Za-z])\d+\s+\d+\s+obj(?![A-Za-z0-9])")
+
+
+def pdf_header_offset(payload) -> "int | None":
+    """Byte offset of the ``%PDF`` header, or None when the payload is
+    not a PDF.  THE one sniffing rule — the document-level dispatcher
+    (:mod:`markmuse_spark.kernel.extract`) routes on it and
+    :func:`extract_pages` slices at it, so the two can never drift.
+
+    Offset 0 is the plain magic test (the common case, no copy).  A
+    junk-prefixed header (within the first 1024 bytes) is accepted only
+    with corroborating PDF structure — an ``N G obj`` token after the
+    header — so an HTML page that merely MENTIONS ``%PDF-`` in its head
+    is never misrouted; a real junk-prefixed PDF without a single
+    parseable object would die in the kernel anyway.  Accepts bytes or
+    a zero-copy memoryview (PEP 3118 slice equality)."""
+    if payload[:4] == b"%PDF":
+        return 0
+    head = bytes(payload[: _PDF_SNIFF_WINDOW + 5])
+    idx = head.find(b"%PDF-")
+    if idx <= 0:
+        return None
+    window = bytes(payload[idx : idx + 8192])
+    return idx if _OBJ_CORROBORATION_RE.search(window) else None
+
+
 def extract_pages(payload: bytes) -> list[dict[str, Any]]:
     """Extract the page list (ocr_pages shape) from one PDF payload.
 
@@ -2185,16 +2228,14 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         # here (the HTML path never copies; see html_extract)
         payload = bytes(payload)
     if not payload.startswith(b"%PDF"):
-        # junk before the header (corpus v17.1; Annex C tolerance: up to
-        # 1024 bytes of proxy banner / HTTP leak / encoding residue) —
+        # junk before the header (corpus v17.1; Annex C tolerance) —
         # slice FROM THE HEADER: prepended junk leaves the xref offsets
         # header-relative so they land after the slice; offsets that
         # were junk-relative at write time miss and fall through to the
-        # body-scan recovery.  Routing (PDF vs HTML) already happened in
-        # the dispatcher (kernel.extract._pdf_offset) — this keeps the
-        # kernel itself tolerant for direct callers.
-        idx = payload.find(b"%PDF-", 1, 1024 + 5)
-        if idx < 0:
+        # body-scan recovery.  Same rule the dispatcher routed on —
+        # shared helper, no drift.
+        idx = pdf_header_offset(payload)
+        if not idx:
             raise ValueError("not a PDF payload")
         payload = payload[idx:]
     str_fn = None

@@ -77,6 +77,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _default_parallelism(spark) -> int:
+    """Target UDF width, Spark-Connect-safe.  ``sparkContext`` raises
+    ``PySparkAttributeError`` under Connect (round-7 review finding: the
+    unguarded access crashed plan builds before the pure-Python file
+    probe could even run); fall back to the shuffle-partition conf —
+    the session's own statement of how wide an exchange should be."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        except Exception:
+            return 200  # Spark's shuffle-partition default
+
+
 def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     """At least default-parallelism partitions before an expensive Arrow
     UDF.  A small parquet input arrives as FEW scan partitions
@@ -107,7 +122,7 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     frames) just takes the repartition — a no-op-cost shuffle of a
     small frame."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    target = _default_parallelism(spark)
     try:
         files = df.inputFiles()
     except Exception:  # exotic plans (pure streaming sources): be wide

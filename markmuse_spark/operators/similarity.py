@@ -253,6 +253,14 @@ MAX_COLLECTED_HOT_KEYS = 100_000
 #: joins the finished ones so tests (and shutdown hooks) can flush
 #: deterministically
 _PENDING_BUCKET_WARNS: list = []
+#: parked-waiter bound (round-7 review): threads waiting on plans that
+#: never execute cannot be cancelled (``Observation.get`` has no
+#: timeout), so a long-lived driver building many abandoned plans must
+#: not accumulate one OS thread each forever — beyond this many LIVE
+#: waiters, new observations ship without a waiter (the metrics node
+#: stays in the plan; only the log side-channel is skipped)
+_MAX_PENDING_BUCKET_WARNS = 64
+_ATEXIT_REGISTERED = False
 
 
 def _observe_oversized_buckets(
@@ -275,9 +283,11 @@ def _observe_oversized_buckets(
     melting instead of silently shuffling O(m^2) candidate rows.
 
     The observed frame must feed exactly ONE side of the self-join (an
-    Observation may appear once per plan); the waiter parks forever if
-    the plan is never executed (daemon thread, a few KiB — plans built
-    and abandoned without an action are not a hot path)."""
+    Observation may appear once per plan); a waiter on a plan that is
+    never executed parks until process exit (``Observation.get`` has no
+    timeout), so live waiters are BOUNDED at
+    ``_MAX_PENDING_BUCKET_WARNS`` and an ``atexit`` drain flushes fired
+    warns that would otherwise race interpreter teardown."""
     import logging
     import threading
 
@@ -312,6 +322,26 @@ def _observe_oversized_buckets(
                 op_name, stats["over_rows"], soft_cap, stats["mx"],
             )
 
+    # lifecycle (round-7 review): prune finished waiters on every call,
+    # bound the live ones, and flush at interpreter exit so a one-shot
+    # driver that quits right after its action still logs the warn
+    # (daemon threads are killed before their logging call otherwise)
+    _PENDING_BUCKET_WARNS[:] = [
+        w for w in _PENDING_BUCKET_WARNS if w.is_alive()
+    ]
+    global _ATEXIT_REGISTERED
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(drain_bucket_warnings, 2.0)
+        _ATEXIT_REGISTERED = True
+    if len(_PENDING_BUCKET_WARNS) >= _MAX_PENDING_BUCKET_WARNS:
+        logging.getLogger(__name__).debug(
+            "%s: %d bucket-warn waiters already parked on unexecuted "
+            "plans; observing without a log waiter", op_name,
+            len(_PENDING_BUCKET_WARNS),
+        )
+        return observed
     t = threading.Thread(
         target=_wait_and_log, daemon=True, name=f"bucket-warn-{op_name}"
     )

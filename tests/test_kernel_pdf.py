@@ -2475,6 +2475,18 @@ def test_inline_image_coincidental_ei_in_sample_data():
     assert "keep me" in stripped and "also keep" in stripped
     assert "(x)Tj" not in stripped
 
+    # /ImageMask true: 1 bit per pixel, ONE channel — 8x8 mask = 8
+    # bytes, NOT 64 (the round-7 review caught the 8-bpc default
+    # computing past the real terminator and dropping the tail)
+    mask = "ab EI zz"  # 8 sample bytes incl. a coincidental EI
+    content_im = (
+        "BI /IM true /W 8 /H 8 ID\n" + mask + "\nEI\n"
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (mask tail) Tj ET"
+    )
+    stripped_im = pdf_extract._strip_inline_images(content_im)
+    assert "mask tail" in stripped_im
+    assert "zz" not in stripped_im
+
     # filtered form (length unknowable): the early EI is followed by
     # binary noise -> rejected; the real EI resumes with an operator
     content2 = (
@@ -2614,9 +2626,14 @@ def test_html_mentioning_pdf_magic_is_not_misrouted():
     html = (
         b"<html><head><title>About %PDF-1.7 headers</title></head>"
         b"<body><article><h1>PDF internals</h1><p>Every file starts "
-        b"with a magic comment and version marker.</p></article>"
-        b"</body></html>"
+        b"with a magic comment and version marker, then numbered "
+        b"objects such as 4 0 objects of the body follow.</p>"
+        b"</article></body></html>"
     )
+    # the prose deliberately contains " obj" substrings ("objects",
+    # "0 objects") — the round-7 review caught a bare substring test
+    # misrouting exactly this page; corroboration demands a hard
+    # `N G obj` token
     row = extract_document("https://x.example/blog.html", html)
     assert row["error"] is None
     assert "PDF internals" in row["markdown"]

@@ -58,14 +58,13 @@ def test_full_run_with_sidecar(spark, small_corpus, tmp_path):
     assert job["url_count"] == N_ROWS
     # adversarial rows (i % 100 == 7, empty payloads) and corpus-v17
     # partial (truncated-PDF) rows both surface in the error column
+    # one generator pass for both expectations (each _make_doc renders a
+    # full document; three passes tripled this test's corpus cost)
+    errs = [corpus._make_doc(i, 42)[3] for i in range(N_ROWS)]
     expect_partial = sum(
-        1
-        for i in range(N_ROWS)
-        if (corpus._make_doc(i, 42)[3] or "").startswith("PartialExtraction:")
+        1 for e in errs if (e or "").startswith("PartialExtraction:")
     )
-    expect_err = sum(
-        1 for i in range(N_ROWS) if corpus._make_doc(i, 42)[3] is not None
-    )
+    expect_err = sum(1 for e in errs if e is not None)
     assert job["err_count"] == expect_err
     extracted = spark.read.parquet(f"{out}/extracted")
     assert extracted.count() == N_ROWS
