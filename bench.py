@@ -161,7 +161,7 @@ def select_pair(
     return min(pairs, key=pair_dirt), False
 
 
-CORPUS_TAG = "v17_2"  # bump when the corpus generator's bytes change
+CORPUS_TAG = "v17_3"  # bump when the corpus generator's bytes change
 
 
 def _ensure_corpus(spark, sf: float, n_rows: int) -> str:

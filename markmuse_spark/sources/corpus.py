@@ -326,7 +326,7 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
         # the recovered markdown — never all-or-nothing
         v17draw = rng.random()
         hybrid = truncate_last = garble = False
-        corrupt_idx = None
+        corrupt_idx = incr_page = None
         if v17draw < 0.10:
             hybrid = not (xref_stream or object_streams or cipher)
         elif v17draw < 0.13:
@@ -365,6 +365,16 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
                     pm["compress"] = True  # plain Flate: loud failure
                     corrupt_idx = k
                     break
+        elif v17draw < 0.32:
+            # v17.3: classic INCREMENTAL UPDATE (spec 7.5.6 — the
+            # save-in-place form every signer/annotator emits): the base
+            # body carries a superseded draft stream for page 0, the
+            # appended generation carries the true content chained via
+            # /Prev.  Expected markdown is UNCHANGED — a reader that
+            # resolves first-definition or reads only the stale base
+            # table would extract "draft superseded" and fail the oracle.
+            if not (xref_stream or object_streams or cipher):
+                incr_page = 0
         payload = pdf_writer.write_pdf(
             pages_model,
             metadata=metadata,
@@ -374,6 +384,7 @@ def _make_doc(i: int, seed: int) -> tuple[str, bytes, Optional[list[dict]], Opti
             encrypt=cipher,
             hybrid_xref=hybrid,
             corrupt_page_idx=corrupt_idx,
+            incremental_update_page=incr_page,
         )
         err = None
         if corrupt_idx is not None:

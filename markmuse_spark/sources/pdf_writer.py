@@ -648,6 +648,7 @@ def write_pdf(
     encrypt: bool = False,
     hybrid_xref: bool = False,
     corrupt_page_idx: "int | None" = None,
+    incremental_update_page: "int | None" = None,
 ) -> bytes:
     """Serialize page models into one PDF file (bytes).
 
@@ -989,6 +990,22 @@ def write_pdf(
             b"/Filter /DCTDecode /Length %d >>\nstream\n%b\nendstream"
             % (PAGE_W, PAGE_H, len(jpeg), jpeg)
         )
+    if incremental_update_page is not None and (
+        xref_stream or object_streams or encrypt or hybrid_xref
+        or corrupt_page_idx is not None
+    ):
+        # dialect constraint (documented): the appended-update tail below
+        # is the CLASSIC-table form; combining it with the other damage
+        # draws would make the expected markdown ambiguous
+        raise ValueError(
+            "incremental_update_page requires the plain classic-xref dialect"
+        )
+    if incremental_update_page is not None and not (
+        0 <= incremental_update_page < len(pages)
+    ):
+        raise ValueError("incremental_update_page out of range")
+    true_update_obj = b""  # set in the page loop when the draw applies
+
     for i, page in enumerate(pages):
         content_num = first_page_id + 2 * i + 1
         font_res = b"/F1 3 0 R"
@@ -1076,10 +1093,26 @@ def write_pdf(
             # prepended so the trap bytes precede every real text op
             stream = _INLINE_IMAGE + stream
         data, fdecl = _filter_stream(stream, page)
-        objects.append(
+        content_obj = (
             b"<< /Length %d %b>>\nstream\n%b\nendstream"
             % (len(data), fdecl, data)
         )
+        if incremental_update_page == i:
+            # corpus v17.3 (classic INCREMENTAL UPDATE, spec 7.5.6: the
+            # save-in-place workflow every signer/annotator uses): the
+            # BASE body carries a superseded draft stream; the true
+            # content object is APPENDED after the first %%EOF with its
+            # own xref section chained via /Prev.  A reader that resolves
+            # first-definition (or reads only the stale base table)
+            # extracts "draft superseded" — the oracle catches it.
+            true_update_obj = content_obj
+            draft = (
+                b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (draft superseded) Tj ET"
+            )
+            content_obj = b"<< /Length %d >>\nstream\n%b\nendstream" % (
+                len(draft), draft,
+            )
+        objects.append(content_obj)
 
     if corrupt_page_idx is not None:
         # corpus v17.2: ONE flipped byte in the middle of one page's
@@ -1315,6 +1348,23 @@ def write_pdf(
         out += (
             b"trailer\n<< /Size %d /Root 1 0 R%b%b >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objects) + 1, enc_entry, xrefstm_extra, xref_at)
+        )
+    if incremental_update_page is not None:
+        # corpus v17.3: append the UPDATE GENERATION after the first
+        # %%EOF — the true content object under the SAME object number,
+        # a one-entry classic xref section, and a trailer chaining to
+        # the base table via /Prev (spec 7.5.6).  The update's table is
+        # what startxref now points at; the base body's draft stream is
+        # superseded and must never extract.
+        upd_num = first_page_id + 2 * incremental_update_page + 1
+        upd_at = len(out)
+        out += b"%d 0 obj\n%b\nendobj\n" % (upd_num, true_update_obj)
+        upd_xref_at = len(out)
+        out += b"xref\n%d 1\n%010d 00000 n \n" % (upd_num, upd_at)
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_at, upd_xref_at)
         )
     return bytes(out)
 

@@ -2717,3 +2717,58 @@ def test_corpus_v17_2_emits_corrupt_mid_rows():
         assert row["markdown"] == want["markdown"], url
         assert row["error"] == err, url
     assert n >= 10, n
+
+
+# ---------------------------------------------------------------------------
+# round 7 (corpus v17.3): classic incremental updates (spec 7.5.6)
+# ---------------------------------------------------------------------------
+
+def test_incremental_update_supersedes_draft():
+    """The appended generation's content object (same id, /Prev-chained
+    xref) must win over the base body's draft stream — the
+    save-in-place form every signer/annotator emits.  A reader that
+    resolves first-definition or reads only the stale base table would
+    extract the draft."""
+    pages = _two_pages()
+    want = [p["markdown"] for p in pdf_extract.extract_pages(
+        pdf_writer.write_pdf(pages))]
+    upd = pdf_writer.write_pdf(pages, incremental_update_page=0)
+    assert upd.count(b"%%EOF") == 2 and b"/Prev" in upd
+    assert b"draft superseded" in upd  # the stale stream IS in the file
+    got = [p["markdown"] for p in pdf_extract.extract_pages(upd)]
+    assert got == want
+    assert not any("draft" in m for m in got)
+    # composes with a junk prefix (both v17 draws on one file)
+    got2 = [p["markdown"] for p in pdf_extract.extract_pages(
+        b"HTTP/1.1 200 OK\r\n\r\n" + upd)]
+    assert got2 == want
+
+
+def test_incremental_update_writer_contract():
+    with pytest.raises(ValueError, match="classic"):
+        pdf_writer.write_pdf(_two_pages(), incremental_update_page=0,
+                             xref_stream=True)
+    with pytest.raises(ValueError, match="range"):
+        pdf_writer.write_pdf(_two_pages(), incremental_update_page=7)
+
+
+def test_corpus_v17_3_emits_incremental_rows():
+    """The corpus carries the incremental population and every such row
+    extracts to its expected (updated) markdown, never the draft."""
+    from markmuse_spark.kernel.extract import extract_document
+    from markmuse_spark.golden.oracle import assemble_document
+    from markmuse_spark.sources import corpus
+
+    n = 0
+    for i in range(4, 6000, 5):
+        if i % 50 == 7:
+            continue
+        url, payload, expected, err = corpus._make_doc(i, 42)
+        if expected is None or b"draft superseded" not in payload:
+            continue
+        n += 1
+        row = extract_document(url, payload)
+        want = assemble_document(url, expected)
+        assert row["markdown"] == want["markdown"], url
+        assert "draft superseded" not in (row["markdown"] or ""), url
+    assert n >= 10, n
