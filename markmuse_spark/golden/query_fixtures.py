@@ -584,6 +584,60 @@ def mint_s_lsh_ann(
     return rows, schema
 
 
+def mint_s_ivf_ann(
+    query_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
+) -> tuple[list[dict], "object"]:
+    """Independent replica of the IVF spec (operators/similarity.py
+    ivf_topk): md5-ordered sampled centroids, strict-left-fold cosine
+    assignment with first-max-wins argmax, top-n_probe bucket probe,
+    rounded-rank re-rank with id tiebreak (the cosine_topk contract)."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+
+    ids, vecs = _embeddings()
+    order = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(
+            str(ids[i]).encode()).hexdigest(), ids[i])
+    )[:n_centroids]
+    cvecs = [[float(x) for x in vecs[i]] for i in order]
+    cnrms = [math.sqrt(_fold_dot(c, c)) for c in cvecs]
+
+    def argmax_first(sims):
+        best = max(sims)
+        return sims.index(best)  # first max wins = F.array_position
+
+    buckets = []
+    for i in range(len(ids)):
+        vec = [float(x) for x in vecs[i]]
+        nrm = math.sqrt(_fold_dot(vec, vec))
+        sims = [
+            _fold_dot(vec, c) / (nrm * cn) for c, cn in zip(cvecs, cnrms)
+        ]
+        buckets.append(argmax_first(sims))
+    qi = ids.index(query_id)
+    qvec = [float(x) for x in vecs[qi]]
+    qnrm = math.sqrt(_fold_dot(qvec, qvec))
+    qcos = [_fold_dot(qvec, c) / (qnrm * cn) for c, cn in zip(cvecs, cnrms)]
+    probes = set(
+        sorted(range(n_centroids), key=lambda j: (-qcos[j], j))[:n_probe]
+    )
+    cands = []
+    for i, vid in enumerate(ids):
+        if vid == query_id or buckets[i] not in probes:
+            continue
+        vec = [float(x) for x in vecs[i]]
+        nrm = math.sqrt(_fold_dot(vec, vec))
+        cands.append(
+            (vid, spark_round(_fold_dot(vec, qvec) / (nrm * qnrm)))
+        )
+    cands.sort(key=lambda r: (-r[1], r[0]))  # rounded rank, id tiebreak
+    rows = [{"vec_id": v, "cosine": c} for v, c in cands[:k]]
+    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+    return rows, schema
+
+
 def mint_s_lsh_ann_batch(
     n_queries: int = 5, k: int = 5
 ) -> tuple[list[dict], "object"]:
@@ -983,6 +1037,7 @@ MINTERS = {
     "d_simhash_pairs": mint_d_simhash_pairs,
     "d_line_dedup": mint_d_line_dedup,
     "s_lsh_ann": mint_s_lsh_ann,
+    "s_ivf_ann": mint_s_ivf_ann,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
     "t_url_canonical": mint_t_url_canonical,
     "t_pii_mask": mint_t_pii_mask,

@@ -91,6 +91,108 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: inverted-file coarse quantizer + bucket probe —
+    the second scale path next to the hyperplane-LSH family.
+
+    **Coarse quantizer (training-free).** The centroid set is the
+    vectors of the ``n_centroids`` ids with the smallest ``md5(id)`` —
+    the same deterministic pseudo-random device as the train/valid/test
+    split; a sampled quantizer is the standard cheap IVF bootstrap and
+    costs no iterative k-means job.  Collecting it is a BOUNDED driver
+    action (``n_centroids`` rows).
+
+    **Assignment is pure codegen.** Each vector's bucket is the argmax
+    over ``n_centroids`` inline JVM cosine folds against literal
+    centroid arrays — no UDF, no shuffle, no extra pass.  At warehouse
+    scale the assigned frame is what you would persist PARTITIONED BY
+    bucket, so a probe scan reads ~``n_probe / n_centroids`` of the
+    data (partition pruning on the ``bucket`` column); here the probe
+    is an ``isin`` filter the scan pushes down.
+
+    **Contract.** Final ranking matches :func:`cosine_topk` exactly
+    (rounded-cosine sort key, id tiebreak; the query norm literal is a
+    strict left fold, bit-identical to the JVM's) — with
+    ``n_probe == n_centroids`` every bucket is probed and the result
+    EQUALS the brute-force top-k, which is the pytest exactness oracle;
+    partial probes trade recall for scan fraction."""
+    import math
+
+    if not 1 <= n_probe <= n_centroids:
+        raise ValueError("need 1 <= n_probe <= n_centroids")
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+
+    def fold_dot(a, b):  # strict left fold = F.aggregate's order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    cents = (
+        v.filter(F.col("vec").isNotNull())
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    if not cents:
+        return v.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).limit(0)
+    cvecs = [list(r["vec"]) for r in cents]
+    cnrms = [math.sqrt(fold_dot(c, c)) for c in cvecs]
+
+    def lit_vec(c):
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    sims = F.array(*[
+        _dot(F.col("vec"), lit_vec(c)) / (F.col("nrm") * F.lit(cn))
+        for c, cn in zip(cvecs, cnrms)
+    ])
+    # first-max-wins (array_position), 1-based bucket id
+    assigned = v.withColumn(
+        "bucket", F.array_position(sims, F.array_max(sims))
+    )
+
+    qrow = v.filter(F.col(id_col) == query_id).select("vec").first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qvec = list(qrow["vec"])
+    qnrm = math.sqrt(fold_dot(qvec, qvec))
+    qcos = [
+        fold_dot(qvec, c) / (qnrm * cn) for c, cn in zip(cvecs, cnrms)
+    ]
+    probes = [
+        j + 1
+        for j in sorted(range(len(cvecs)), key=lambda j: (-qcos[j], j))[
+            :n_probe
+        ]
+    ]
+    return (
+        assigned.filter(F.col("bucket").isin(probes))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col("vec"), lit_vec(qvec)) / (F.col("nrm") * F.lit(qnrm)),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
     """Vector width from the first NON-NULL row (one tiny driver-side
     action; the isNotNull filter matters — a leading NULL row would

@@ -1425,6 +1425,28 @@ def s_lsh_ann(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+@_qx(
+    "s_ivf_ann",
+    # fixture minted by an independent pure-Python replica of the IVF
+    # spec (md5-sampled centroids, strict-left-fold assignment argmax,
+    # bucket probe, rounded re-rank; golden/query_fixtures.py)
+    f"SELECT vec_id, cosine FROM read_parquet('{_FIXDIR}/s_ivf_ann.parquet') "
+    "ORDER BY cosine DESC, vec_id",
+)
+def s_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (round 7): sampled coarse quantizer, codegen'd
+    argmax bucket assignment, top-n_probe bucket probe, exact re-rank —
+    the second ANN scale path next to hyperplane LSH.  EXTRA-registered
+    (50-slot driver budget); pytest-oracled every run, plus the
+    exactness property: probing ALL buckets equals cosine_topk."""
+    from markmuse_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        n_centroids=16, n_probe=4,
+    )
+
+
 @_q(
     "t_url_canonical",
     # fixture minted by an independent pure-string canonicalizer over the

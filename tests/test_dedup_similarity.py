@@ -694,3 +694,28 @@ def test_corpus_curation_minhash_stage_is_exact(spark):
         ).collect()
     }
     assert lsh == exact and len(exact) >= 50
+
+
+def test_ivf_topk_exactness_and_recall(spark):
+    """IVF contract (round 7): probing ALL buckets equals brute-force
+    cosine_topk row-for-row (the coarse quantizer can only partition,
+    never change the metric), and the deterministic 4-of-16 probe holds
+    a measured recall floor on the fixed corpus."""
+    from markmuse_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = [(r["vec_id"], r["cosine"])
+          for r in cosine_topk(emb, 0, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, 0, k=10, n_centroids=16,
+                              n_probe=16).collect()]
+    assert full == bf
+    got = {r["vec_id"]
+           for r in ivf_topk(emb, 0, k=10, n_centroids=16,
+                             n_probe=4).collect()}
+    recall = len(got & {v for v, _ in bf}) / 10
+    assert recall >= 0.6, recall  # measured 0.7 on the deterministic data
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_probe"):
+        ivf_topk(emb, 0, n_centroids=4, n_probe=5)
