@@ -596,7 +596,17 @@ def mint_s_ivf_ann(
 
     import pyarrow as pa
 
-    ids, vecs = _embeddings()
+    all_ids, all_vecs = _embeddings()
+    # zero-norm vectors are excluded up front, mirroring ivf_assign (a
+    # zero vector has no direction and no nearest centroid)
+    keep = [
+        i for i in range(len(all_ids))
+        if math.sqrt(_fold_dot(
+            [float(x) for x in all_vecs[i]], [float(x) for x in all_vecs[i]]
+        )) > 0
+    ]
+    ids = [all_ids[i] for i in keep]
+    vecs = [all_vecs[i] for i in keep]
     order = sorted(
         range(len(ids)), key=lambda i: (hashlib.md5(
             str(ids[i]).encode()).hexdigest(), ids[i])
@@ -620,8 +630,10 @@ def mint_s_ivf_ann(
     qvec = [float(x) for x in vecs[qi]]
     qnrm = math.sqrt(_fold_dot(qvec, qvec))
     qcos = [_fold_dot(qvec, c) / (qnrm * cn) for c, cn in zip(cvecs, cnrms)]
+    # range over the ACTUAL centroid count, not the requested one (they
+    # differ when the table is smaller than n_centroids)
     probes = set(
-        sorted(range(n_centroids), key=lambda j: (-qcos[j], j))[:n_probe]
+        sorted(range(len(cvecs)), key=lambda j: (-qcos[j], j))[:n_probe]
     )
     cands = []
     for i, vid in enumerate(ids):

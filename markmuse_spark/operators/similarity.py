@@ -91,6 +91,127 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, list]":
+    """IVF INDEX BUILD (the one-time pass): assign every vector to its
+    nearest sampled centroid.  Returns ``(assigned, centroids)`` where
+    ``assigned`` is ``(id, vec, nrm, bucket)`` and ``centroids`` is the
+    driver-side ``[(cvec, cnrm), ...]`` list a probe needs.
+
+    **Coarse quantizer (training-free).** The centroid set is the
+    vectors of the ``n_centroids`` ids with the smallest ``md5(id)`` —
+    the same deterministic pseudo-random device as the train/valid/test
+    split; a sampled quantizer is the standard cheap IVF bootstrap and
+    costs no iterative k-means job.  Collecting it is a BOUNDED driver
+    action (``n_centroids`` rows).
+
+    **Assignment is pure codegen** — argmax over ``n_centroids`` inline
+    JVM cosine folds against literal centroid arrays; no UDF, no
+    shuffle.  It is ~``n_centroids``x the per-row cost of one dot
+    product, which is why it belongs in the INDEXING job: at warehouse
+    scale you run it once and persist ``assigned`` PARTITIONED BY
+    ``bucket``, and every later probe prunes to
+    ~``n_probe / n_centroids`` of the data.  The one-shot composition
+    (:func:`ivf_topk`) pays assignment inline and exists for the oracle
+    and for ad-hoc queries, not as the steady-state scale path.
+
+    Zero-norm vectors are EXCLUDED up front (a zero vector has no
+    direction, no nearest centroid, and would propagate NULL through
+    every cosine)."""
+    import math
+
+    v = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        .withColumn("nrm", _norm(F.col("vec")))
+        .filter(F.col("nrm") > 0)
+    )
+
+    cents = (
+        v.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    centroids = []
+    for r in cents:
+        c = [float(x) for x in r["vec"]]
+        centroids.append((c, math.sqrt(_fold_dot(c, c))))
+    if not centroids:
+        return v.withColumn("bucket", F.lit(None).cast("long")), []
+
+    sims = F.array(*[
+        _dot(F.col("vec"), _lit_vec(c)) / (F.col("nrm") * F.lit(cn))
+        for c, cn in centroids
+    ])
+    # first-max-wins (array_position), 1-based bucket id
+    assigned = v.withColumn(
+        "bucket", F.array_position(sims, F.array_max(sims))
+    )
+    return assigned, centroids
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF PROBE over a built index (:func:`ivf_assign`): rank the
+    query against its ``n_probe`` nearest buckets only.  When
+    ``assigned`` is persisted partitioned by ``bucket``, the ``isin``
+    filter is partition pruning — the probe reads
+    ~``n_probe / n_centroids`` of the index.
+
+    Final ranking matches :func:`cosine_topk` exactly (rounded-cosine
+    sort key, id tiebreak; the query-norm literal is a strict left
+    fold, bit-identical to the JVM's) — with
+    ``n_probe >= len(centroids)`` every bucket is probed and the
+    result EQUALS the brute-force top-k over the index's (non-zero-
+    norm) vectors, which is the pytest exactness oracle."""
+    import math
+
+    if not centroids:
+        raise ValueError(f"query id {query_id} not found (empty index)")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError("need 1 <= n_probe <= len(centroids)")
+    qrow = assigned.filter(F.col(id_col) == query_id).select("vec").first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qvec = [float(x) for x in qrow["vec"]]
+    qnrm = math.sqrt(_fold_dot(qvec, qvec))
+    qcos = [
+        _fold_dot(qvec, c) / (qnrm * cn) for c, cn in centroids
+    ]
+    probes = [
+        j + 1
+        for j in sorted(
+            range(len(centroids)), key=lambda j: (-qcos[j], j)
+        )[:n_probe]
+    ]
+    return (
+        assigned.filter(F.col("bucket").isin(probes))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col("vec"), _lit_vec(qvec))
+                / (F.col("nrm") * F.lit(qnrm)),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_id: int,
@@ -100,97 +221,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: inverted-file coarse quantizer + bucket probe —
-    the second scale path next to the hyperplane-LSH family.
-
-    **Coarse quantizer (training-free).** The centroid set is the
-    vectors of the ``n_centroids`` ids with the smallest ``md5(id)`` —
-    the same deterministic pseudo-random device as the train/valid/test
-    split; a sampled quantizer is the standard cheap IVF bootstrap and
-    costs no iterative k-means job.  Collecting it is a BOUNDED driver
-    action (``n_centroids`` rows).
-
-    **Assignment is pure codegen.** Each vector's bucket is the argmax
-    over ``n_centroids`` inline JVM cosine folds against literal
-    centroid arrays — no UDF, no shuffle, no extra pass.  At warehouse
-    scale the assigned frame is what you would persist PARTITIONED BY
-    bucket, so a probe scan reads ~``n_probe / n_centroids`` of the
-    data (partition pruning on the ``bucket`` column); here the probe
-    is an ``isin`` filter the scan pushes down.
-
-    **Contract.** Final ranking matches :func:`cosine_topk` exactly
-    (rounded-cosine sort key, id tiebreak; the query norm literal is a
-    strict left fold, bit-identical to the JVM's) — with
-    ``n_probe == n_centroids`` every bucket is probed and the result
-    EQUALS the brute-force top-k, which is the pytest exactness oracle;
-    partial probes trade recall for scan fraction."""
-    import math
-
+    """One-shot IVF ANN: :func:`ivf_assign` + :func:`ivf_probe_topk` in
+    a single plan.  Pays the assignment pass inline — use the split
+    form with a persisted, bucket-partitioned index for the steady-
+    state scale path (see :func:`ivf_assign`)."""
     if not 1 <= n_probe <= n_centroids:
         raise ValueError("need 1 <= n_probe <= n_centroids")
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("nrm", _norm(F.col("vec")))
-
-    def fold_dot(a, b):  # strict left fold = F.aggregate's order
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    cents = (
-        v.filter(F.col("vec").isNotNull())
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .select("vec")
-        .collect()
+    assigned, centroids = ivf_assign(
+        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    if not cents:
-        return v.select(
-            F.col(id_col), F.lit(0.0).alias("cosine")
-        ).limit(0)
-    cvecs = [list(r["vec"]) for r in cents]
-    cnrms = [math.sqrt(fold_dot(c, c)) for c in cvecs]
-
-    def lit_vec(c):
-        return F.array(*[F.lit(float(x)) for x in c])
-
-    sims = F.array(*[
-        _dot(F.col("vec"), lit_vec(c)) / (F.col("nrm") * F.lit(cn))
-        for c, cn in zip(cvecs, cnrms)
-    ])
-    # first-max-wins (array_position), 1-based bucket id
-    assigned = v.withColumn(
-        "bucket", F.array_position(sims, F.array_max(sims))
+    return ivf_probe_topk(
+        assigned, centroids, query_id, k=k,
+        n_probe=min(n_probe, len(centroids)) if centroids else n_probe,
+        id_col=id_col,
     )
 
-    qrow = v.filter(F.col(id_col) == query_id).select("vec").first()
-    if qrow is None:
-        raise ValueError(f"query id {query_id} not found")
-    qvec = list(qrow["vec"])
-    qnrm = math.sqrt(fold_dot(qvec, qvec))
-    qcos = [
-        fold_dot(qvec, c) / (qnrm * cn) for c, cn in zip(cvecs, cnrms)
-    ]
-    probes = [
-        j + 1
-        for j in sorted(range(len(cvecs)), key=lambda j: (-qcos[j], j))[
-            :n_probe
-        ]
-    ]
-    return (
-        assigned.filter(F.col("bucket").isin(probes))
-        .filter(F.col(id_col) != query_id)
-        .select(
-            F.col(id_col),
-            F.round(
-                _dot(F.col("vec"), lit_vec(qvec)) / (F.col("nrm") * F.lit(qnrm)),
-                4,
-            ).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+
+def _fold_dot(a, b) -> float:
+    """Strict left-to-right float64 fold — F.aggregate's order, so a
+    driver-side norm literal is bit-identical to the JVM's fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _lit_vec(c):
+    return F.array(*[F.lit(float(x)) for x in c])
 
 
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:

@@ -719,3 +719,29 @@ def test_ivf_topk_exactness_and_recall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_probe"):
         ivf_topk(emb, 0, n_centroids=4, n_probe=5)
+
+
+def test_ivf_split_index_probe_and_empty_contract(spark):
+    """The steady-state scale path: ivf_assign builds the index ONCE,
+    ivf_probe_topk probes it repeatedly — composed results equal the
+    one-shot form; an empty index raises (same contract as a missing
+    query id), never a silent empty frame."""
+    from markmuse_spark.operators.similarity import (
+        ivf_assign, ivf_probe_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, cents = ivf_assign(emb, n_centroids=16)
+    assert len(cents) == 16
+    for qid in (0, 7):
+        split = [(r["vec_id"], r["cosine"])
+                 for r in ivf_probe_topk(assigned, cents, qid, k=5,
+                                         n_probe=4).collect()]
+        oneshot = [(r["vec_id"], r["cosine"])
+                   for r in ivf_topk(emb, qid, k=5, n_centroids=16,
+                                     n_probe=4).collect()]
+        assert split == oneshot, qid
+    empty = emb.filter("vec_id < 0")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        ivf_topk(empty, 0)
