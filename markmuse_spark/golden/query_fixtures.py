@@ -650,6 +650,71 @@ def mint_s_ivf_ann(
     return rows, schema
 
 
+def mint_s_ivf_ann_batch(
+    n_queries: int = 5, k: int = 5, n_centroids: int = 16, n_probe: int = 4
+) -> tuple[list[dict], "object"]:
+    """Batch form of mint_s_ivf_ann: same sampled quantizer and
+    assignment, per-query probe + rounded-rank top-k."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+
+    all_ids, all_vecs = _embeddings()
+    keep = [
+        i for i in range(len(all_ids))
+        if math.sqrt(_fold_dot(
+            [float(x) for x in all_vecs[i]], [float(x) for x in all_vecs[i]]
+        )) > 0
+    ]
+    ids = [all_ids[i] for i in keep]
+    vecs = [all_vecs[i] for i in keep]
+    order = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(
+            str(ids[i]).encode()).hexdigest(), ids[i])
+    )[:n_centroids]
+    cvecs = [[float(x) for x in vecs[i]] for i in order]
+    cnrms = [math.sqrt(_fold_dot(c, c)) for c in cvecs]
+    buckets, nrms = [], []
+    for i in range(len(ids)):
+        vec = [float(x) for x in vecs[i]]
+        nrm = math.sqrt(_fold_dot(vec, vec))
+        nrms.append(nrm)
+        sims = [
+            _fold_dot(vec, c) / (nrm * cn) for c, cn in zip(cvecs, cnrms)
+        ]
+        buckets.append(sims.index(max(sims)))
+    rows = []
+    for qid in range(n_queries):
+        qi = ids.index(qid)
+        qvec = [float(x) for x in vecs[qi]]
+        qnrm = nrms[qi]
+        qcos = [
+            _fold_dot(qvec, c) / (qnrm * cn) for c, cn in zip(cvecs, cnrms)
+        ]
+        probes = set(
+            sorted(range(len(cvecs)), key=lambda j: (-qcos[j], j))[:n_probe]
+        )
+        cands = []
+        for i, vid in enumerate(ids):
+            if vid == qid or buckets[i] not in probes:
+                continue
+            vec = [float(x) for x in vecs[i]]
+            cands.append(
+                (vid, spark_round(_fold_dot(vec, qvec) / (nrms[i] * qnrm)))
+            )
+        cands.sort(key=lambda r: (-r[1], r[0]))
+        rows.extend(
+            {"query_id": qid, "cand_id": v, "cosine": c}
+            for v, c in cands[:k]
+        )
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("cand_id", pa.int64()),
+         ("cosine", pa.float64())]
+    )
+    return rows, schema
+
+
 def mint_s_lsh_ann_batch(
     n_queries: int = 5, k: int = 5
 ) -> tuple[list[dict], "object"]:
@@ -1050,6 +1115,7 @@ MINTERS = {
     "d_line_dedup": mint_d_line_dedup,
     "s_lsh_ann": mint_s_lsh_ann,
     "s_ivf_ann": mint_s_ivf_ann,
+    "s_ivf_ann_batch": mint_s_ivf_ann_batch,
     "s_lsh_ann_batch": mint_s_lsh_ann_batch,
     "t_url_canonical": mint_t_url_canonical,
     "t_pii_mask": mint_t_pii_mask,

@@ -237,6 +237,87 @@ def ivf_topk(
     )
 
 
+def ivf_batch_topk(
+    assigned: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVF probe over a built index (:func:`ivf_assign`): many
+    queries at once, fully distributed — no per-query driver work.
+
+    The query side computes its own top-``n_probe`` buckets as a pure
+    codegen expression (``array_sort`` over ``(-cosine, bucket)``
+    structs against the literal centroid set, sliced and exploded), so
+    the probe is ONE ``bucket`` equi-join between the exploded query
+    frame and the index — the same grouped-probe shape as
+    :func:`lsh_batch_topk`, with partition pruning when the index is
+    persisted partitioned by ``bucket``.  Candidates are exact-cosine
+    re-ranked with a per-query top-k window (rounded sort key, id
+    tiebreak — the :func:`cosine_topk` ordering contract).
+
+    ``queries`` carries ``(id, vec)`` in the index's shape — pass a
+    filtered slice of ``assigned`` (or any frame with the same two
+    columns).  Self-matches (query id == candidate id) are dropped.
+
+    Returns ``(query_id, cand_id, cosine)``."""
+    if not centroids:
+        raise ValueError("empty index (no non-zero-norm vectors)")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError("need 1 <= n_probe <= len(centroids)")
+    from pyspark.sql import Window as W
+
+    if "vec" not in queries.columns:
+        raise ValueError("queries must carry a 'vec' column (ivf_assign shape)")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+    ).withColumn("qnrm", _norm(F.col("qvec"))).filter(F.col("qnrm") > 0)
+    # per-query probe buckets: sort (-cos, bucket) structs, slice, explode
+    sims = F.array(*[
+        F.struct(
+            (-(_dot(F.col("qvec"), _lit_vec(c))
+               / (F.col("qnrm") * F.lit(cn)))).alias("neg"),
+            F.lit(j + 1).alias("b"),
+        )
+        for j, (c, cn) in enumerate(centroids)
+    ])
+    probes = q.withColumn(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(sims), 1, n_probe), lambda st: st["b"]
+            )
+        ),
+    ).select("query_id", "qvec", "qnrm", "bucket")
+    cand = (
+        probes.join(assigned, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id")
+        )
+    )
+    return (
+        cand.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("cosine").desc(), "cand_id")
+    )
+
+
 def _fold_dot(a, b) -> float:
     """Strict left-to-right float64 fold — F.aggregate's order, so a
     driver-side norm literal is bit-identical to the JVM's fold."""

@@ -1447,6 +1447,26 @@ def s_ivf_ann(spark, sf_dir):
     )
 
 
+@_qx(
+    "s_ivf_ann_batch",
+    # fixture minted by the same independent IVF spec replica, batch form
+    "SELECT query_id, cand_id, cosine FROM "
+    f"read_parquet('{_FIXDIR}/s_ivf_ann_batch.parquet') "
+    "ORDER BY query_id, cosine DESC, cand_id",
+)
+def s_ivf_ann_batch(spark, sf_dir):
+    """Batch IVF probe (round 7): one bucket equi-join between the
+    exploded query frame and the built index — the production shape
+    (millions of queries, zero per-query driver work); per-query
+    top-k window re-rank.  EXTRA-registered, pytest-oracled."""
+    from markmuse_spark.operators.similarity import ivf_assign, ivf_batch_topk
+
+    assigned, cents = ivf_assign(_t(spark, sf_dir, "embeddings"),
+                                 n_centroids=16)
+    queries = assigned.filter(F.col("vec_id") < 5).select("vec_id", "vec")
+    return ivf_batch_topk(assigned, cents, queries, k=5, n_probe=4)
+
+
 @_q(
     "t_url_canonical",
     # fixture minted by an independent pure-string canonicalizer over the

@@ -745,3 +745,31 @@ def test_ivf_split_index_probe_and_empty_contract(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not found"):
         ivf_topk(empty, 0)
+
+
+def test_ivf_batch_matches_single_probes(spark):
+    """Batch IVF (one bucket equi-join, per-query window top-k) must
+    equal the single-query probe for every query in the batch."""
+    from markmuse_spark.operators.similarity import (
+        ivf_assign, ivf_batch_topk, ivf_probe_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, cents = ivf_assign(emb, n_centroids=16)
+    assigned = assigned.persist()
+    try:
+        queries = assigned.filter("vec_id < 3").select("vec_id", "vec")
+        batch = ivf_batch_topk(assigned, cents, queries, k=5,
+                               n_probe=4).collect()
+        for qid in range(3):
+            single = [(r["vec_id"], r["cosine"])
+                      for r in ivf_probe_topk(assigned, cents, qid, k=5,
+                                              n_probe=4).collect()]
+            got = [(r["cand_id"], r["cosine"])
+                   for r in batch if r["query_id"] == qid]
+            assert got == single, qid
+    finally:
+        assigned.unpersist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="vec"):
+        ivf_batch_topk(assigned, cents, emb.select("vec_id"), k=5)
