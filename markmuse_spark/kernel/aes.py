@@ -34,6 +34,27 @@ from __future__ import annotations
 
 import numpy as np
 
+# Optional OpenSSL-backed fast path (round-8 optimization): when the
+# public ``cryptography`` package is importable, the CBC/ECB entry
+# points below dispatch to it — byte-identical output (AES is AES; the
+# parity is pinned by tests/test_kernel_pdf.py::test_aes_openssl_parity)
+# at native speed, which matters because the PDF 2.0 Algorithm-2.B KDF
+# deliberately chains 64+ AES-CBC-2048 rounds (measured 32% of the PDF
+# kernel's per-doc cost on the bench corpus before this path).  The
+# from-scratch FIPS-197 implementation remains the documented fallback
+# and the conformance reference; nothing else in this module changes.
+try:  # pragma: no cover - exercised via the public entry points
+    from cryptography.hazmat.primitives.ciphers import Cipher as _OsslCipher
+    from cryptography.hazmat.primitives.ciphers.algorithms import AES as _OsslAES
+    from cryptography.hazmat.primitives.ciphers.modes import (
+        CBC as _OsslCBC,
+        ECB as _OsslECB,
+    )
+
+    _HAVE_OSSL = True
+except Exception:  # pragma: no cover
+    _HAVE_OSSL = False
+
 # ---------------------------------------------------------------------
 # GF(2^8) tables, computed from the field (FIPS-197 §4), not transcribed
 # ---------------------------------------------------------------------
@@ -132,12 +153,16 @@ while len(_RCON) < 15:
     _RCON.append(_gmul(_RCON[-1], 2))
 
 
+def _check_key_len(key: bytes) -> None:
+    if len(key) not in (16, 24, 32):
+        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
+
+
 def expand_key(key: bytes) -> np.ndarray:
     """Round keys as a ``(rounds+1, 16)`` uint8 array (FIPS-197 §5.2).
     10 rounds for 16-byte keys, 14 for 32-byte."""
     nk = len(key) // 4
-    if len(key) not in (16, 24, 32):
-        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
+    _check_key_len(key)
     rounds = nk + 6
     words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     for i in range(nk, 4 * (rounds + 1)):
@@ -199,6 +224,10 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC forward, NO padding (callers pad; the 2.B KDF must not)."""
     if len(data) % 16:
         raise ValueError("cbc_encrypt: data not block-aligned")
+    if _HAVE_OSSL:
+        _check_key_len(key)
+        enc = _OsslCipher(_OsslAES(key), _OsslCBC(iv[:16])).encryptor()
+        return enc.update(data) + enc.finalize()
     kw = _key_words_py(expand_key(key))
     p0 = int.from_bytes(iv[0:4], "little")
     p1 = int.from_bytes(iv[4:8], "little")
@@ -222,6 +251,10 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def ecb_encrypt(key: bytes, data: bytes) -> bytes:
     """ECB forward, no padding (the /Perms field is one raw block)."""
+    if _HAVE_OSSL and len(data) % 16 == 0:
+        _check_key_len(key)
+        enc = _OsslCipher(_OsslAES(key), _OsslECB()).encryptor()
+        return enc.update(data) + enc.finalize()
     rk = expand_key(key)
     return b"".join(
         encrypt_block(rk, data[i : i + 16]) for i in range(0, len(data), 16)
@@ -297,6 +330,13 @@ def cbc_decrypt_batch(
         if len(ct) % 16 or not ct:
             raise ValueError("cbc_decrypt_batch: ciphertext not block-aligned")
         counts.append(len(ct) // 16)
+    if _HAVE_OSSL:
+        _check_key_len(segments[0][0])
+        out = []
+        for key, iv, ct in segments:
+            dec = _OsslCipher(_OsslAES(key), _OsslCBC(iv[:16])).decryptor()
+            out.append(dec.update(ct) + dec.finalize())
+        return out
     cipher = np.frombuffer(
         b"".join(ct for _k, _iv, ct in segments), np.uint8
     ).reshape(-1, 16)

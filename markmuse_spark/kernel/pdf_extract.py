@@ -160,6 +160,13 @@ def _hex_to_bytes(raw: str) -> bytes | None:
     padded with 0 (spec 7.3.4.3); None on non-hex junk.  The ONE place
     those rules live — _decode_hex_string, _decode_cids and
     _ByteEncoding.decode_hex all normalize through here."""
+    try:
+        # fast path: bytes.fromhex itself skips ASCII whitespace (and
+        # rejects junk), so the normalize-join is only needed when the
+        # digit count is odd — the rare pad case below
+        return bytes.fromhex(raw)
+    except ValueError:
+        pass
     h = "".join(raw.split())
     if len(h) % 2:
         h += "0"
@@ -867,7 +874,26 @@ _PW_PAD = bytes.fromhex(
 )
 
 
+try:  # OpenSSL-backed RC4 (round-8 optimization; same dispatch-with-
+    # fallback shape as kernel/aes.py — output parity pinned in tests)
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _OsslARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher as _OsslCipher
+except Exception:  # pragma: no cover
+    _OsslARC4 = None
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
+    if _OsslARC4 is not None:
+        try:
+            # ARC4 accepts only specific key sizes (40/56/64/80/128...
+            # bits); PDF keys of other lengths take the pure fallback
+            return _OsslCipher(_OsslARC4(key), mode=None).encryptor().update(data)
+        except ValueError:
+            pass
+    return _rc4_py(key, data)
+
+
+def _rc4_py(key: bytes, data: bytes) -> bytes:
     s = list(range(256))
     j = 0
     klen = len(key)

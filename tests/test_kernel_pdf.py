@@ -1226,6 +1226,80 @@ def test_aes_cbc_batch_roundtrip_and_errors():
         aes.expand_key(b"tiny")
 
 
+def test_aes_openssl_parity():
+    """Round-8 optimization contract: the OpenSSL-dispatched entry points
+    (cbc_encrypt / ecb_encrypt / cbc_decrypt_batch, plus the pdf_extract
+    RC4 wrapper) are byte-identical to the from-scratch FIPS-197
+    fallback across key sizes, IVs and multi-segment batches."""
+    import hashlib
+
+    from markmuse_spark.kernel import aes
+    from markmuse_spark.kernel.pdf_extract import _rc4, _rc4_py
+
+    if not aes._HAVE_OSSL:
+        pytest.skip("cryptography not installed: nothing to compare")
+
+    def _cbc_encrypt_py(key, iv, data):
+        kw = aes._key_words_py(aes.expand_key(key))
+        p = [int.from_bytes(iv[4 * i : 4 * i + 4], "little") for i in range(4)]
+        out = bytearray(len(data))
+        for i in range(0, len(data), 16):
+            p = list(
+                aes._enc_words(
+                    kw,
+                    *[
+                        p[j]
+                        ^ int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                        for j in range(4)
+                    ],
+                )
+            )
+            for j in range(4):
+                out[i + 4 * j : i + 4 * j + 4] = p[j].to_bytes(4, "little")
+        return bytes(out)
+
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(b"key%d" % klen).digest()[:klen]
+        iv = hashlib.sha256(b"iv%d" % klen).digest()[:16]
+        for nblocks in (1, 2, 7):
+            data = (hashlib.sha256(b"d%d" % nblocks).digest() * nblocks)[
+                : 16 * nblocks
+            ]
+            want = _cbc_encrypt_py(key, iv, data)
+            assert aes.cbc_encrypt(key, iv, data) == want
+            # batch decrypt must invert it (exercises the OpenSSL branch)
+            assert aes.cbc_decrypt_batch([(key, iv, want)]) == [data]
+        # ECB against the pure block cipher
+        blocks = hashlib.sha256(b"e%d" % klen).digest()[:16] * 3
+        rk = aes.expand_key(key)
+        want_ecb = b"".join(
+            aes.encrypt_block(rk, blocks[i : i + 16]) for i in range(0, 48, 16)
+        )
+        assert aes.ecb_encrypt(key, blocks) == want_ecb
+    # heterogeneous batch in one call
+    segs, plain = [], []
+    for i in range(5):
+        k = hashlib.sha256(b"bk%d" % i).digest()[:16]
+        iv = hashlib.sha256(b"biv%d" % i).digest()[:16]
+        d = hashlib.sha256(b"bd%d" % i).digest() * (i + 1)
+        segs.append((k, iv, aes.cbc_encrypt(k, iv, d)))
+        plain.append(d)
+    assert aes.cbc_decrypt_batch(segs) == plain
+    # the numpy fallback must agree with the OpenSSL path on the same
+    # batch (this is the only remaining caller of the vectorized
+    # inverse cipher when cryptography is installed)
+    aes._HAVE_OSSL = False
+    try:
+        assert aes.cbc_decrypt_batch(segs) == plain
+    finally:
+        aes._HAVE_OSSL = True
+    # RC4 wrapper vs pure fallback across PDF key lengths
+    for klen in (5, 7, 9, 10, 16):
+        k = hashlib.sha256(b"rk%d" % klen).digest()[:klen]
+        d = hashlib.sha256(b"rd").digest() * 4
+        assert _rc4(k, d) == _rc4_py(k, d)
+
+
 def test_pdf2_hash_revisions():
     """R5 is the single SHA-256 (independently checkable); R6 is the
     Algorithm-2.B hardened iteration — pinned as a regression value so
