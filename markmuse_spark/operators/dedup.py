@@ -92,9 +92,27 @@ def _default_parallelism(spark) -> int:
             return 200  # Spark's shuffle-partition default
 
 
-def _parallelize_for_udf(df: DataFrame) -> DataFrame:
+#: bytes of UDF input one task should own before extra width stops
+#: paying (round-8 measurement: the sf0.1 shingle UDF's whole input is
+#: ~1.5 MB / ~0.12 s of single-core work, and the blanket
+#: default-parallelism repartition cost ~0.9 s of task-dispatch/Arrow
+#: overhead across 32 near-empty partitions — width 4-8 was optimal).
+#: Scale-adaptive by construction: width grows linearly with input
+#: bytes until it hits the cluster's parallelism, and genuinely wide
+#: inputs never reach the repartition at all (the provably-wide
+#: early-out).  Env-tunable for hosts whose per-task overhead differs.
+_UDF_SPLIT_BYTES = int(
+    __import__("os").environ.get("MARKMUSE_UDF_SPLIT_BYTES", str(256 * 1024))
+)
+
+
+def _parallelize_for_udf(df: DataFrame, width: "int | None" = None) -> DataFrame:
     """At least default-parallelism partitions before an expensive Arrow
-    UDF.  A small parquet input arrives as FEW scan partitions
+    UDF.  ``width``: explicit caller override (round 8) — frames with no
+    file provenance (persisted intermediates, generated corpora) cannot
+    be size-estimated here, and the blanket default-parallelism fan-out
+    costs real dispatch overhead on small frames; callers that KNOW
+    their frame's scale pass the width they mean.  A small parquet input arrives as FEW scan partitions
     (``files.maxPartitionBytes`` yields one partition per ~128 MB), and
     a narrow UDF stage inherits that — measured at sf0.1: the shingle
     UDF ran on ONE core of 32 and dominated the whole minhash query
@@ -123,6 +141,8 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     small frame."""
     spark = df.sparkSession
     target = _default_parallelism(spark)
+    if width is not None:
+        return df.repartition(min(width, target))
     try:
         files = df.inputFiles()
     except Exception:  # exotic plans (pure streaming sources): be wide
@@ -145,7 +165,11 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
     # serial driver RPCs on remote stores — cap them at 4x parallelism and
     # extrapolate the tail from the probed mean; the provably-wide
     # early-out above already bounds this branch at 32x-target files)
-    probe = files[: max(1, 4 * target)]
+    # strided slice, not the listing head (ADVICE r7): ordered listings
+    # whose leading files are systematically small/large would skew the
+    # extrapolated mean; a spread sample reflects the whole listing
+    n_probe = max(1, 4 * target)
+    probe = files[:: max(1, len(files) // n_probe)][:n_probe]
     sizes = _probe_file_sizes(probe, spark)
     if sizes is None:
         # no pure-Python handler for the scheme and no py4j bridge
@@ -153,14 +177,32 @@ def _parallelize_for_udf(df: DataFrame) -> DataFrame:
         # the round-robin is a cheap reshuffle of a small-by-construction
         # frame — prefer full UDF width over a maybe-narrow stage
         return df.repartition(target)
-    total_cost = sum(sizes) + open_cost * len(probe)
+    total_bytes = sum(sizes)
     if len(files) > len(probe):  # extrapolate the unprobed tail
-        total_cost = total_cost * len(files) // len(probe)
+        total_bytes = total_bytes * len(files) // len(probe)
+    total_cost = total_bytes + open_cost * len(files)
     split = min(max_split, max(open_cost, total_cost // max(1, target)))
     est_partitions = -(-total_cost // split)
-    if est_partitions < target:
-        return df.repartition(target)
-    return df
+    if est_partitions >= target:
+        return df
+    # sub-cluster-width scan: repartition, but SIZE-AWARE (round 8,
+    # guide §2) — one task per ``_UDF_SPLIT_BYTES`` of input rather than
+    # a blanket ``target``: a 1.5 MB frame fanned out to 32 near-empty
+    # partitions paid ~0.9 s of dispatch/Arrow overhead for ~0.12 s of
+    # UDF work.  Width still reaches ``target`` as soon as the input is
+    # big enough to keep every core busy, so nothing changes at scale.
+    width = min(target, max(1, -(-total_bytes // _UDF_SPLIT_BYTES)))
+    # the packing formula over-counts open-cost-dominated (tiny-file)
+    # scans — a single small file reads as 2 partitions when Spark packs
+    # it into 1; bound the estimate by the file count (tiny files pack
+    # ~1 per split) and the byte-split count (big files split by
+    # maxPartitionBytes) before deciding the scan is already wide enough
+    scan_width = min(
+        est_partitions, max(len(files), int(total_bytes // max_split))
+    )
+    if width <= scan_width:
+        return df  # the scan is already at least as wide as the data merits
+    return df.repartition(width)
 
 
 def _probe_file_sizes(files: list[str], spark) -> "list[int] | None":
@@ -204,7 +246,10 @@ def _probe_file_sizes(files: list[str], spark) -> "list[int] | None":
     return sizes
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingled(
+    docs: DataFrame, id_col: str, text_col: str, n: int,
+    udf_width: "int | None" = None,
+) -> DataFrame:
     """(doc_id, shingles) with empty-shingle docs dropped.
 
     Shingling runs as an Arrow-batched pandas UDF, NOT the JVM
@@ -239,7 +284,8 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     _sh = F.pandas_udf(_sh, "array<string>")
 
     slim = _parallelize_for_udf(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        width=udf_width,
     )
     return slim.select(
         "doc_id", _sh(F.col("_t")).alias("shingles")
@@ -383,8 +429,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_band_size: int | None = None,
     warn_band_size: int | None = DEFAULT_WARN_BUCKET_SIZE,
+    udf_width: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    ``udf_width``: explicit shingle-UDF parallelism for inputs whose
+    size :func:`_parallelize_for_udf` cannot estimate (no file
+    provenance — persisted intermediates, generated corpora); default
+    keeps the size-aware rule.
 
     rows/band = num_perm/bands; candidate iff any band hash collides.
     The verification joins back to the shingle arrays so the reported
@@ -428,7 +480,7 @@ def minhash_lsh_pairs(
     from markmuse_spark.plans.cache import tracked_persist
 
     rows = num_perm // bands
-    sh = tracked_persist(_shingled(docs, id_col, text_col, n))
+    sh = tracked_persist(_shingled(docs, id_col, text_col, n, udf_width=udf_width))
     sigs = _signature_from_shingled(sh, num_perm, seed=12345)
     band_arr = F.array(
         *[

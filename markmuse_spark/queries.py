@@ -1145,6 +1145,11 @@ def p_corpus_curation(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         survivors, id_col="url", text_col="markdown",
         num_perm=64, bands=32, threshold=0.5,
+        # the survivor frame is a persisted intermediate (no file
+        # provenance, so the size-aware width rule can't see it) of a
+        # 200-doc corpus generated at partitions=8 — match that width
+        # instead of fanning the shingle UDF out to 32 near-empty tasks
+        udf_width=8,
     )
     dominated = pairs.select(F.col("doc_b").alias("url")).distinct()
     return (

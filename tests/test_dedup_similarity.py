@@ -610,11 +610,51 @@ def test_parallelize_for_udf_widens_without_rdd_probe(spark, tmp_path, monkeypat
 
     with monkeypatch.context() as m:
         m.setattr(DataFrame, "rdd", property(_trap))
+        # split=1 byte: any probed size merits full width (the round-8
+        # size-aware rule otherwise keeps a KB-scale scan narrow)
+        m.setattr(dedup, "_UDF_SPLIT_BYTES", 1)
         wide = dedup._parallelize_for_udf(df)
         wide_local = dedup._parallelize_for_udf(local)
     target = spark.sparkContext.defaultParallelism
     assert wide.rdd.getNumPartitions() == target
     assert wide_local.rdd.getNumPartitions() == target
+
+
+def test_parallelize_for_udf_width_is_size_aware(spark, tmp_path, monkeypatch):
+    """Round-8 optimization contract: a sub-cluster-width scan widens to
+    ~input_bytes / _UDF_SPLIT_BYTES tasks, not blindly to default
+    parallelism (32 near-empty partitions cost ~0.9 s of dispatch/Arrow
+    overhead for ~0.12 s of UDF work at sf0.1), and the width caps at
+    default parallelism for big inputs.  An explicit ``width`` hint
+    overrides the estimate (no-provenance persisted frames)."""
+    p = str(tmp_path / "docs")
+    spark.range(0, 1000).selectExpr(
+        "id as doc_id", "repeat('w ', 20) as text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    import glob as _glob
+    import os as _os
+
+    nbytes = sum(
+        _os.path.getsize(f) for f in _glob.glob(p + "/*.parquet")
+    )
+    target = spark.sparkContext.defaultParallelism
+    # split sized so the expected width is 2 (> scan's 1, < target)
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_UDF_SPLIT_BYTES", max(1, (nbytes + 1) // 2))
+        sized = dedup._parallelize_for_udf(df)
+    assert sized.rdd.getNumPartitions() == 2
+    # huge split: the scan's own width already covers the data — no shuffle
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_UDF_SPLIT_BYTES", 10 * nbytes)
+        untouched = dedup._parallelize_for_udf(df)
+    assert untouched.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+    # explicit hint wins, capped at parallelism
+    assert dedup._parallelize_for_udf(df, width=3).rdd.getNumPartitions() == 3
+    assert (
+        dedup._parallelize_for_udf(df, width=10**6).rdd.getNumPartitions()
+        == target
+    )
 
 
 def test_parallelize_probe_is_pure_python_for_file_uris(
@@ -645,6 +685,7 @@ def test_parallelize_probe_is_pure_python_for_file_uris(
             raising=False,
         )
         sizes = dedup._probe_file_sizes(df.inputFiles(), spark)
+        m.setattr(dedup, "_UDF_SPLIT_BYTES", 1)  # any size -> full width
         wide = dedup._parallelize_for_udf(df)
     assert sizes is not None and len(sizes) >= 1 and sizes[0] > 0
     assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
