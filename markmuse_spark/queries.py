@@ -665,7 +665,16 @@ def _hits(lang):
 def _bigrams_expr():
     """Word-bigram array over ``text`` — the one definition shared by
     t_repetition and the composed curation pipeline (a drift between them
-    would silently change what the pipeline filters)."""
+    would silently change what the pipeline filters).
+
+    Round-8 measurement note: this is kept for reference/tests, but the
+    query paths now use :func:`_ngrams_udf` — the transform lambda's
+    ``element_at(t, i)`` references re-evaluate the CAPTURED tokens
+    expression per element in Spark's interpreted HOF evaluator (no
+    memoization), making this form O(tokens^2) per document: 19.0 s for
+    t_repetition at sf0.1 vs 7.4 s with the tokens array pre-projected
+    and ~1 s with the Arrow-batched UDF (the same measured decision
+    behind ``operators.dedup._shingled``)."""
     t = _tokens()
     return F.when(
         F.size(t) >= 2,
@@ -674,6 +683,34 @@ def _bigrams_expr():
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_udf(n: int):
+    """Arrow-batched word n-gram array UDF, semantics identical to
+    :func:`_bigrams_expr`'s JVM form (lower, split on ' ', drop empties,
+    ``' '``-joined n-grams, ``[]`` under ``n`` tokens, NULL text ->
+    ``[]``) — the parity the t_repetition DuckDB oracle pins every run.
+    Python-side token semantics match ``operators.dedup._shingled``,
+    whose oracle parity is long established on these tables."""
+    import pandas as pd
+
+    def _mk(texts):
+        out = []
+        for tx in texts:
+            toks = [w for w in (tx or "").lower().split(" ") if w]
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                )
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_mk, "array<string>")
 
 
 def _quality_exprs():
@@ -780,15 +817,28 @@ def t_quality_score(spark, sf_dir):
     composite — the boilerplate-vs-content heuristics of a webtext
     pipeline."""
     t = _tokens()
-    punct, quality = _quality_exprs()
-    stop = _hits("en").cast("double") / F.greatest(F.size(t), F.lit(1))
+    punct, _quality = _quality_exprs()
+    # two-stage projection (round-8): size(t) fed three output columns
+    # and the fused form re-tokenized per reference (interpreted HOFs);
+    # the derived expressions below are the SAME ops in the same order
+    # over the once-projected _nt/_he/_punct values
+    pre = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(t).alias("_nt"),
+        _hits("en").alias("_he"),
+        punct.alias("_punct"),
+    )
+    stop = F.col("_he").cast("double") / F.greatest(F.col("_nt"), F.lit(1))
+    quality = F.least(F.lit(1.0), F.col("_nt") / F.lit(100.0)) * (
+        1.0 - F.col("_punct")
+    )
     return (
-        _t(spark, sf_dir, "documents")
-        .select(
+        pre.select(
             "doc_id",
             "n_chars",
-            F.size(t).alias("n_tokens"),
-            F.round(punct, 4).alias("punct_ratio"),
+            F.col("_nt").alias("n_tokens"),
+            F.round(F.col("_punct"), 4).alias("punct_ratio"),
             F.round(stop, 4).alias("stopword_ratio"),
             F.round(quality, 4).alias("quality"),
         )
@@ -796,12 +846,33 @@ def t_quality_score(spark, sf_dir):
     )
 
 
-def _lang_expr():
-    """The language-ID column expression (shared by t_lang_id and the
-    composed curation pipeline)."""
-    e, d, fr_, s = _hits("en"), _hits("de"), _hits("fr"), _hits("es")
+#: the lang-ID hit columns a caller must project ONCE before applying
+#: :func:`_lang_pred_expr` — split from the old single-expression form
+#: (round-8 optimization): higher-order functions are interpreted and
+#: re-evaluate per textual reference, and the argmax when-chain
+#: references each stopword count up to four times, so the fused
+#: expression tokenized+filtered the text up to ~14x per row (measured
+#: 0.73 s -> 0.47 s for t_lang_id at sf0.1 after the split; results
+#: bit-identical — same counts, same chain, one projection boundary).
+def _lang_hit_cols():
+    return [
+        F.col("text").rlike(_CJK).alias("_lh_zh"),
+        _hits("en").alias("_lh_e"),
+        _hits("de").alias("_lh_d"),
+        _hits("fr").alias("_lh_f"),
+        _hits("es").alias("_lh_s"),
+    ]
+
+
+def _lang_pred_expr():
+    """The language-ID argmax chain over the :func:`_lang_hit_cols`
+    projection (shared by t_lang_id and the composed curation
+    pipeline)."""
+    zh, e, d, fr_, s = (
+        F.col(c) for c in ("_lh_zh", "_lh_e", "_lh_d", "_lh_f", "_lh_s")
+    )
     return (
-        F.when(F.col("text").rlike(_CJK), "zh")
+        F.when(zh, "zh")
         .when((e >= d) & (e >= fr_) & (e >= s) & (e > 0), "en")
         .when((d >= fr_) & (d >= s) & (d > 0), "de")
         .when((fr_ >= s) & (fr_ > 0), "fr")
@@ -833,7 +904,8 @@ def t_lang_id(spark, sf_dir):
     a fixed priority order (en > de > fr > es)."""
     return (
         _t(spark, sf_dir, "documents")
-        .select(_lang_expr().alias("lang_pred"))
+        .select(*_lang_hit_cols())
+        .select(_lang_pred_expr().alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_pred")
@@ -935,19 +1007,20 @@ def t_repetition(spark, sf_dir):
     top-bigram fraction via a relational explode -> count -> per-doc max
     (pure JVM group-bys, scale-safe), duplicate-trigram fraction via
     distinct/total n-gram counts."""
-    t = _tokens()
-    make_bg = _bigrams_expr()
-    make_tg = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", make_bg.alias("bgs"), make_tg.alias("tgs")
+    from markmuse_spark.operators.dedup import _parallelize_for_udf
+    from markmuse_spark.plans.cache import tracked_persist
+
+    # persisted: two plan branches read it (the bigram explode and the
+    # final join's trigram side) and Spark shares no subplans across
+    # self-joins — without the persist the n-gram UDFs run twice
+    base = tracked_persist(
+        _parallelize_for_udf(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select(
+            "doc_id",
+            _ngrams_udf(2)(F.col("text")).alias("bgs"),
+            _ngrams_udf(3)(F.col("text")).alias("tgs"),
+        )
     )
     counts = (
         base.select("doc_id", F.explode("bgs").alias("g"))
@@ -1027,19 +1100,36 @@ def p_curation_keeplist(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     t = _tokens()
-    _punct, quality = _quality_exprs()
+    punct, _quality = _quality_exprs()
+    # two-stage projection (round-8, same rationale as t_lang_id): the
+    # stopword-hit counts and the token count are interpreted HOFs that
+    # would re-evaluate per reference in the fused form; project them
+    # once, then derive lang_pred/qv from the materialized columns.
+    # qv = least(1, n_tokens/100) * (1 - punct) is the SAME ops in the
+    # same order as _quality_exprs' fused form (n_tokens IS size(t)).
+    pre = docs.select(
+        "doc_id",
+        "text",
+        *_lang_hit_cols(),
+        F.size(t).alias("n_tokens"),
+        punct.alias("_punct"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    qv = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * (
+        1.0 - F.col("_punct")
+    )
     base = tracked_persist(
-        docs.select(
+        pre.select(
             "doc_id",
             "text",
-            _lang_expr().alias("lang_pred"),
-            F.size(t).alias("n_tokens"),
-            quality.alias("qv"),
-            normalized_fingerprint("text").alias("fp"),
+            _lang_pred_expr().alias("lang_pred"),
+            "n_tokens",
+            qv.alias("qv"),
+            "fp",
         )
     )
     rep = (
-        base.select("doc_id", F.explode(_bigrams_expr()).alias("g"))
+        base.select("doc_id", F.explode(_ngrams_udf(2)(F.col("text"))).alias("g"))
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
@@ -1672,9 +1762,16 @@ def x_extract_enhanced(spark, sf_dir):
         deterministic_captions,
         extract_markdown_enhanced,
     )
+    from markmuse_spark.plans.cache import tracked_persist
     from markmuse_spark.sources import corpus
 
-    pages = corpus.pages_dataframe(spark, 100, seed=42, partitions=4)
+    # persisted (round-8): the caption derivation and the extraction
+    # join both read the generated pages frame, and the generator is an
+    # opaque mapInPandas (column pruning can't reach inside it) — without
+    # the persist the 100-doc corpus writer runs twice per action
+    pages = tracked_persist(
+        corpus.pages_dataframe(spark, 100, seed=42, partitions=4)
+    )
     caps = deterministic_captions(pages)
     return (
         extract_markdown_enhanced(pages, caps)
