@@ -532,19 +532,38 @@ def _observe_oversized_buckets(
     import threading
 
     from pyspark.sql import Observation
-    from pyspark.sql import Window as W
 
     obs = Observation()
+    # round-8 shape: the per-group count no longer rides a Window — the
+    # Window's required Exchange+Sort of the whole frame cost ~1.3 s per
+    # miner call at sf0.1 (the self-join it was meant to share an
+    # exchange with plans as a BROADCAST join on any healthy-sized
+    # input, so nothing was reused).  Instead, group counts are
+    # aggregated over the (already persisted) frame, FILTERED to the
+    # oversized groups — normally an EMPTY set — and broadcast-joined
+    # back.  Metrics are unchanged: `over_rows` counts rows whose group
+    # exceeds the cap (null `_grp_n` from the left join means healthy),
+    # and when any group is oversized the global max IS oversized, so
+    # `mx` over the joined column equals the old window's global max
+    # whenever the warn fires (when nothing is oversized `mx` is null
+    # and unused).  The aggregate is map-side-combinable (one row per
+    # group, never per input row) and the broadcast is empty-to-tiny by
+    # construction — cheaper than the window at every scale, still zero
+    # extra ACTIONS (the broadcast subtree materializes inside the
+    # caller's own first action).
+    over = (
+        frame.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .filter(F.col("_grp_n") > soft_cap)
+    )
     observed = (
-        frame.withColumn(
-            "_grp_n", F.count(F.lit(1)).over(W.partitionBy(*keys))
-        )
+        frame.join(F.broadcast(over), keys, "left")
         .observe(
             obs,
             F.max("_grp_n").alias("mx"),
             F.sum((F.col("_grp_n") > soft_cap).cast("long")).alias("over_rows"),
         )
-        .drop("_grp_n")
+        .select(*frame.columns)  # the using-join moved the keys first
     )
 
     def _wait_and_log() -> None:

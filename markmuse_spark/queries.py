@@ -742,17 +742,22 @@ def _sql_hits(lang):
 )
 def t_token_count(spark, sf_dir):
     """Token counting (whitespace tokenizer) + mean token length."""
-    t = _tokens()
+    # two-stage projection (round-8): the fused form referenced the
+    # tokens HOF three times and re-tokenized per reference
+    pre = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("_t")
+    )
     total_len = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        F.transform(F.col("_t"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
     )
     return (
-        _t(spark, sf_dir, "documents")
-        .select(
+        pre.select(
             "doc_id",
-            F.size(t).alias("n_tokens"),
+            F.size("_t").alias("n_tokens"),
             F.round(
-                total_len.cast("double") / F.greatest(F.size(t), F.lit(1)), 4
+                total_len.cast("double") / F.greatest(F.size("_t"), F.lit(1)), 4
             ).alias("mean_token_len"),
         )
         .orderBy("doc_id")
@@ -785,15 +790,22 @@ def t_bpe_tokens(spark, sf_dir):
     """Token counting, BPE-ish: a GPT-2-style regex pre-tokenizer next to
     the whitespace tokenizer; ``fertility`` = regex tokens per whitespace
     word (the classic tokenizer-cost metric for training-data sizing)."""
-    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    # two-stage projection (round-8): the fused form ran the BPE regex
+    # extraction three times per row (once per reference)
+    pre = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(_BPE_PAT), 0).alias("_bpe"),
+        F.size(_tokens()).alias("_nt"),
+    )
     return (
-        _t(spark, sf_dir, "documents")
-        .select(
+        pre.select(
             "doc_id",
-            F.size(bpe).alias("n_bpe"),
-            F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+            F.size("_bpe").alias("n_bpe"),
+            F.size(F.array_distinct("_bpe")).alias("n_bpe_distinct"),
             F.round(
-                F.size(bpe).cast("double") / F.greatest(F.size(_tokens()), F.lit(1)), 4
+                F.size("_bpe").cast("double")
+                / F.greatest(F.col("_nt"), F.lit(1)),
+                4,
             ).alias("fertility"),
         )
         .orderBy("doc_id")
