@@ -2165,16 +2165,36 @@ def j_asof_last_purchase(spark, sf_dir):
 def q_quantiles(spark, sf_dir):
     """Exact interpolated quantiles + distinct aggregate per group (the
     exact `percentile` here; `percentile_approx` is the stand-in at
-    10^12 rows, noted for the scale path)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
+    10^12 rows, noted for the scale path).
+
+    Round-8 shape, same results: BOTH quantiles come from ONE
+    ``percentile(col, array(...))`` buffer (two scalar calls each built
+    their own per-group value-counts map), and the distinct count runs
+    as its own two-level aggregate joined back on the 3-row group key —
+    fusing it forced the distinct-rewrite's Expand to double every row
+    through the percentile buffers.  Measured 2.66 -> 1.28 s at sf0.1;
+    output equality asserted against the fused form."""
+    li = _t(spark, sf_dir, "lineitem")
+    main = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_p"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    nd = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(F.lit(1))
         .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        main.join(nd, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 2).alias("p50_price"),
+            F.round(F.col("_p")[1], 2).alias("p95_price"),
+            "min_price",
+            "max_price",
+            "n_suppliers",
         )
         .orderBy("l_returnflag")
     )
