@@ -47,7 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
     )
 
-    all_pages = pages.unionByName(doc_pages)
+    from markmuse_spark.plans.cache import tracked_persist
+
+    # persisted (round-8): the lang projection and the extraction join
+    # both read the generated pages frame through an opaque mapInPandas
+    # generator — without the persist the corpus writer runs twice
+    all_pages = tracked_persist(pages.unionByName(doc_pages))
     lang_of = all_pages.select("url", "lang")
     extracted = extract_markdown(
         salted_repartition(all_pages, spark.sparkContext.defaultParallelism)

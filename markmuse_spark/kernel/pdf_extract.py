@@ -2186,15 +2186,16 @@ def _column_blocks(
         cur_size = None
 
     for y, size, text in lines:
+        lvl = _heading_level(size, body_size)  # hoisted: one call per line
         new_block = (
             prev_y is not None and (prev_y - y) > _LINE_GAP
         ) or (cur_size is not None and size != cur_size)
-        if new_block or _heading_level(size, body_size):
+        if new_block or lvl:
             _flush()
         cur.append(text)
         cur_size = size
         prev_y = y
-        if _heading_level(size, body_size):
+        if lvl:
             _flush()
             prev_y = None  # heading gap shouldn't merge next block
     _flush()
