@@ -36,8 +36,19 @@ import html as _html
 import re
 from typing import Any, Iterable, Optional
 
-# tokenizer: comments | doctype/decls | tags | text runs
-_TOKEN = re.compile(r"<!--.*?(?:-->|$)|<!\[[^\]]*\]>|<![^>]*>|<[^>]*>|[^<]+", re.DOTALL)
+# tokenizer: comments | doctype/decls | named tags | other tags | text
+# runs.  The tag NAME is captured inside the same C-level pass (round-8:
+# the separate per-tag ``_TAG_NAME.match`` + ``group`` calls cost ~0.5 s
+# per 16k docs; the named alternative matches exactly the spans the
+# plain ``<[^>]*>`` form matched for name-bearing tags, and nameless
+# tags/comments yield an empty name group — token-stream parity pinned
+# by test_tokenizer_name_capture_parity).  findall returns
+# ``(token, name)`` tuples.
+_TOKEN = re.compile(
+    r"(<!--.*?(?:-->|$)|<!\[[^\]]*\]>|<![^>]*>"
+    r"|</?\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>|[^<]+)",
+    re.DOTALL,
+)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _ATTR = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+)"""
@@ -246,10 +257,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         cell_buf = None
 
     _unescape = _html.unescape
-    _tag_match = _TAG_NAME.match
-    # findall materializes plain strings (one small list per document)
-    # instead of a match object per token — ~5% off the tokenizer loop
-    for tok in _TOKEN.findall(text):
+    # findall materializes plain (token, name) tuples — the tag name is
+    # captured by the tokenizer itself (one C pass), not a second
+    # per-tag match call
+    for tok, name in _TOKEN.findall(text):
         if tok[0] != "<":
             if skip_stack:
                 continue
@@ -262,12 +273,10 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
             )
             buf.append(_unescape(tok) if "&" in tok else tok)
             continue
-        if len(tok) < 3 or tok[1] == "!":
-            continue  # comment / doctype / stray '<'
-        nm = _tag_match(tok)
-        if not nm:
-            continue
-        name = nm.group(1).lower()
+        if not name:
+            continue  # comment / doctype / nameless tag / stray '<'
+        if not name.islower():  # islower scans without allocating
+            name = name.lower()
         closing = tok[1] == "/"
 
         # ---- boilerplate subtree handling --------------------------------

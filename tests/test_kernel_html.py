@@ -140,3 +140,37 @@ def test_figure_figcaption_becomes_caption_block():
     assert md == (
         "before\n\n![pic](https://cdn.example/x.jpg)\n\nthe caption text\n\nafter"
     )
+
+
+def test_tokenizer_name_capture_parity():
+    """Round-8 optimization contract: the tokenizer's in-pass tag-name
+    group must agree with the standalone _TAG_NAME match on every token,
+    and the token stream itself must be unchanged by the added groups —
+    across comments, doctypes, nameless tags, self-closing tags,
+    attributes, and truncated trailing markup."""
+    import re
+
+    from markmuse_spark.kernel import html_extract as H
+
+    # the pre-round-8 tokenizer (no name group), for stream parity
+    old = re.compile(
+        r"<!--.*?(?:-->|$)|<!\[[^\]]*\]>|<![^>]*>|<[^>]*>|[^<]+", re.DOTALL
+    )
+    cases = [
+        "<p>a</p><div class='x'>b</div><br/><img src=u alt='t'>",
+        "<!-- c --><!DOCTYPE html><![CDATA[x]]><UL><LI>i</LI></UL>",
+        "<>< 3 ><a<b>text<unclosed",
+        "plain text only",
+        "<table><tr><td>1</td><TD>2</TD></tr></table>",
+        "< p >spaced</ p ><h2 id=x>H</h2>&amp;",
+        "",
+    ]
+    for s in cases:
+        new = H._TOKEN.findall(s)
+        assert [t for t, _n in new] == old.findall(s), s
+        for tok, name in new:
+            if tok and tok[0] == "<" and len(tok) >= 3 and tok[1] != "!":
+                m = H._TAG_NAME.match(tok)
+                assert name == (m.group(1) if m else ""), (s, tok)
+            else:
+                assert name == "", (s, tok)
