@@ -1510,7 +1510,12 @@ def s_lsh_ann_batch(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_batch_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        # the query set is 5 rows by construction: skip the sizing
+        # count() job the operator otherwise runs to pick the join
+        # strategy (round-8; the operator documents this parameter for
+        # exactly this case)
+        n_queries=5,
     ).orderBy("query_id", F.col("cosine").desc(), "cand_id")
 
 
