@@ -80,6 +80,61 @@ _INLINE_MARK = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
 
 _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
+# ---------------------------------------------------------------------------
+# tag dispatch table (round-8): the extract_pages tag loop used to walk a
+# chain of ~12 sequential membership tests per tag token (frozensets, small
+# tuples, dicts, == compares); profiled at 2/3 of the whole HTML path on the
+# bench corpus.  One dict lookup now yields a small-int code and the loop
+# dispatches on int equality.  The codes partition exactly the tag names the
+# old chain acted on; every name NOT in this dict took no action before
+# (after the skip-stack/pre checks) and takes none now.  Precedence notes
+# preserved from the old chain:
+#   * body: closing hit the explicit body branch (_flush_text), opening fell
+#     through to the _BLOCK_ELEMENTS tail (_flush_text) — same action, so
+#     body folds into _T_BLOCK with html;
+#   * thead/tbody/tfoot: "continue" inside a table, fall-through (no action)
+#     outside — no action either way, so they are simply absent here;
+#   * hr: the old br/hr branch continued without touching any buffer, so hr
+#     is _T_HR (no action) and never reaches the block tail;
+#   * closing </pre> outside pre mode continued with no action (the old
+#     branch's continue covered both directions) — preserved in _T_PRE.
+_T_SKIP = 1      # _SKIP_ELEMENTS: whole-subtree chrome/noise
+_T_DIVLIKE = 2   # div section article main: boilerplate check + para break
+_T_ULOL = 3      # ul ol: boilerplate check + list open/close
+_T_TABLE = 4     # table: boilerplate check + table open/close
+_T_INLINE = 5    # strong b em i code
+_T_IMG = 6
+_T_HEADING = 7   # h1..h6
+_T_P = 8
+_T_BR = 9
+_T_HR = 10
+_T_QUOTE = 11
+_T_PRE = 12
+_T_LI = 13
+_T_TR = 14
+_T_CELL = 15     # td th
+_T_BLOCK = 16    # body html: paragraph boundary only
+
+_TAG_DISPATCH: dict[str, int] = {}
+for _n in _SKIP_ELEMENTS:
+    _TAG_DISPATCH[_n] = _T_SKIP
+for _n in ("div", "section", "article", "main"):
+    _TAG_DISPATCH[_n] = _T_DIVLIKE
+for _n in ("ul", "ol"):
+    _TAG_DISPATCH[_n] = _T_ULOL
+for _n in _INLINE_MARK:
+    _TAG_DISPATCH[_n] = _T_INLINE
+for _n in _HEADING_LEVEL:
+    _TAG_DISPATCH[_n] = _T_HEADING
+for _n in ("td", "th"):
+    _TAG_DISPATCH[_n] = _T_CELL
+_TAG_DISPATCH.update(
+    table=_T_TABLE, img=_T_IMG, p=_T_P, br=_T_BR, hr=_T_HR,
+    blockquote=_T_QUOTE, pre=_T_PRE, li=_T_LI, tr=_T_TR,
+    body=_T_BLOCK, html=_T_BLOCK,
+)
+del _n
+
 
 _EMPTY_ATTRS: dict[str, str] = {}
 # NOTE: memoizing tag-name parsing by raw tag text was measured SLOWER than
@@ -306,87 +361,56 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                 pre_buf.append("\n")
             continue
 
-        if not closing:
-            if name in _SKIP_ELEMENTS:
-                if name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
-                    skip_stack.append(name)
+        # single dict probe -> int code; ladder ordered by corpus frequency
+        code = _TAG_DISPATCH.get(name)
+        if code is None:
+            continue  # tag the old chain never acted on
+
+        # ---- lists (nested: sub-lists indent 2 spaces per level) -----------
+        if code == _T_LI:
+            if not list_stack:
                 continue
-            if name in ("div", "section", "article", "main", "ul", "ol", "table"):
+            _flush_item()
+            item_buf = [] if not closing else None
+            continue
+
+        if code == _T_DIVLIKE:
+            if not closing:
+                if _boilerplate_tag(tok):
+                    if not tok.rstrip().endswith("/>"):
+                        skip_stack.append(name)
+                else:
+                    _flush_text()
+                continue
+            _flush_text()  # closing div/section/article/main: block boundary
+            continue
+
+        # ---- paragraphs ----------------------------------------------------
+        if code == _T_P:
+            _flush_text()
+            continue
+
+        # ---- tables: cells -------------------------------------------------
+        if code == _T_CELL:
+            if in_table:
+                if not closing:
+                    if cell_buf is not None and table_row is not None:
+                        table_row.append(_clean(cell_buf))
+                    cell_buf = []
+                else:
+                    if cell_buf is not None and table_row is not None:
+                        table_row.append(_clean(cell_buf))
+                    cell_buf = None
+                continue
+            _flush_text()  # td/th outside a table: block boundary
+            continue
+
+        if code == _T_ULOL:
+            if not closing:
                 if _boilerplate_tag(tok):
                     if not tok.rstrip().endswith("/>"):
                         skip_stack.append(name)
                     continue
-                if name in ("div", "section", "article", "main"):
-                    _flush_text()
-                    continue
-
-        # ---- inline marks -------------------------------------------------
-        if name in _INLINE_MARK:
-            buf = _target_buf()
-            if buf is None:
-                continue
-            mark = _INLINE_MARK[name]
-            if not closing:
-                buf.append(mark)
-                inline_stack.append(mark)
-            else:
-                buf.append(mark)
-                if inline_stack:
-                    inline_stack.pop()
-            continue
-
-        # ---- images --------------------------------------------------------
-        if name == "img":
-            if not closing:
-                attrs = _parse_attrs(tok)
-                src = attrs.get("src", "")
-                if src:
-                    _flush_text()
-                    page.add_image(src, _html.unescape(attrs.get("alt", "")))
-            continue
-
-        # ---- headings ------------------------------------------------------
-        if name in _HEADING_LEVEL:
-            if closing:
-                _flush_text()
-            else:
-                _flush_text()
-                heading_level = _HEADING_LEVEL[name]
-            continue
-
-        # ---- paragraphs / breaks --------------------------------------------
-        if name == "p":
-            _flush_text()
-            continue
-        if name in ("br", "hr"):
-            buf = _target_buf()
-            if buf is not None and name == "br":
-                buf.append(" ")
-            continue
-
-        # ---- blockquote / pre ------------------------------------------------
-        if name == "blockquote":
-            _flush_text()
-            if not closing:
-                quote_depth += 1
-            elif quote_depth:
-                quote_depth -= 1
-            continue
-        if name == "pre":
-            if not closing:
-                _flush_text()
-                pre_buf = []
-            continue
-
-        # ---- lists (nested: sub-lists indent 2 spaces per level) -----------
-        if name in ("ul", "ol", "li"):
-            if name == "li":
-                if not list_stack:
-                    continue
-                _flush_item()
-                item_buf = [] if not closing else None
-                continue
-            if not closing:
                 if not list_stack:
                     _flush_text()
                     list_lines = []
@@ -405,19 +429,39 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                     list_lines = []
             continue
 
-        # ---- tables -------------------------------------------------------------
-        if name == "table":
+        # ---- inline marks -------------------------------------------------
+        if code == _T_INLINE:
+            buf = _target_buf()
+            if buf is None:
+                continue
+            mark = _INLINE_MARK[name]
             if not closing:
-                _flush_text()
-                in_table = True
-                table_rows = []
-                table_row = None
-                cell_buf = None
+                buf.append(mark)
+                inline_stack.append(mark)
             else:
-                _flush_table()
+                buf.append(mark)
+                if inline_stack:
+                    inline_stack.pop()
             continue
-        if in_table:
-            if name == "tr":
+
+        # ---- headings ------------------------------------------------------
+        if code == _T_HEADING:
+            if closing:
+                _flush_text()
+            else:
+                _flush_text()
+                heading_level = _HEADING_LEVEL[name]
+            continue
+
+        if code == _T_SKIP:
+            if not closing:
+                if name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
+                    skip_stack.append(name)
+            continue  # unbalanced close of a skip element: no action
+
+        # ---- tables: rows --------------------------------------------------
+        if code == _T_TR:
+            if in_table:
                 if not closing:
                     table_row = []
                 else:
@@ -428,24 +472,59 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
                         table_rows.append(table_row)
                     table_row = None
                 continue
-            if name in ("td", "th"):
-                if not closing:
-                    if cell_buf is not None and table_row is not None:
-                        table_row.append(_clean(cell_buf))
-                    cell_buf = []
-                else:
-                    if cell_buf is not None and table_row is not None:
-                        table_row.append(_clean(cell_buf))
-                    cell_buf = None
-                continue
-            if name in ("thead", "tbody", "tfoot"):
-                continue
-
-        if name == "body" and closing:
-            _flush_text()
+            _flush_text()  # tr outside a table: block boundary
             continue
-        # any other block element acts as a paragraph boundary
-        if name in _BLOCK_ELEMENTS:
+
+        if code == _T_TABLE:
+            if not closing:
+                if _boilerplate_tag(tok):
+                    if not tok.rstrip().endswith("/>"):
+                        skip_stack.append(name)
+                    continue
+                _flush_text()
+                in_table = True
+                table_rows = []
+                table_row = None
+                cell_buf = None
+            else:
+                _flush_table()
+            continue
+
+        # ---- breaks --------------------------------------------------------
+        if code == _T_BR:
+            buf = _target_buf()
+            if buf is not None:
+                buf.append(" ")
+            continue
+        if code == _T_HR:
+            continue
+
+        # ---- images --------------------------------------------------------
+        if code == _T_IMG:
+            if not closing:
+                attrs = _parse_attrs(tok)
+                src = attrs.get("src", "")
+                if src:
+                    _flush_text()
+                    page.add_image(src, _html.unescape(attrs.get("alt", "")))
+            continue
+
+        # ---- blockquote / pre ------------------------------------------------
+        if code == _T_QUOTE:
+            _flush_text()
+            if not closing:
+                quote_depth += 1
+            elif quote_depth:
+                quote_depth -= 1
+            continue
+        if code == _T_PRE:
+            if not closing:
+                _flush_text()
+                pre_buf = []
+            continue
+
+        # body/html: paragraph boundary (open or close)
+        if code == _T_BLOCK:
             _flush_text()
 
     if pre_buf is not None:  # unterminated <pre> (truncated payload)

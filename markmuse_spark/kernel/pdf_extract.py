@@ -265,32 +265,40 @@ def _decode_cids(raw: str, cmap: dict[int, str]) -> str:
     )
 
 
-def _tj_text(body: str, cmap: dict[int, str] | None = None) -> str:
+def _cid_hex_decoder(cmap: dict[int, str]):
+    """Hex-operand decoder bound to one CID table, cached on the table
+    itself so repeated ``Tf`` selections of the same font reuse one
+    closure (a page's content stream re-selects its fonts constantly)."""
+    if not isinstance(cmap, _CidTable):  # normalize exactly as _decode_cids
+        cmap = _CidTable(cmap)
+    dec = getattr(cmap, "_hex_dec", None)
+    if dec is None:
+        def dec(raw: str, _c=cmap) -> str:
+            return _decode_cids(raw, _c)
+        cmap._hex_dec = dec
+    return dec
+
+
+def _tj_text(body: str, dec_lit=_decode_pdf_string, dec_hex=_decode_hex_string) -> str:
     """Concatenate a TJ array's string pieces, re-inserting word spaces
-    for adjustments <= -150 (the kerned-text word gap); hex pieces decode
-    through the current font's ToUnicode CMap when one applies.
+    for adjustments <= -150 (the kerned-text word gap); ``dec_lit`` /
+    ``dec_hex`` are the current font's literal/hex decoders, selected
+    ONCE per ``Tf`` by :func:`_parse_runs` (round-8: the per-piece
+    ``isinstance``/None chain cost real time at ~10 pieces per TJ array).
 
     ``findall`` (tuples) instead of ``finditer`` (match objects): the TJ
     path runs once per kerned line — measurably cheaper.  An empty string
     piece ``()`` yields ``('', '')`` and falls through to the string
     branch, appending '' (harmless and order-preserving)."""
     parts: list[str] = []
-    byte_enc = isinstance(cmap, _ByteEncoding)
     for s, hx, num in _TJ_PIECE.findall(body):
         if num:
             if float(num) <= _TJ_SPACE_ADJ:
                 parts.append(" ")
         elif hx:
-            if byte_enc:
-                parts.append(cmap.decode_hex(hx))
-            elif cmap is not None:
-                parts.append(_decode_cids(hx, cmap))
-            else:
-                parts.append(_decode_hex_string(hx))
+            parts.append(dec_hex(hx))
         else:
-            parts.append(
-                cmap.decode_literal(s) if byte_enc else _decode_pdf_string(s)
-            )
+            parts.append(dec_lit(s))
     return "".join(parts)
 
 
@@ -309,36 +317,42 @@ def _parse_runs(
     size = 10.0
     x = y = 0.0
     cmap: dict[int, str] | None = None
+    # per-font decoders, re-selected only on Tf (round-8): the old form
+    # re-ran the isinstance/None chain on EVERY string operand and TJ piece
+    dec_lit = _decode_pdf_string
+    dec_hex = _decode_hex_string
     if "BI" in stream:  # inline-image spans are opaque bytes, never text
         stream = _strip_inline_images(stream)
-    for m in _OP.finditer(stream):
-        # dispatch on lastindex (Tf->2, Tm->4, Tj->5, hex-Tj->6, TJ->7):
-        # one attribute read instead of 2-3 group() calls per token
-        li = m.lastindex
-        if li == 4:
-            x, y = float(m[3]), float(m[4])
+    # findall tuples (round-8; same measured call-shape win as _TJ_PIECE):
+    # exactly one alternative participates per op, the rest are ''.
+    # Truthiness dispatch is exact because the groups that CAN match empty
+    # (lit/hex/TJ bodies) all decode '' to '' — no run either way.
+    for fname, fsize, tx, ty, lit, hx, tj in _OP.findall(stream):
+        if tx:
+            x = float(tx)
+            y = float(ty)
             continue
-        if li == 2:
-            size = float(m[2])
-            cmap = cmaps.get(m[1]) if cmaps else None
+        if fname:
+            size = float(fsize)
+            cmap = cmaps.get(fname) if cmaps else None
+            if cmap is None:
+                dec_lit = _decode_pdf_string
+                dec_hex = _decode_hex_string
+            elif isinstance(cmap, _ByteEncoding):
+                dec_lit = cmap.decode_literal
+                dec_hex = cmap.decode_hex
+            elif cmap is not GLYPH_ONLY:  # ToUnicode CID table
+                dec_lit = _decode_pdf_string
+                dec_hex = _cid_hex_decoder(cmap)
             continue
         if cmap is GLYPH_ONLY:
             continue  # unreadable code space: no run, never byte salad
-        if li == 5:
-            text = (
-                cmap.decode_literal(m[5])
-                if isinstance(cmap, _ByteEncoding)
-                else _decode_pdf_string(m[5])
-            )
-        elif li == 6:
-            if isinstance(cmap, _ByteEncoding):
-                text = cmap.decode_hex(m[6])
-            elif cmap is not None:
-                text = _decode_cids(m[6], cmap)
-            else:
-                text = _decode_hex_string(m[6])
+        if hx:
+            text = dec_hex(hx)
+        elif tj:
+            text = _tj_text(tj, dec_lit, dec_hex)
         else:
-            text = _tj_text(m[7], cmap)
+            text = dec_lit(lit)
         if text:
             runs.append((size, x, y, text))
     return runs
@@ -385,6 +399,55 @@ def _scan_streams(payload: bytes) -> list[tuple[int, bytes, bytes, tuple[int, in
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+# round-8: full-payload object-header scans via _OBJ_RE cost ~16 ns/byte —
+# the \d+ prefix makes the engine attempt at every digit and every `N 0 R`
+# indirect reference is a near-miss that backtracks through `\s+0\s+`.
+# _iter_obj_headers scans for the LITERAL ``obj`` instead (memchr-speed,
+# few candidates) and validates the `(\d+)\s+0\s+` tail backwards; the
+# (?<!end) lookbehind only prunes candidates _OBJ_RE could never match
+# ('d' is not \s), and the lookahead is `\b`-after-obj spelled out.
+_RE_WS = b" \t\n\r\x0b\x0c"  # exactly re's \s byte class
+_RE_WORD = (  # exactly re's \w byte class (for the \b after ``obj``)
+    b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ_abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _iter_obj_headers(buf: bytes) -> list[tuple[int, int, int]]:
+    """``[(start, end, obj_id)]`` exactly as ``_OBJ_RE.finditer(buf)``
+    would report ``(m.start(), m.end(), int(m.group(1)))``, in order.
+    Equivalence: every _OBJ_RE match ends at an ``obj`` token at a word
+    boundary, and its ``(\\d+)\\s+0\\s+`` tail contains only digits and
+    whitespace — so tails of distinct tokens never overlap, file order is
+    preserved, and parsing the tail BACKWARD from each token (maximal
+    digit run, as the greedy leftmost ``\\d+`` takes) reconstructs the
+    same span.  The work per candidate is bounded by the real tail
+    length, and candidates are the literal ``obj`` occurrences only."""
+    out: list[tuple[int, int, int]] = []
+    find = buf.find
+    n = len(buf)
+    p = find(b"obj")
+    while p != -1:
+        end = p + 3
+        # \b after obj, then reject `endobj` (its 'd' could never satisfy
+        # the \s+ the backward parse requires anyway — this is just the
+        # cheap early exit for the most common false candidate)
+        if (end >= n or buf[end] not in _RE_WORD) and buf[p - 3 : p] != b"end":
+            i = p - 1
+            if i >= 0 and buf[i] in _RE_WS:
+                while i >= 0 and buf[i] in _RE_WS:  # \s+ before obj
+                    i -= 1
+                if i >= 0 and buf[i] == 0x30:  # literal generation digit '0'
+                    i -= 1
+                    if i >= 0 and buf[i] in _RE_WS:
+                        while i >= 0 and buf[i] in _RE_WS:  # \s+ after N
+                            i -= 1
+                        if i >= 0 and 0x30 <= buf[i] <= 0x39:
+                            j = i
+                            while j >= 0 and 0x30 <= buf[j] <= 0x39:  # \d+
+                                j -= 1
+                            out.append((j + 1, end, int(buf[j + 1 : i + 1])))
+        p = find(b"obj", end)
+    return out
 _TRAILER_KW_RE = re.compile(rb"trailer")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")  # \b rejects /Pages
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
@@ -408,14 +471,14 @@ def _blanked_objects(
     for _hdr, _head, _data, (b0, b1) in scanned:
         blanked[b0:b1] = b" " * (b1 - b0)
     blanked = bytes(blanked)
-    matches = list(_OBJ_RE.finditer(blanked))
+    marks = _iter_obj_headers(blanked)
     bounds = [
         (
-            int(m.group(1)),
-            m.end(),
-            matches[i + 1].start() if i + 1 < len(matches) else len(blanked),
+            oid,
+            end,
+            marks[i + 1][0] if i + 1 < len(marks) else len(blanked),
         )
-        for i, m in enumerate(matches)
+        for i, (_start, end, oid) in enumerate(marks)
     ]
     return blanked, bounds
 
@@ -657,32 +720,37 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     append = table.append
     tlen = 258
     width = 9
+    mask = (1 << 9) - 1  # round-8: masks precomputed per width switch
     switch = (1 << 9) - early
     prev: bytes | None = None
     out = bytearray()
-    outlen = 0
     bitbuf = bitcnt = 0
     for byte in data:
         bitbuf = (bitbuf << 8) | byte
         bitcnt += 8
         while bitcnt >= width:
             bitcnt -= width
-            code = (bitbuf >> bitcnt) & ((1 << width) - 1)
-            if code == 256:
+            code = (bitbuf >> bitcnt) & mask
+            # literal byte codes are the bulk of real streams: first branch
+            if code < 256:
+                entry = table[code]
+                if prev is not None:
+                    append(prev + entry[:1])
+                    tlen += 1
+            elif code == 256:
                 table = list(_LZW_BASE)
                 append = table.append
                 tlen = 258
                 width = 9
+                mask = (1 << 9) - 1
                 switch = (1 << 9) - early
                 prev = None
                 bitbuf &= (1 << bitcnt) - 1
                 continue
-            if code == 257:
+            elif code == 257:
                 return bytes(out)
-            if prev is None:
-                if code >= 256:
-                    raise ValueError("bad LZW stream: first code not a byte")
-                entry = table[code]
+            elif prev is None:
+                raise ValueError("bad LZW stream: first code not a byte")
             elif code < tlen:
                 entry = table[code]
                 append(prev + entry[:1])
@@ -694,12 +762,12 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             else:
                 raise ValueError("bad LZW stream: code beyond table")
             out += entry
-            outlen += len(entry)
-            if outlen > _MAX_DECODED:
+            if len(out) > _MAX_DECODED:
                 raise ValueError("LZW stream exceeds decode cap")
             prev = entry
             if tlen >= switch and width < 12:
                 width += 1
+                mask = (1 << width) - 1
                 switch = (1 << width) - early
         bitbuf &= 0xFFFFFF  # bound the accumulator (<= 23 carried bits)
     # EOD missing: tolerate (some writers rely on data exhaustion)
@@ -752,27 +820,18 @@ def _ahx_decode(data: bytes) -> bytes:
 
 
 _A85_POW = (85**4, 85**3, 85**2, 85, 1)
+# round-8 vectorized decode: digit-value table (byte -> byte-33, mod 256 so
+# translate stays total; invalid bytes are rejected before it is applied),
+# the valid digit alphabet, and the first-digit values whose group COULD
+# exceed 2**32 ('s','t','u': n >= 82*85^4 overflows only from digit 82 up)
+_A85_SUB33 = bytes((v - 33) & 0xFF for v in range(256))
+_A85_VALID = bytes(range(0x21, 0x76))
 
 
-def _a85_decode(data: bytes) -> bytes:
-    """ASCII85Decode (spec 7.4.3): base-85 groups of 5 chars -> 4 bytes,
-    ``z`` = four zero bytes (only between groups), whitespace ignored,
-    ``~>`` is EOD; a final partial group of k chars yields k-1 bytes.
-    Full 5-char groups decode via sliced arithmetic (5 index reads per
-    4 output bytes); the rare ``z``-bearing stream expands ``z`` groups
-    first so the same fast loop applies."""
-    eod = data.find(b"~")
-    if eod >= 0:
-        data = data[:eod]
-    body = data.translate(None, _WS_DELETE)
-    if b"z" in body:
-        # legal only on a group boundary: expand, then verify alignment
-        # by re-checking below (an in-group z yields a non-85 value)
-        parts = body.split(b"z")
-        for p in parts[:-1]:
-            if len(p) % 5:
-                raise ValueError("ASCII85 'z' inside a group")
-        body = b"!!!!!".join(parts)  # '!'*5 encodes four zero bytes
+def _a85_slow(body: bytes) -> bytes:
+    """Reference per-group decode of the FULL groups; also the error path
+    (kept bit- and message-identical to the pre-round-8 loop — its
+    ValueErrors are user-visible in the per-row ``error`` column)."""
     p0, p1, p2, p3, p4 = _A85_POW
     out = bytearray()
     full = len(body) - len(body) % 5
@@ -788,8 +847,57 @@ def _a85_decode(data: bytes) -> bytes:
         if n > 0xFFFFFFFF or min(g) < 0x21 or max(g) > 0x75:
             raise ValueError("bad ASCII85 group %r" % g)
         out += n.to_bytes(4, "big")
-    tail = body[full:]
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec 7.4.3): base-85 groups of 5 chars -> 4 bytes,
+    ``z`` = four zero bytes (only between groups), whitespace ignored,
+    ``~>`` is EOD; a final partial group of k chars yields k-1 bytes.
+
+    Full groups decode as five C-speed column operations: with digit
+    value d_ij (group i, position j), the concatenated 32-bit group
+    values equal ``sum_j 85^(4-j) * S_j`` where ``S_j`` places column
+    j's digits in the low byte of each 4-byte cell of one big integer —
+    valid groups never exceed 2**32, so no carry crosses a cell.  Any
+    invalid byte falls back to the per-group loop for the exact
+    pre-existing error; groups starting at digit 's' or above (the only
+    ones that can overflow) are re-verified individually."""
+    eod = data.find(b"~")
+    if eod >= 0:
+        data = data[:eod]
+    body = data.translate(None, _WS_DELETE)
+    if b"z" in body:
+        # legal only on a group boundary: expand, then verify alignment
+        # by re-checking below (an in-group z yields a non-85 value)
+        parts = body.split(b"z")
+        for p in parts[:-1]:
+            if len(p) % 5:
+                raise ValueError("ASCII85 'z' inside a group")
+        body = b"!!!!!".join(parts)  # '!'*5 encodes four zero bytes
+    full = len(body) - len(body) % 5
+    head, tail = body[:full], body[full:]
+    if head.translate(None, _A85_VALID):
+        out = bytearray(_a85_slow(body))  # exact error for the bad group
+    else:
+        ngroups = full // 5
+        vals = head.translate(_A85_SUB33)
+        acc = 0
+        for j, pw in enumerate(_A85_POW):
+            cells = bytearray(4 * ngroups)
+            cells[3::4] = vals[j::5]
+            acc += pw * int.from_bytes(cells, "big")
+        if max(head[0::5], default=0) >= 0x73:
+            # a group led by digit >= 82 may exceed 2**32; re-verify those
+            for i, d0 in enumerate(head[0::5]):
+                if d0 >= 0x73:
+                    g = head[5 * i : 5 * i + 5]
+                    n = sum((c - 33) * p for c, p in zip(g, _A85_POW))
+                    if n > 0xFFFFFFFF:
+                        _a85_slow(body)  # raises the exact original error
+        out = bytearray(acc.to_bytes(4 * ngroups, "big"))
     if tail:
+        p0, p1, p2, p3, p4 = _A85_POW
         k = len(tail)
         if k == 1:
             raise ValueError("truncated ASCII85 final group")
@@ -1182,7 +1290,7 @@ def _decrypt_payload(payload: bytes) -> tuple:
         ok = check[:16] == u_val[:16] if r >= 3 else check == u_val[:32]
         if not ok:
             raise ValueError("encrypted PDF: password required")
-    obj_marks = [(m.start(), int(m.group(1))) for m in _OBJ_RE.finditer(payload)]
+    obj_marks = [(start, oid) for start, _end, oid in _iter_obj_headers(payload)]
     starts = [pos for pos, _ in obj_marks]
     todo = []  # (stream tuple, object number) pairs to decrypt
     for tup in _scan_streams(payload):
