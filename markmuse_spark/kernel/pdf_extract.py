@@ -2260,19 +2260,37 @@ def _heading_level(size: float, body: float) -> int:
     return 0
 
 
+def _line_sort_key(r: tuple[float, float, float, str]):
+    # y descending, then (x, text) ascending — exactly the order the old
+    # dict-of-y grouping produced (sorted(by_y) reverse + sorted((x, text))
+    # per line, including the text tie-break for same-x runs)
+    return (-r[2], r[1], r[3])
+
+
 def _column_blocks(
     col: list[tuple[float, float, float, str]], body_size: float
 ) -> list[str]:
-    """Lines (sorted top-down; same-y runs merged left-to-right) -> blocks."""
-    by_y: dict[float, list[tuple[float, str]]] = {}
-    sizes: dict[float, float] = {}
-    for size, x, y, text in col:
-        by_y.setdefault(y, []).append((x, text))
-        sizes[y] = max(sizes.get(y, 0.0), size)
+    """Lines (sorted top-down; same-y runs merged left-to-right) -> blocks.
+
+    Round-8: one sort + sequential grouping instead of two dicts + a sort
+    per y (the per-run setdefault/max pair profiled at 2/3 of this
+    function); run sizes are non-negative (the Tf regex has no sign), so
+    the group max equals the old ``max(sizes.get(y, 0.0), size)``."""
+    srt = sorted(col, key=_line_sort_key)
     lines = []
-    for y in sorted(by_y, reverse=True):
-        text = " ".join(t for _, t in sorted(by_y[y]))
-        lines.append((y, sizes[y], text))
+    i = 0
+    n = len(srt)
+    while i < n:
+        size, _x, y, text = srt[i]
+        parts = [text]
+        j = i + 1
+        while j < n and srt[j][2] == y:  # 0.0 == -0.0: same line, as before
+            if srt[j][0] > size:
+                size = srt[j][0]
+            parts.append(srt[j][3])
+            j += 1
+        lines.append((y, size, " ".join(parts)))
+        i = j
 
     blocks: list[str] = []
     cur: list[str] = []
