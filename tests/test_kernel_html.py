@@ -174,3 +174,41 @@ def test_tokenizer_name_capture_parity():
                 assert name == (m.group(1) if m else ""), (s, tok)
             else:
                 assert name == "", (s, tok)
+
+
+def test_tag_dispatch_precedence_edges():
+    """Round-8: the dispatch-table rewrite must preserve the old
+    sequential chain's precedence on every folded-together edge:
+    tr/td/th OUTSIDE a table act as paragraph boundaries, thead outside
+    a table does nothing, body/html flush on open AND close, hr touches
+    no buffer, closing </pre> outside pre mode does nothing, and an
+    unbalanced closing skip-element is ignored."""
+    ep = html_extract.extract_pages
+
+    def md(html: str) -> str:
+        return ep(html.encode())[0]["markdown"]
+
+    # td outside a table is a block boundary (old chain: _BLOCK_ELEMENTS)
+    assert md("<p>a<td>b</p>") == "a\n\nb"
+    assert md("<p>a<tr>b</p>") == "a\n\nb"
+    # thead outside a table: no action, text concatenates in-block
+    assert md("<p>a<thead>b</p>") == "ab"
+    # body/html flush on open and close
+    assert md("a<body>b</body>c</html>") == "a\n\nb\n\nc"
+    # hr: no buffer append (no stray space), still same block
+    assert md("<p>a<hr>b</p>") == "ab"
+    # br appends exactly one space
+    assert md("<p>a<br>b</p>") == "a b"
+    # closing </pre> with no open pre: ignored entirely
+    assert md("<p>a</pre>b</p>") == "ab"
+    # unbalanced closing skip element: ignored
+    assert md("<p>a</nav>b</p>") == "ab"
+    # li outside any list: the tag is ignored (no marker minted), its
+    # text still flows as plain paragraph text
+    assert md("<li>solo</li>") == "solo"
+    # boilerplate-classed ul is skipped wholesale; plain ul renders
+    assert md('<ul class="nav"><li>x</li></ul><ul><li>y</li></ul>') == "- y"
+    # table cells keep inline marks; nested list inside a cell stays cell text
+    assert md("<table><tr><td><b>x</b></td><td>y</td></tr></table>") == (
+        "| **x** | y |\n| --- | --- |"
+    )

@@ -2846,3 +2846,89 @@ def test_corpus_v17_3_emits_incremental_rows():
         assert row["markdown"] == want["markdown"], url
         assert "draft superseded" not in (row["markdown"] or ""), url
     assert n >= 10, n
+
+
+def test_obj_header_scan_matches_regex_reference():
+    """Round-8: `_iter_obj_headers` (literal-first scan + backward tail
+    parse) must report exactly what `_OBJ_RE.finditer` reports —
+    (start, end, obj id) in order — including the adversarial shapes:
+    long ids, long whitespace tails, `endobj`/`objx` traps, NULs (not
+    re's \\s), leading zeros, and headers at the buffer edges."""
+    import random
+
+    def ref(buf):
+        return [
+            (m.start(), m.end(), int(m.group(1)))
+            for m in pdf_extract._OBJ_RE.finditer(buf)
+        ]
+
+    cases = [
+        b"", b"obj", b"12 0 obj", b"endobj", b"12 0 objx", b"xobj",
+        b"012 0 obj", b"12 00 obj", b"12 0 0 obj", b"120 obj",
+        b"9" * 40 + b" 0 obj", b"12" + b" " * 60 + b"0" + b"\n" * 50 + b"obj",
+        b"\x000 obj", b"3\x00 0 obj", b"12\r\n0\nobj", b"1 0 obj2 0 obj",
+        b"obj 0 obj", b"end obj", b"12 0 R 13 0 obj endobj 14 0 obj",
+    ]
+    rng = random.Random(20260822)
+    toks = [b"obj", b"endobj", b" 0 obj", b"12 0 obj", b"12 0 R", b"0",
+            b" ", b"\t", b"\n", b"<<>>", b"objobj", b"9 0 objQ", b"1"]
+    for _ in range(1500):
+        cases.append(b"".join(rng.choice(toks) for _ in range(rng.randrange(1, 25))))
+    for buf in cases:
+        assert pdf_extract._iter_obj_headers(buf) == ref(buf), buf[:80]
+
+
+def test_a85_fast_path_matches_slow_reference():
+    """Round-8: the vectorized ASCII85 decode must equal the per-group
+    reference in both value and raised error text — including the
+    overflow-only-from-digit-'s' groups the fast path re-verifies."""
+    import base64
+    import random
+
+    def run(fn, data):
+        try:
+            return ("ok", fn(data))
+        except ValueError as exc:
+            return ("err", str(exc))
+
+    def slow_full(data):
+        # the original whole-decoder shape: slow full groups + tail
+        eod = data.find(b"~")
+        if eod >= 0:
+            data = data[:eod]
+        body = data.translate(None, pdf_extract._WS_DELETE)
+        if b"z" in body:
+            parts = body.split(b"z")
+            for p in parts[:-1]:
+                if len(p) % 5:
+                    raise ValueError("ASCII85 'z' inside a group")
+            body = b"!!!!!".join(parts)
+        full = len(body) - len(body) % 5
+        out = bytearray(pdf_extract._a85_slow(body))
+        tail = body[full:]
+        if tail:
+            k = len(tail)
+            if k == 1:
+                raise ValueError("truncated ASCII85 final group")
+            if min(tail) < 0x21 or max(tail) > 0x75:
+                raise ValueError("bad ASCII85 byte in final group")
+            g = tail + b"u" * (5 - k)
+            n = sum((c - 33) * p for c, p in zip(g, pdf_extract._A85_POW))
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += n.to_bytes(4, "big")[: k - 1]
+        return bytes(out)
+
+    rng = random.Random(7)
+    cases = [b"", b"~>", b"z", b"!!!!!", b"uuuuu", b"s8W-!", b"s8W-\"",
+             b"t" * 10, b"A~>", b"hello world", b"!!!! !", b"\x7f!!!!"]
+    for _ in range(200):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        enc = base64.a85encode(raw)
+        cases.append(enc)
+        cases.append(enc + b"~>")
+    for _ in range(300):
+        cases.append(bytes(rng.randrange(0x20, 0x7f)
+                           for _ in range(rng.randrange(0, 30))))
+    for data in cases:
+        assert run(pdf_extract._a85_decode, data) == run(slow_full, data), data[:60]
