@@ -45,10 +45,18 @@ from typing import Any, Iterable, Optional
 # by test_tokenizer_name_capture_parity).  findall returns
 # ``(token, name)`` tuples.
 _TOKEN = re.compile(
-    r"(<!--.*?(?:-->|$)|<!\[[^\]]*\]>|<![^>]*>"
-    r"|</?\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>|[^<]+)",
+    r"(</?+\s*+([a-zA-Z][a-zA-Z0-9]*+)[^>]*+>"
+    r"|<!--.*?(?:-->|$)|<!\[[^\]]*+\]>|<![^>]*+>|<[^>]*+>|[^<]++)",
     re.DOTALL,
 )
+# round-8 second pass: named-tag alternative FIRST (the `<!`-prefixed forms
+# are prefix-disjoint from `</?\s*[a-zA-Z]`, so precedence between them never
+# decides a match — but ~2/3 of all tokens are named tags and the old order
+# paid three failing branch attempts per tag), and possessive quantifiers
+# throughout (every starred class is disjoint from the character that must
+# follow it, so no successful backtrack exists to lose — pinned by
+# test_tokenizer_possessive_reorder_parity's corpus + fuzz sweep).
+# Measured: findall 1.55 -> 1.29 s per 16k bench docs.
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _ATTR = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+)"""

@@ -212,3 +212,38 @@ def test_tag_dispatch_precedence_edges():
     assert md("<table><tr><td><b>x</b></td><td>y</td></tr></table>") == (
         "| **x** | y |\n| --- | --- |"
     )
+
+
+def test_tokenizer_possessive_reorder_parity():
+    """Round-8 second pass: the named-tag-first + possessive-quantifier
+    tokenizer must produce the identical (token, name) stream as the
+    backtracking original on adversarial markup.  The `<!`-prefixed
+    alternatives are prefix-disjoint from `</?\\s*[a-zA-Z]`, so moving the
+    named-tag branch first can never change which alternative wins; every
+    possessive star is followed by a character its class excludes, so no
+    successful backtrack exists to lose."""
+    import random
+    import re
+
+    from markmuse_spark.kernel import html_extract as H
+
+    old = re.compile(
+        r"(<!--.*?(?:-->|$)|<!\[[^\]]*\]>|<![^>]*>"
+        r"|</?\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>|[^<]+)",
+        re.DOTALL,
+    )
+    cases = [
+        "<p>a</p><div class='x'>b</div><br/><img src=u alt='t'>",
+        "<!-- c --><!DOCTYPE html><![CDATA[x]]><UL><LI>i</LI></UL>",
+        "<>< 3 ><a<b>text<unclosed", "plain", "",
+        "<!--unterminated", "<![unterminated", "<!unterminated",
+        "</ p ></><//><!>",
+        "<!--a>b--><!x><![y]>",
+    ]
+    rng = random.Random(20260822)
+    alpha = list("<>!/-[]ab3 \n\"'=&;pA")
+    for _ in range(4000):
+        cases.append("".join(rng.choice(alpha)
+                             for _ in range(rng.randrange(0, 80))))
+    for s in cases:
+        assert H._TOKEN.findall(s) == old.findall(s), repr(s[:80])

@@ -2932,3 +2932,41 @@ def test_a85_fast_path_matches_slow_reference():
                            for _ in range(rng.randrange(0, 30))))
     for data in cases:
         assert run(pdf_extract._a85_decode, data) == run(slow_full, data), data[:60]
+
+
+def test_op_possessive_parity():
+    """Round-8 second pass: the possessive-quantifier _OP/_TJ_PIECE must
+    match the backtracking originals exactly — every starred class is
+    disjoint from the pattern that must follow it (literal-string pieces
+    never start with the closing paren, hex bodies never contain '>',
+    digit runs never continue into whitespace), so possessiveness can
+    never lose a successful parse.  Corpus shapes + adversarial fuzz."""
+    import random
+    import re
+
+    old_op = re.compile(
+        r"/(F\d+)\s+(\d+(?:\.\d+)?)\s+Tf"
+        r"|1 0 0 1\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm"
+        r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+        r"|<([0-9A-Fa-f\s]*)>\s*Tj"
+        r"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\[\]()<>])*)\]\s*TJ",
+        re.S,
+    )
+    old_tj = re.compile(
+        r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)", re.S
+    )
+    cases = [
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (Hello \\( nested) Tj ET",
+        "<48656c6c6f> Tj [(a) -250 (b) <4142> 3.5 (c\\))] TJ",
+        "()Tj <>Tj []TJ [(\\\\)]TJ ((unbalanced Tj",
+        "(a\\)b) Tj (trail\\", "[<12>]TJ [<1]2>]TJ [| stray | bytes]TJ",
+        "1 0 0 1 -3.5 -0 Tm /F22 8.25 Tf", "",
+    ]
+    rng = random.Random(20260822)
+    alpha = list("()<>[]\\0123456789abcdefABCDEF TjTJfm/F.\n\r-")
+    for _ in range(4000):
+        cases.append("".join(rng.choice(alpha)
+                             for _ in range(rng.randrange(0, 100))))
+    for s in cases:
+        assert pdf_extract._OP.findall(s) == old_op.findall(s), repr(s[:80])
+        assert pdf_extract._TJ_PIECE.findall(s) == old_tj.findall(s), repr(s[:80])
