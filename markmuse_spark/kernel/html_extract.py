@@ -44,19 +44,59 @@ from typing import Any, Iterable, Optional
 # tags/comments yield an empty name group — token-stream parity pinned
 # by test_tokenizer_name_capture_parity).  findall returns
 # ``(token, name)`` tuples.
+# round-8 second pass, applied in two steps:
+#
+# 1. named-tag alternative before the `<!`-prefixed forms (prefix-disjoint,
+#    so precedence between them never decides a match — but ~2/3 of all
+#    tokens are named tags and the old order paid three failing branch
+#    attempts per tag), and possessive quantifiers throughout (every starred
+#    class is disjoint from the character that must follow it, so no
+#    successful backtrack exists to lose — pinned by
+#    test_tokenizer_possessive_reorder_parity's corpus + fuzz sweep).
+#    Measured: findall 1.55 -> 1.29 s per 16k bench docs.
+#
+# 2. whole-subtree SWALLOW alternative (first): ~25% of all tokens sit
+#    inside boilerplate subtrees (head/header/nav/aside/footer/form) that
+#    the loop discards token by token.  The leading alternative consumes
+#    such a subtree as ONE token at C speed: a non-self-closing open tag of
+#    a swallow name, a body that may contain anything EXCEPT another
+#    open/close of the SAME name (case-insensitive `(?i:\2)` backref; the
+#    `<!` forms are mirrored exactly so comment/CDATA/decl-protected spans
+#    tile identically to the main grammar), then the matching close.  The
+#    loop treats a swallowed token as a no-op when it arrives at top level
+#    (provably identical: the old loop pushed the open on skip_stack,
+#    every inner token touched only the stack ABOVE that entry — no close
+#    of the same name exists in the body, and a pop-through of name X
+#    stops at the topmost X, never below — and the final close popped back
+#    to exactly the pre-span state with nothing emitted).  A swallowed
+#    token arriving in skip or <pre> mode is re-expanded with _SUBTOKEN
+#    and spliced into the token stream, reproducing the old behavior
+#    token-for-token (the swallow span starts and ends on old token
+#    boundaries and its body alternatives tile it at old token
+#    boundaries — pinned by test_tokenizer_swallow_tiling_parity).
+#    Anything irregular (unterminated subtree/comment, nested same-name,
+#    uppercase open, self-closing open) fails the possessive swallow
+#    branch and falls through to the plain grammar.
+#    Measured: 22% fewer loop tokens, findall 1.36 -> 1.21 s per 16k docs.
+#
+# findall returns (token, swallow_name, tag_name) triples.
+_SWALLOW = r"head|header|nav|aside|footer|form"
 _TOKEN = re.compile(
+    r"(<\s*+(" + _SWALLOW + r")(?![a-zA-Z0-9])[^>]*+(?<!/)>"
+    r"(?:[^<]++|<!--.*?-->|<!(?!--)(?:\[[^\]]*+\]>|[^>]*+>)"
+    r"|<(?!!|/?+\s*+(?i:\2)(?![a-zA-Z0-9]))[^>]*+>)*+"
+    r"</\s*+(?i:\2)(?![a-zA-Z0-9])[^>]*+>"
+    r"|</?+\s*+([a-zA-Z][a-zA-Z0-9]*+)[^>]*+>"
+    r"|<!--.*?(?:-->|$)|<!\[[^\]]*+\]>|<![^>]*+>|<[^>]*+>|[^<]++)",
+    re.DOTALL,
+)
+# the swallow-free grammar, used to re-expand a swallowed subtree when it
+# arrives in skip/<pre> mode (returns (token, name) pairs)
+_SUBTOKEN = re.compile(
     r"(</?+\s*+([a-zA-Z][a-zA-Z0-9]*+)[^>]*+>"
     r"|<!--.*?(?:-->|$)|<!\[[^\]]*+\]>|<![^>]*+>|<[^>]*+>|[^<]++)",
     re.DOTALL,
 )
-# round-8 second pass: named-tag alternative FIRST (the `<!`-prefixed forms
-# are prefix-disjoint from `</?\s*[a-zA-Z]`, so precedence between them never
-# decides a match — but ~2/3 of all tokens are named tags and the old order
-# paid three failing branch attempts per tag), and possessive quantifiers
-# throughout (every starred class is disjoint from the character that must
-# follow it, so no successful backtrack exists to lose — pinned by
-# test_tokenizer_possessive_reorder_parity's corpus + fuzz sweep).
-# Measured: findall 1.55 -> 1.29 s per 16k bench docs.
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _ATTR = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+)"""
@@ -320,220 +360,247 @@ def extract_pages(payload: bytes) -> list[dict[str, Any]]:
         cell_buf = None
 
     _unescape = _html.unescape
-    # findall materializes plain (token, name) tuples — the tag name is
-    # captured by the tokenizer itself (one C pass), not a second
-    # per-tag match call
-    for tok, name in _TOKEN.findall(text):
-        if tok[0] != "<":
+    # findall materializes plain (token, swallow_name, name) tuples — the
+    # tag name is captured by the tokenizer itself (one C pass), not a
+    # second per-tag match call.  The while/for shape exists only for the
+    # rare swallow fallback: a swallowed boilerplate subtree arriving in
+    # skip/<pre> mode is re-expanded with _SUBTOKEN and its tokens are
+    # processed by the SAME loop (the main iterator is paused and resumed);
+    # the hot path is the plain for loop.
+    token_iter = iter(_TOKEN.findall(text))
+    paused_iters: list = []
+    while True:
+        switched = False
+        for tok, sw, name in token_iter:
+            if tok[0] != "<":
+                if skip_stack:
+                    continue
+                if pre_buf is not None:  # verbatim: no whitespace collapsing
+                    pre_buf.append(_unescape(tok) if "&" in tok else tok)
+                    continue
+                # inline target-buffer resolution: plain text is the hot path
+                buf = cell_buf if cell_buf is not None else (
+                    item_buf if item_buf is not None else text_buf
+                )
+                buf.append(_unescape(tok) if "&" in tok else tok)
+                continue
+            if sw:
+                # whole boilerplate subtree swallowed at C level.  At top
+                # level (no open skip subtree, not inside <pre>) the old
+                # loop's net effect on this span was exactly nothing —
+                # discard it.  Otherwise re-expand with the plain grammar
+                # and process its tokens through this same loop.
+                if not skip_stack and pre_buf is None:
+                    continue
+                paused_iters.append(token_iter)
+                token_iter = iter(
+                    [(t, "", n2) for t, n2 in _SUBTOKEN.findall(tok)]
+                )
+                switched = True
+                break
+            if not name:
+                continue  # comment / doctype / nameless tag / stray '<'
+            if not name.islower():  # islower scans without allocating
+                name = name.lower()
+            closing = tok[1] == "/"
+
+            # ---- boilerplate subtree handling --------------------------------
             if skip_stack:
-                continue
-            if pre_buf is not None:  # verbatim: no whitespace collapsing
-                pre_buf.append(_unescape(tok) if "&" in tok else tok)
-                continue
-            # inline target-buffer resolution: plain text is the hot path
-            buf = cell_buf if cell_buf is not None else (
-                item_buf if item_buf is not None else text_buf
-            )
-            buf.append(_unescape(tok) if "&" in tok else tok)
-            continue
-        if not name:
-            continue  # comment / doctype / nameless tag / stray '<'
-        if not name.islower():  # islower scans without allocating
-            name = name.lower()
-        closing = tok[1] == "/"
-
-        # ---- boilerplate subtree handling --------------------------------
-        if skip_stack:
-            if closing:
-                # pop to the matching open tag; unmatched closes are ignored
-                if name == skip_stack[-1]:
-                    skip_stack.pop()
-                elif name in skip_stack:
-                    while skip_stack and skip_stack[-1] != name:
+                if closing:
+                    # pop to the matching open tag; unmatched closes are ignored
+                    if name == skip_stack[-1]:
                         skip_stack.pop()
-                    if skip_stack:
-                        skip_stack.pop()
-            elif name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
-                # track every nested element so inner content can't leak out
-                skip_stack.append(name)
-            continue
-
-        # ---- <pre> verbatim mode: only </pre> and <br> are significant ----
-        if pre_buf is not None:
-            if closing and name == "pre":
-                code = "".join(pre_buf).strip("\n")
-                pre_buf = None
-                if code:
-                    blocks.append("```\n" + code + "\n```")
-            elif name == "br" and not closing:
-                pre_buf.append("\n")
-            continue
-
-        # single dict probe -> int code; ladder ordered by corpus frequency
-        code = _TAG_DISPATCH.get(name)
-        if code is None:
-            continue  # tag the old chain never acted on
-
-        # ---- lists (nested: sub-lists indent 2 spaces per level) -----------
-        if code == _T_LI:
-            if not list_stack:
-                continue
-            _flush_item()
-            item_buf = [] if not closing else None
-            continue
-
-        if code == _T_DIVLIKE:
-            if not closing:
-                if _boilerplate_tag(tok):
-                    if not tok.rstrip().endswith("/>"):
-                        skip_stack.append(name)
-                else:
-                    _flush_text()
-                continue
-            _flush_text()  # closing div/section/article/main: block boundary
-            continue
-
-        # ---- paragraphs ----------------------------------------------------
-        if code == _T_P:
-            _flush_text()
-            continue
-
-        # ---- tables: cells -------------------------------------------------
-        if code == _T_CELL:
-            if in_table:
-                if not closing:
-                    if cell_buf is not None and table_row is not None:
-                        table_row.append(_clean(cell_buf))
-                    cell_buf = []
-                else:
-                    if cell_buf is not None and table_row is not None:
-                        table_row.append(_clean(cell_buf))
-                    cell_buf = None
-                continue
-            _flush_text()  # td/th outside a table: block boundary
-            continue
-
-        if code == _T_ULOL:
-            if not closing:
-                if _boilerplate_tag(tok):
-                    if not tok.rstrip().endswith("/>"):
-                        skip_stack.append(name)
-                    continue
-                if not list_stack:
-                    _flush_text()
-                    list_lines = []
-                else:
-                    # nested list opening inside an <li>: the parent item's
-                    # own text becomes its line first
-                    _flush_item()
-                list_stack.append([name, 1])
-                item_buf = None
-            else:
-                _flush_item()
-                if list_stack:
-                    list_stack.pop()
-                if not list_stack and list_lines:
-                    blocks.append("\n".join(list_lines))
-                    list_lines = []
-            continue
-
-        # ---- inline marks -------------------------------------------------
-        if code == _T_INLINE:
-            buf = _target_buf()
-            if buf is None:
-                continue
-            mark = _INLINE_MARK[name]
-            if not closing:
-                buf.append(mark)
-                inline_stack.append(mark)
-            else:
-                buf.append(mark)
-                if inline_stack:
-                    inline_stack.pop()
-            continue
-
-        # ---- headings ------------------------------------------------------
-        if code == _T_HEADING:
-            if closing:
-                _flush_text()
-            else:
-                _flush_text()
-                heading_level = _HEADING_LEVEL[name]
-            continue
-
-        if code == _T_SKIP:
-            if not closing:
-                if name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
+                    elif name in skip_stack:
+                        while skip_stack and skip_stack[-1] != name:
+                            skip_stack.pop()
+                        if skip_stack:
+                            skip_stack.pop()
+                elif name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
+                    # track every nested element so inner content can't leak out
                     skip_stack.append(name)
-            continue  # unbalanced close of a skip element: no action
-
-        # ---- tables: rows --------------------------------------------------
-        if code == _T_TR:
-            if in_table:
-                if not closing:
-                    table_row = []
-                else:
-                    if cell_buf is not None and table_row is not None:
-                        table_row.append(_clean(cell_buf))
-                        cell_buf = None
-                    if table_row:
-                        table_rows.append(table_row)
-                    table_row = None
                 continue
-            _flush_text()  # tr outside a table: block boundary
-            continue
 
-        if code == _T_TABLE:
-            if not closing:
-                if _boilerplate_tag(tok):
-                    if not tok.rstrip().endswith("/>"):
-                        skip_stack.append(name)
+            # ---- <pre> verbatim mode: only </pre> and <br> are significant ----
+            if pre_buf is not None:
+                if closing and name == "pre":
+                    code = "".join(pre_buf).strip("\n")
+                    pre_buf = None
+                    if code:
+                        blocks.append("```\n" + code + "\n```")
+                elif name == "br" and not closing:
+                    pre_buf.append("\n")
+                continue
+
+            # single dict probe -> int code; ladder ordered by corpus frequency
+            code = _TAG_DISPATCH.get(name)
+            if code is None:
+                continue  # tag the old chain never acted on
+
+            # ---- lists (nested: sub-lists indent 2 spaces per level) -----------
+            if code == _T_LI:
+                if not list_stack:
                     continue
+                _flush_item()
+                item_buf = [] if not closing else None
+                continue
+
+            if code == _T_DIVLIKE:
+                if not closing:
+                    if _boilerplate_tag(tok):
+                        if not tok.rstrip().endswith("/>"):
+                            skip_stack.append(name)
+                    else:
+                        _flush_text()
+                    continue
+                _flush_text()  # closing div/section/article/main: block boundary
+                continue
+
+            # ---- paragraphs ----------------------------------------------------
+            if code == _T_P:
                 _flush_text()
-                in_table = True
-                table_rows = []
-                table_row = None
-                cell_buf = None
-            else:
-                _flush_table()
-            continue
+                continue
 
-        # ---- breaks --------------------------------------------------------
-        if code == _T_BR:
-            buf = _target_buf()
-            if buf is not None:
-                buf.append(" ")
-            continue
-        if code == _T_HR:
-            continue
+            # ---- tables: cells -------------------------------------------------
+            if code == _T_CELL:
+                if in_table:
+                    if not closing:
+                        if cell_buf is not None and table_row is not None:
+                            table_row.append(_clean(cell_buf))
+                        cell_buf = []
+                    else:
+                        if cell_buf is not None and table_row is not None:
+                            table_row.append(_clean(cell_buf))
+                        cell_buf = None
+                    continue
+                _flush_text()  # td/th outside a table: block boundary
+                continue
 
-        # ---- images --------------------------------------------------------
-        if code == _T_IMG:
-            if not closing:
-                attrs = _parse_attrs(tok)
-                src = attrs.get("src", "")
-                if src:
+            if code == _T_ULOL:
+                if not closing:
+                    if _boilerplate_tag(tok):
+                        if not tok.rstrip().endswith("/>"):
+                            skip_stack.append(name)
+                        continue
+                    if not list_stack:
+                        _flush_text()
+                        list_lines = []
+                    else:
+                        # nested list opening inside an <li>: the parent item's
+                        # own text becomes its line first
+                        _flush_item()
+                    list_stack.append([name, 1])
+                    item_buf = None
+                else:
+                    _flush_item()
+                    if list_stack:
+                        list_stack.pop()
+                    if not list_stack and list_lines:
+                        blocks.append("\n".join(list_lines))
+                        list_lines = []
+                continue
+
+            # ---- inline marks -------------------------------------------------
+            if code == _T_INLINE:
+                buf = _target_buf()
+                if buf is None:
+                    continue
+                mark = _INLINE_MARK[name]
+                if not closing:
+                    buf.append(mark)
+                    inline_stack.append(mark)
+                else:
+                    buf.append(mark)
+                    if inline_stack:
+                        inline_stack.pop()
+                continue
+
+            # ---- headings ------------------------------------------------------
+            if code == _T_HEADING:
+                if closing:
                     _flush_text()
-                    page.add_image(src, _html.unescape(attrs.get("alt", "")))
-            continue
+                else:
+                    _flush_text()
+                    heading_level = _HEADING_LEVEL[name]
+                continue
 
-        # ---- blockquote / pre ------------------------------------------------
-        if code == _T_QUOTE:
-            _flush_text()
-            if not closing:
-                quote_depth += 1
-            elif quote_depth:
-                quote_depth -= 1
-            continue
-        if code == _T_PRE:
-            if not closing:
+            if code == _T_SKIP:
+                if not closing:
+                    if name not in _VOID_ELEMENTS and not tok.rstrip().endswith("/>"):
+                        skip_stack.append(name)
+                continue  # unbalanced close of a skip element: no action
+
+            # ---- tables: rows --------------------------------------------------
+            if code == _T_TR:
+                if in_table:
+                    if not closing:
+                        table_row = []
+                    else:
+                        if cell_buf is not None and table_row is not None:
+                            table_row.append(_clean(cell_buf))
+                            cell_buf = None
+                        if table_row:
+                            table_rows.append(table_row)
+                        table_row = None
+                    continue
+                _flush_text()  # tr outside a table: block boundary
+                continue
+
+            if code == _T_TABLE:
+                if not closing:
+                    if _boilerplate_tag(tok):
+                        if not tok.rstrip().endswith("/>"):
+                            skip_stack.append(name)
+                        continue
+                    _flush_text()
+                    in_table = True
+                    table_rows = []
+                    table_row = None
+                    cell_buf = None
+                else:
+                    _flush_table()
+                continue
+
+            # ---- breaks --------------------------------------------------------
+            if code == _T_BR:
+                buf = _target_buf()
+                if buf is not None:
+                    buf.append(" ")
+                continue
+            if code == _T_HR:
+                continue
+
+            # ---- images --------------------------------------------------------
+            if code == _T_IMG:
+                if not closing:
+                    attrs = _parse_attrs(tok)
+                    src = attrs.get("src", "")
+                    if src:
+                        _flush_text()
+                        page.add_image(src, _html.unescape(attrs.get("alt", "")))
+                continue
+
+            # ---- blockquote / pre ------------------------------------------------
+            if code == _T_QUOTE:
                 _flush_text()
-                pre_buf = []
-            continue
+                if not closing:
+                    quote_depth += 1
+                elif quote_depth:
+                    quote_depth -= 1
+                continue
+            if code == _T_PRE:
+                if not closing:
+                    _flush_text()
+                    pre_buf = []
+                continue
 
-        # body/html: paragraph boundary (open or close)
-        if code == _T_BLOCK:
-            _flush_text()
+            # body/html: paragraph boundary (open or close)
+            if code == _T_BLOCK:
+                _flush_text()
+
+        if not switched:
+            if not paused_iters:
+                break
+            token_iter = paused_iters.pop()
 
     if pre_buf is not None:  # unterminated <pre> (truncated payload)
         code = "".join(pre_buf).strip("\n")

@@ -1520,9 +1520,22 @@ def _trailer_root(blanked: bytes, scanned: "Sequence" = ()) -> int | None:
     claim: when the table decodes, the root must have an in-use (type-1)
     entry whose offset lands on ``root 0 obj`` — a hint that fails its
     own xref is distrusted (None -> body-scan fallback)."""
+    # LAST `startxref <digits>`: reverse rfind + anchored match instead of
+    # a forward finditer over the whole payload (round-8: startxref sits
+    # near EOF by construction, the forward scan cost ~42 us/doc).  A
+    # match's span is `startxref` + ws + digits and cannot contain another
+    # occurrence start, so finditer's non-overlap rule never hides a later
+    # match — last-rfind-that-matches == last finditer match (pinned by
+    # test_trailer_root_reverse_scan_parity).
+    pos = len(blanked)
     last = None
-    for last in _STARTXREF_RE.finditer(blanked):
-        pass
+    while True:
+        pos = blanked.rfind(b"startxref", 0, pos)
+        if pos < 0:
+            break
+        last = _STARTXREF_RE.match(blanked, pos)
+        if last is not None:
+            break
     if last is None:
         return None
     off = int(last.group(1))

@@ -166,7 +166,15 @@ def test_tokenizer_name_capture_parity():
         "",
     ]
     for s in cases:
-        new = H._TOKEN.findall(s)
+        # expand swallowed subtrees so the stream compares against the
+        # plain grammar (none of these cases contain swallow names, but
+        # the expansion keeps the contract general)
+        new = []
+        for tok, sw, name in H._TOKEN.findall(s):
+            if sw:
+                new.extend(H._SUBTOKEN.findall(tok))
+            else:
+                new.append((tok, name))
         assert [t for t, _n in new] == old.findall(s), s
         for tok, name in new:
             if tok and tok[0] == "<" and len(tok) >= 3 and tok[1] != "!":
@@ -246,4 +254,88 @@ def test_tokenizer_possessive_reorder_parity():
         cases.append("".join(rng.choice(alpha)
                              for _ in range(rng.randrange(0, 80))))
     for s in cases:
-        assert H._TOKEN.findall(s) == old.findall(s), repr(s[:80])
+        new = []
+        for tok, sw, name in H._TOKEN.findall(s):
+            if sw:
+                new.extend(H._SUBTOKEN.findall(tok))
+            else:
+                new.append((tok, name))
+        assert new == old.findall(s), repr(s[:80])
+
+
+def test_tokenizer_swallow_tiling_parity():
+    """Round-8 second pass: the subtree-swallow alternative must (a) tile —
+    re-tokenizing every swallowed token with the plain grammar reproduces
+    the plain token stream exactly — and (b) leave extract_pages output
+    byte-identical to a swallow-free run, across nesting, stray closes,
+    comments hiding closers, mixed case, <pre> interactions, unterminated
+    subtrees, and random boilerplate soup."""
+    import random
+    import re
+
+    from markmuse_spark.kernel import html_extract as H
+
+    cases = [
+        "<head><title>T</title><style>a<b{}</style></head><p>x</p>",
+        "<nav><ul><li>a</li></ul></nav>text",
+        "<nav>a<nav>inner</nav>b</nav>tail",              # nested same-name
+        "<header><div><span>x</header>y",                  # unclosed inners
+        "<nav>a<!-- </nav> -->b</nav>c",                   # close in comment
+        "<nav>a<!--unterminated </nav>c",                  # comment to EOS
+        "<NAV>upper</NAV>z", "<nav>mixed</NaV>q</nav>w",   # case forms
+        "<form/>not-a-subtree<p>k</p>",                    # self-closing
+        "<footer>never closed",                            # unterminated
+        "<pre>a<nav>b</nav>c</pre>",                       # swallow in pre
+        "<div class='sidebar'><nav>x</nav></div><p>m</p>",  # swallow in skip
+        "<script>s</script><nav>a</nav>",                  # skip then swallow
+        "<aside>a<script>x</script>b</aside>c",            # skip inside span
+        "<nav>a</script>b</nav>c",                         # stray skip close
+        "<nav>< 5;</nav>done",                             # bare < in span
+        "<headx>not-swallow</headx>p",
+    ]
+    rng = random.Random(8)
+    frags = ["<nav>", "</nav>", "<head>", "</head>", "<form>", "</form>",
+             "<p>", "</p>", "<pre>", "</pre>", "<script>", "</script>",
+             "<div class='menu'>", "</div>", "text", "<!--", "-->", "<",
+             ">", "x", " ", "<br/>", "<aside >", "</ aside>", "<NAV>",
+             "</NAV>"]
+    for _ in range(3000):
+        cases.append("".join(rng.choice(frags)
+                             for _ in range(rng.randrange(0, 25))))
+
+    # a swallow-free tokenizer shaped like _TOKEN (3 groups, sw never
+    # participates) so extract_pages runs its plain path unmodified
+    plain3 = re.compile(
+        r"(((?!))?</?+\s*+([a-zA-Z][a-zA-Z0-9]*+)[^>]*+>"
+        r"|<!--.*?(?:-->|$)|<!\[[^\]]*+\]>|<![^>]*+>|<[^>]*+>|[^<]++)",
+        re.DOTALL,
+    )
+    # plain3's groups: 1=token, 2=dummy sw (zero-width always-fail inside
+    # an optional group: never participates, never consumes), 3=name
+    assert plain3.groups == 3
+
+    class _Plain:
+        @staticmethod
+        def findall(s):
+            return plain3.findall(s)
+
+    for s in cases:
+        # (a) tiling: expansion equals the plain stream
+        expanded = []
+        for tok, sw, name in H._TOKEN.findall(s):
+            if sw:
+                expanded.extend(H._SUBTOKEN.findall(tok))
+            else:
+                expanded.append((tok, name))
+        assert expanded == H._SUBTOKEN.findall(s), repr(s[:100])
+        # (b) end-to-end output parity vs the swallow-free path
+        if not s:
+            continue  # empty payload raises identically on both paths
+        fast = H.extract_pages(s.encode())
+        orig = H._TOKEN
+        H._TOKEN = _Plain
+        try:
+            ref = H.extract_pages(s.encode())
+        finally:
+            H._TOKEN = orig
+        assert fast == ref, repr(s[:100])

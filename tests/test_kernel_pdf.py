@@ -2970,3 +2970,35 @@ def test_op_possessive_parity():
     for s in cases:
         assert pdf_extract._OP.findall(s) == old_op.findall(s), repr(s[:80])
         assert pdf_extract._TJ_PIECE.findall(s) == old_tj.findall(s), repr(s[:80])
+
+
+def test_trailer_root_reverse_scan_parity():
+    """Round-8: _trailer_root's reverse startxref scan must pick the same
+    occurrence as the old forward finditer (the LAST full
+    `startxref <digits>` match), across garbled tails, adjacent
+    occurrences, and digit-less decoys."""
+    cases = [
+        b"xref\n0 1\ntrailer<</Root 1 0 R>>startxref\n99\n%%EOF",
+        b"startxref 5 junk startxref\nnodigits",        # last lacks digits
+        b"startxrefstartxref 42",                        # adjacent
+        b"no trailer here at all",
+        b"startxref\n\n  777\n%%EOF",
+        b"startxref junk startxref 12 startxref x",
+        b"",
+    ]
+    for blanked in cases:
+        last = None
+        for last in pdf_extract._STARTXREF_RE.finditer(blanked):
+            pass
+        expect = int(last.group(1)) if last is not None else None
+        pos = len(blanked)
+        got = None
+        while True:
+            pos = blanked.rfind(b"startxref", 0, pos)
+            if pos < 0:
+                break
+            m = pdf_extract._STARTXREF_RE.match(blanked, pos)
+            if m is not None:
+                got = int(m.group(1))
+                break
+        assert got == expect, blanked
