@@ -501,6 +501,13 @@ _PENDING_BUCKET_WARNS: list = []
 #: stays in the plan; only the log side-channel is skipped)
 _MAX_PENDING_BUCKET_WARNS = 64
 _ATEXIT_REGISTERED = False
+#: slot exhaustion is announced at WARNING exactly once per process
+#: (round-7 advice: a DEBUG line silently disabled the default-on warn
+#: observability for the rest of the driver's life); waiters parked on
+#: never-executed plans cannot be reclaimed (``Observation.get`` has no
+#: timeout), so the honest move is to say loudly that the side-channel
+#: is saturated while the metrics nodes themselves keep shipping
+_SLOTS_WARNED = False
 
 
 def _observe_oversized_buckets(
@@ -595,11 +602,23 @@ def _observe_oversized_buckets(
         atexit.register(drain_bucket_warnings, 2.0)
         _ATEXIT_REGISTERED = True
     if len(_PENDING_BUCKET_WARNS) >= _MAX_PENDING_BUCKET_WARNS:
-        logging.getLogger(__name__).debug(
-            "%s: %d bucket-warn waiters already parked on unexecuted "
-            "plans; observing without a log waiter", op_name,
-            len(_PENDING_BUCKET_WARNS),
-        )
+        global _SLOTS_WARNED
+        if not _SLOTS_WARNED:
+            _SLOTS_WARNED = True
+            logging.getLogger(__name__).warning(
+                "%s: %d bucket-warn waiters parked on never-executed "
+                "plans — the waiter pool is saturated and further "
+                "oversized-bucket warns will NOT be logged this process "
+                "(metrics nodes still attach; call drain_bucket_warnings "
+                "after actions, or stop building abandoned miner plans)",
+                op_name, len(_PENDING_BUCKET_WARNS),
+            )
+        else:
+            logging.getLogger(__name__).debug(
+                "%s: %d bucket-warn waiters already parked on unexecuted "
+                "plans; observing without a log waiter", op_name,
+                len(_PENDING_BUCKET_WARNS),
+            )
         return observed
     t = threading.Thread(
         target=_wait_and_log, daemon=True, name=f"bucket-warn-{op_name}"
