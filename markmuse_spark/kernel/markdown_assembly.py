@@ -49,10 +49,15 @@ def _decode_image(b64: str) -> Optional[tuple[str, bytes]]:
     else:
         content_type = "image/png"
         payload = b64
-    cleaned = "".join(payload.split())
+    # b64decode itself discards whitespace (and any non-alphabet byte)
+    # before decoding, so the explicit cleanup changes nothing on the
+    # success path — build ``cleaned`` only when the padding-repair
+    # branch needs its whitespace-free length (round-8: the
+    # unconditional split/join copied every image payload once)
     try:
-        data = _B64(cleaned)
+        data = _B64(payload)
     except Exception:
+        cleaned = "".join(payload.split())
         rem = len(cleaned) % 4
         if not rem:
             return None
